@@ -1,0 +1,137 @@
+"""Encoder/decoder numerics vs transformers Whisper (fp32 torch oracle).
+
+SURVEY.md §7 steps 3-4: layer-wise parity at fp32 on random weights.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from whisper_tpu.model.decoder import decode_step, init_cache
+from whisper_tpu.model.encoder import encode
+from whisper_tpu.model.params import params_from_ggml
+
+from fixtures import hf_model_from_tensors, random_tensors, tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(n_vocab=1000)  # small vocab: decoder logit test is cheap
+    tensors = random_tensors(cfg, seed=3)
+    params = jax.tree.map(jnp.asarray, params_from_ggml(tensors, cfg))
+    hf = hf_model_from_tensors(cfg, tensors)
+    return cfg, tensors, params, hf
+
+
+def _hf_encode(hf, mel):
+    import torch
+
+    with torch.no_grad():
+        return hf.model.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+
+
+def test_encoder_parity(setup):
+    cfg, tensors, params, hf = setup
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    out = encode(params, jnp.asarray(mel), cfg)
+    ref = _hf_encode(hf, mel)
+    assert out.hidden.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out.hidden), ref, atol=2e-4)
+
+
+def test_cross_kv_scaling(setup):
+    """cross_k must equal (x @ k_w.T) * d^-0.25 per layer (main.rs:1992-1996)."""
+    cfg, tensors, params, hf = setup
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((1, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    out = encode(params, jnp.asarray(mel), cfg)
+    hid = np.asarray(out.hidden)[0]
+    kw = tensors["decoder.blocks.1.cross_attn.key.weight"]
+    expect = (hid @ kw.T) * (cfg.d_head_text ** -0.25)
+    got = np.asarray(out.cross_k)[1, 0]  # (H, Ta, D)
+    got = np.moveaxis(got, 0, 1).reshape(cfg.n_audio_ctx, cfg.n_text_state)
+    np.testing.assert_allclose(got, expect, atol=2e-4)
+
+
+def test_decoder_parity_full_context(setup):
+    """Prefill T tokens at once vs HF decoder forward."""
+    import torch
+
+    cfg, tensors, params, hf = setup
+    rng = np.random.default_rng(2)
+    B, T = 2, 7
+    mel = rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    tokens = rng.integers(0, cfg.n_vocab, size=(B, T)).astype(np.int32)
+
+    out = encode(params, jnp.asarray(mel), cfg)
+    cache = init_cache(cfg, B)
+    logits, cache = decode_step(
+        params, jnp.asarray(tokens), jnp.int32(0), cache, out.cross_k, out.cross_v, cfg
+    )
+
+    with torch.no_grad():
+        enc = hf.model.encoder(torch.from_numpy(mel)).last_hidden_state
+        ref = hf(decoder_input_ids=torch.from_numpy(tokens.astype(np.int64)),
+                 encoder_outputs=(enc,)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4)
+
+
+def test_decoder_incremental_matches_prefill(setup):
+    """Token-at-a-time with KV cache == one-shot prefill (cache correctness)."""
+    cfg, tensors, params, hf = setup
+    rng = np.random.default_rng(4)
+    B, T = 2, 6
+    mel = rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    tokens = rng.integers(0, cfg.n_vocab, size=(B, T)).astype(np.int32)
+    out = encode(params, jnp.asarray(mel), cfg)
+
+    cache = init_cache(cfg, B)
+    full_logits, _ = decode_step(
+        params, jnp.asarray(tokens), jnp.int32(0), cache, out.cross_k, out.cross_v, cfg
+    )
+
+    cache = init_cache(cfg, B)
+    step_logits = []
+    for t in range(T):
+        lg, cache = decode_step(
+            params, jnp.asarray(tokens[:, t : t + 1]), jnp.int32(t), cache,
+            out.cross_k, out.cross_v, cfg,
+        )
+        step_logits.append(np.asarray(lg)[:, 0])
+    step_logits = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(step_logits, np.asarray(full_logits), atol=2e-4)
+
+
+def test_decoder_padded_prefill(setup):
+    """Right-padded prefill: logits at valid positions match, and the cache is
+    not corrupted for subsequent steps."""
+    cfg, tensors, params, hf = setup
+    rng = np.random.default_rng(5)
+    B, T, PAD = 1, 5, 9
+    mel = rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    tokens = rng.integers(0, cfg.n_vocab, size=(B, T)).astype(np.int32)
+    padded = np.zeros((B, PAD), np.int32)
+    padded[:, :T] = tokens
+    out = encode(params, jnp.asarray(mel), cfg)
+
+    cache = init_cache(cfg, B)
+    lg_ref, cache_ref = decode_step(
+        params, jnp.asarray(tokens), jnp.int32(0), cache, out.cross_k, out.cross_v, cfg
+    )
+    cache = init_cache(cfg, B)
+    lg_pad, cache_pad = decode_step(
+        params, jnp.asarray(padded), jnp.int32(0), cache, out.cross_k, out.cross_v, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_pad)[:, :T], np.asarray(lg_ref), atol=2e-4
+    )
+    # Continue from n_past=T on both caches: next-token logits must agree.
+    nxt = rng.integers(0, cfg.n_vocab, size=(B, 1)).astype(np.int32)
+    lg1, _ = decode_step(params, jnp.asarray(nxt), jnp.int32(T), cache_ref,
+                         out.cross_k, out.cross_v, cfg)
+    lg2, _ = decode_step(params, jnp.asarray(nxt), jnp.int32(T), cache_pad,
+                         out.cross_k, out.cross_v, cfg)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1), atol=2e-4)

@@ -1,0 +1,77 @@
+"""Typed error model for whisper_tpu.
+
+Mirrors the reference's error enum (``WsError`` at /root/reference/src/main.rs:50-92)
+as a Python exception hierarchy: every load/parse failure mode the reference
+distinguishes gets its own exception type so callers can match on them.
+"""
+
+from __future__ import annotations
+
+
+class WhisperError(Exception):
+    """Base class for all whisper_tpu errors (reference: WsError)."""
+
+
+class BadMagicError(WhisperError):
+    """Model file does not start with the GGML magic (main.rs:56-57, 368-371)."""
+
+    def __init__(self, path: str, magic: int):
+        super().__init__(f"invalid model file {path!r} (bad magic: 0x{magic:08x})")
+        self.path = path
+        self.magic = magic
+
+
+class UnknownTensorError(WhisperError):
+    """Checkpoint contains a tensor name not in the model schema (main.rs:60-61)."""
+
+    def __init__(self, name: str):
+        super().__init__(f"unknown tensor {name!r} in model file")
+        self.name = name
+
+
+class WrongSizeTensorError(WhisperError):
+    """Tensor element count mismatch (main.rs:64-65)."""
+
+    def __init__(self, name: str, got: int, expected: int):
+        super().__init__(
+            f"tensor {name!r} has wrong size in model file, got:{got}, expected:{expected}"
+        )
+        self.name = name
+        self.got = got
+        self.expected = expected
+
+
+class WrongShapeTensorError(WhisperError):
+    """Tensor shape mismatch (main.rs:66-67)."""
+
+    def __init__(self, name: str, got, expected):
+        super().__init__(
+            f"tensor {name!r} has wrong shape in model file, got:{got}, expected:{expected}"
+        )
+        self.name = name
+        self.got = tuple(got)
+        self.expected = tuple(expected)
+
+
+class WrongBytesTensorError(WhisperError):
+    """Tensor byte count mismatch (main.rs:68-69)."""
+
+    def __init__(self, name: str, got: int, expected: int):
+        super().__init__(
+            f"tensor {name!r} has wrong bytes in model file, got:{got}, expected:{expected}"
+        )
+        self.name = name
+        self.got = got
+        self.expected = expected
+
+
+class TruncatedFileError(WhisperError):
+    """Model file ended mid-record."""
+
+
+class AudioError(WhisperError):
+    """WAV/PCM ingestion failure."""
+
+
+class DecodingError(WhisperError):
+    """Decoding loop failure (all temperature fallbacks exhausted, etc.)."""

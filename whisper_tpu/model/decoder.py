@@ -1,0 +1,130 @@
+"""Whisper text decoder with KV cache — the half the reference never finished.
+
+The reference scaffolds the decoder (weights fully loaded at
+/root/reference/src/main.rs:1139-1334, KV arenas ``memory_k``/``memory_v`` at
+main.rs:1336-1354) but implements no forward pass. Semantics here follow the
+parent whisper.cpp-1.0.3 / openai-whisper decoder, built TPU-first:
+
+  * self-attention K/V cache as a functional (n_layer, B, H, n_text_ctx, d)
+    array pair updated with ``dynamic_update_slice`` at ``n_past`` — the XLA
+    equivalent of the reference's F16 arena views at layer offsets;
+  * cross-attention reads the encoder's precomputed memory (K pre-scaled by
+    d^-0.25, matching main.rs:1994-1996; Q scaled by the same factor here so
+    the product is the standard 1/sqrt(d));
+  * fixed shapes everywhere: prompts are right-padded to a static length and
+    masked, so the whole segment decode compiles exactly twice (prefill +
+    single-token step) regardless of prompt length;
+  * blocks run under ``lax.scan`` over stacked layer params.
+
+Logits are the tied token embedding transpose (openai semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WhisperConfig
+from ..kernels.ops import gelu, layer_norm, linear, merge_heads, split_heads
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (n_layer, B, H, n_text_ctx, d_head)
+    v: jnp.ndarray
+
+
+def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> KVCache:
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.n_text_ctx, cfg.d_head_text)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _masked_sdpa(q, k, v, mask, scale):
+    """softmax(q k^T * scale + mask) v with f32 softmax statistics.
+
+    q (B,H,T,D), k/v (B,H,C,D), mask bool (T,C) or (B,1,T,C), True = attend.
+    """
+    logits = jnp.einsum("bhtd,bhcd->bhtc", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhtc,bhcd->bhtd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _decoder_block(x, blk, ck, cv, cross_k, cross_v, n_past, cfg: WhisperConfig):
+    h = cfg.n_text_head
+    d = cfg.d_head_text
+    B, T, _ = x.shape
+    C = ck.shape[-2]
+
+    # ---- causal self-attention over the cache ----
+    y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
+    q = split_heads(linear(y, blk["q_w"], blk["q_b"]), h)       # (B,H,T,D)
+    k_new = split_heads(linear(y, blk["k_w"]), h)                # K: no bias
+    v_new = split_heads(linear(y, blk["v_w"], blk["v_b"]), h)
+
+    # Append at n_past — the functional version of the reference's
+    # view_1d(memory_k, ..., offset=il*n_ctx + n_past) + cpy pattern.
+    ck = jax.lax.dynamic_update_slice(ck, k_new.astype(ck.dtype), (0, 0, n_past, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v_new.astype(cv.dtype), (0, 0, n_past, 0))
+
+    key_pos = jnp.arange(C)[None, :]                             # (1, C)
+    q_pos = n_past + jnp.arange(T)[:, None]                      # (T, 1)
+    mask = key_pos <= q_pos                                      # causal + past
+    o = _masked_sdpa(q, ck, cv, mask, d ** -0.5)
+    x = x + linear(merge_heads(o), blk["out_w"], blk["out_b"])
+
+    # ---- cross-attention over precomputed encoder memory ----
+    y = layer_norm(x, blk["cross_attn_ln_w"], blk["cross_attn_ln_b"])
+    qc = split_heads(linear(y, blk["cross_q_w"], blk["cross_q_b"]), h)
+    # cross_k is pre-scaled by d^-0.25 (encoder.py); scale q by the rest.
+    Ta = cross_k.shape[-2]
+    full = jnp.ones((T, Ta), dtype=bool)
+    o = _masked_sdpa(qc * (d ** -0.25), cross_k, cross_v, full, 1.0)
+    x = x + linear(merge_heads(o), blk["cross_out_w"], blk["cross_out_b"])
+
+    # ---- MLP ----
+    y = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
+    y = gelu(linear(y, blk["mlp0_w"], blk["mlp0_b"]), cfg.gelu_impl)
+    x = x + linear(y, blk["mlp1_w"], blk["mlp1_b"])
+    return x, ck, cv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params: dict,
+    tokens: jnp.ndarray,   # (B, T) int32, right-padded
+    n_past: jnp.ndarray,   # scalar int32: number of cached positions
+    cache: KVCache,
+    cross_k: jnp.ndarray,  # (L, B, H, Ta, D)
+    cross_v: jnp.ndarray,
+    cfg: WhisperConfig,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Forward ``T`` new tokens; returns (logits (B, T, n_vocab) f32, cache').
+
+    Padded tail positions write garbage K/V *beyond* ``n_past + true_len``;
+    callers advance ``n_past`` by the true length only, so the next call's
+    dynamic_update_slice overwrites them — padding never corrupts the stream.
+    """
+    dec = params["decoder"]
+    B, T = tokens.shape
+    x = dec["te"][tokens].astype(dec["pe"].dtype)
+    pe = jax.lax.dynamic_slice_in_dim(dec["pe"], n_past, T, axis=0)
+    x = x + pe[None]
+
+    def body(carry, xs):
+        x = carry
+        blk, ck, cv, xk, xv = xs
+        x, ck, cv = _decoder_block(x, blk, ck, cv, xk, xv, n_past, cfg)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (dec["blocks"], cache.k, cache.v, cross_k, cross_v)
+    )
+    x = layer_norm(x, dec["ln_w"], dec["ln_b"])
+    logits = jnp.einsum(
+        "bts,vs->btv", x, dec["te"].astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    return logits, KVCache(k=new_k, v=new_v)
