@@ -1,0 +1,33 @@
+#!/usr/bin/env python
+"""Driver benchmark entry point.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Metric: audio-seconds transcribed per second per chip (RTF) for batched greedy
+serving of 30 s windows on large-v3 (random weights — no real checkpoints in
+this environment), bf16, real TPU chip. Baseline = the repo's north-star
+target of 100x realtime (BASELINE.md; the reference publishes no numbers).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    from whisper_tpu.utils.benchmark import run_benchmark
+
+    model_name = os.environ.get("BENCH_MODEL", "large-v3")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    seconds = int(os.environ.get("BENCH_SECONDS", "120"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    result = run_benchmark(
+        model_name=model_name, batch=batch, seconds=seconds, dtype=dtype
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,3 +21,6 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The axon TPU plugin in this image ignores the JAX_PLATFORMS env var; the
+# config update is respected (backends initialize lazily, after conftest).
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,127 @@
+"""End-to-end transcription pipeline tests (sliding window, segments, CLI)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import SAMPLE_RATE
+from whisper_tpu.model.load import load_model
+from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+from fixtures import synthetic_audio, tiny_config, write_synthetic_ggml
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt") / "ggml-tiny-synth.bin"
+    write_synthetic_ggml(path, tiny_config(), seed=9)
+    return load_model(str(path), use_native=False)
+
+
+def test_transcribe_short(model):
+    """Single window; random weights -> garbage text but valid structure."""
+    audio = synthetic_audio(SAMPLE_RATE * 8)
+    result = transcribe(
+        model, audio,
+        TranscribeOptions(temperature=0.0, condition_on_previous_text=False),
+    )
+    assert result["language"] == "en"
+    assert result["duration"] == pytest.approx(8.0)
+    assert isinstance(result["text"], str)
+    for seg in result["segments"]:
+        assert 0.0 <= seg["t0"] <= seg["t1"] <= 40.0
+        assert seg["seek"] == 0
+
+
+def test_transcribe_long_multiwindow(model):
+    """> 30 s audio exercises the sliding-window seek loop."""
+    audio = synthetic_audio(SAMPLE_RATE * 35)
+    result = transcribe(
+        model, audio,
+        TranscribeOptions(temperature=0.0, condition_on_previous_text=True),
+    )
+    seeks = {seg["seek"] for seg in result["segments"]}
+    assert len(seeks) >= 2, "expected at least two windows"
+    # segments ordered and timestamps monotone across the file
+    t_prev = 0.0
+    for seg in result["segments"]:
+        assert seg["t0"] >= t_prev - 1e-6
+        t_prev = seg["t0"]
+
+
+def test_transcribe_no_timestamps(model):
+    """without_timestamps drops the timestamp grammar (openai semantics: the
+    <|notimestamps|> task token is used; sampled timestamps — which a trained
+    model won't emit but random weights may — never reach the text)."""
+    audio = synthetic_audio(SAMPLE_RATE * 6)
+    result = transcribe(
+        model, audio,
+        TranscribeOptions(
+            temperature=0.0, without_timestamps=True, condition_on_previous_text=False
+        ),
+    )
+    assert result["segments"], "expected at least one segment"
+    for seg in result["segments"]:
+        # decode() strips ids >= eot, so no "[_TT_x]" artifacts in text
+        assert "[_TT_" not in seg["text"] and "<|" not in seg["text"]
+
+
+def test_wav_roundtrip(tmp_path, model):
+    from scipy.io import wavfile
+
+    from whisper_tpu.io.wav import load_wav
+
+    audio = synthetic_audio(SAMPLE_RATE * 2)
+    p = str(tmp_path / "a.wav")
+    wavfile.write(p, SAMPLE_RATE, (audio * 32767).astype(np.int16))
+    loaded = load_wav(p)
+    assert loaded.shape == audio.shape
+    np.testing.assert_allclose(loaded, audio, atol=1e-3)
+
+    # stereo downmix + resample path
+    stereo = np.stack([audio, audio], axis=1)
+    p2 = str(tmp_path / "b.wav")
+    wavfile.write(p2, 8000, (stereo[: SAMPLE_RATE] * 32767).astype(np.int16))
+    loaded2 = load_wav(p2)
+    assert loaded2.ndim == 1
+    assert len(loaded2) == 2 * SAMPLE_RATE  # 8k -> 16k doubles samples
+
+
+def test_cli_transcribe(tmp_path, model, capsys):
+    from scipy.io import wavfile
+
+    from whisper_tpu.cli import main
+
+    ckpt = str(tmp_path / "m.bin")
+    write_synthetic_ggml(ckpt, tiny_config(), seed=9)
+    wav = str(tmp_path / "x.wav")
+    audio = synthetic_audio(SAMPLE_RATE * 4)
+    wavfile.write(wav, SAMPLE_RATE, (audio * 32767).astype(np.int16))
+    out_json = str(tmp_path / "out.json")
+    rc = main(
+        ["transcribe", ckpt, wav, "--no-condition-on-previous-text",
+         "--temperature", "0", "--output-json", out_json]
+    )
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "realtime" in captured.out
+    import json
+
+    with open(out_json) as f:
+        data = json.load(f)
+    assert wav in data and "segments" in data[wav]
+
+
+def test_cli_info(tmp_path, capsys):
+    from whisper_tpu.cli import main
+
+    ckpt = str(tmp_path / "m.bin")
+    write_synthetic_ggml(ckpt, tiny_config(), seed=1)
+    assert main(["info", ckpt]) == 0
+    out = capsys.readouterr().out
+    assert "tensors" in out and "89" in out

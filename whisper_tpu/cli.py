@@ -1,0 +1,137 @@
+"""Command-line interface.
+
+The reference's driver is a hardcoded main() (paths + thread count baked in,
+/root/reference/src/main.rs:2065-2075). This is the real CLI the SURVEY
+(§2.1 #16) specifies:
+
+    python -m whisper_tpu.cli transcribe MODEL.bin AUDIO.wav [options]
+    python -m whisper_tpu.cli info MODEL.bin
+    python -m whisper_tpu.cli bench MODEL.bin [--seconds N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", help="GGML checkpoint path")
+    p.add_argument("audio", nargs="+", help="WAV file(s)")
+    p.add_argument("--task", choices=["transcribe", "translate"], default="transcribe")
+    p.add_argument("--language", default=None, help="force language (default: detect)")
+    p.add_argument("--beam", type=int, default=None, help="beam size (default greedy)")
+    p.add_argument("--best-of", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=None,
+                   help="single temperature (default: 0 with fallback ladder)")
+    p.add_argument("--no-timestamps", action="store_true")
+    p.add_argument("--no-condition-on-previous-text", action="store_true")
+    p.add_argument("--initial-prompt", default=None)
+    p.add_argument("--mel-mode", choices=["openai", "reference"], default="openai")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--gelu", choices=["erf", "tanh"], default="erf")
+    p.add_argument("--flash", action="store_true", help="use Pallas flash attention")
+    p.add_argument("--output-json", default=None, help="write result JSON here")
+    p.add_argument("--verbose", action="store_true")
+
+
+def cmd_transcribe(args) -> int:
+    import jax.numpy as jnp
+
+    from .model.load import load_model
+    from .pipeline.transcribe import TranscribeOptions, transcribe
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    model = load_model(args.model, dtype=dtype, gelu_impl=args.gelu)
+    opts = TranscribeOptions(
+        task=args.task,
+        language=args.language,
+        beam_size=args.beam,
+        best_of=args.best_of,
+        without_timestamps=args.no_timestamps,
+        condition_on_previous_text=not args.no_condition_on_previous_text,
+        initial_prompt=args.initial_prompt,
+        mel_mode=args.mel_mode,
+        use_flash=args.flash,
+        verbose=args.verbose,
+    )
+    if args.temperature is not None:
+        opts.temperature = args.temperature
+
+    all_results = {}
+    for path in args.audio:
+        t0 = time.perf_counter()
+        result = transcribe(model, path, opts)
+        wall = time.perf_counter() - t0
+        rtf = result["duration"] / wall if wall > 0 else float("inf")
+        all_results[path] = result
+        print(f"== {path} (lang={result['language']}, {result['duration']:.1f}s "
+              f"audio in {wall:.1f}s, {rtf:.1f}x realtime)")
+        for seg in result["segments"]:
+            print(f"[{_fmt_ts(seg['t0'])} --> {_fmt_ts(seg['t1'])}] {seg['text']}")
+        print(model.timers.report())
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(all_results, f, indent=2, ensure_ascii=False)
+    return 0
+
+
+def _fmt_ts(t: float) -> str:
+    ms = int(round(t * 1000))
+    h, ms = divmod(ms, 3600_000)
+    m, ms = divmod(ms, 60_000)
+    s, ms = divmod(ms, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
+
+
+def cmd_info(args) -> int:
+    from .io.ggml import load_ggml
+
+    ckpt = load_ggml(args.model)
+    c = ckpt.config
+    print(f"model type     : {c.model_type}")
+    print(f"multilingual   : {c.is_multilingual}")
+    print(f"tensors        : {len(ckpt.tensors)}")
+    print(f"filters        : {ckpt.filters.shape}")
+    print(f"vocab (file)   : {len(ckpt.vocab.id_to_token)}")
+    print(f"hbm estimate   : {c.hbm_bytes_estimate() / 2**20:.1f} MB")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .utils.benchmark import run_benchmark
+
+    result = run_benchmark(model_path=args.model, seconds=args.seconds,
+                           batch=args.batch, dtype=args.dtype)
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="whisper_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("transcribe", help="transcribe WAV file(s)")
+    _add_transcribe_args(p)
+    p.set_defaults(fn=cmd_transcribe)
+
+    p = sub.add_parser("info", help="inspect a GGML checkpoint")
+    p.add_argument("model")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.add_argument("model", nargs="?", default=None,
+                   help="GGML checkpoint (default: random large-v3 weights)")
+    p.add_argument("--seconds", type=int, default=120)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--dtype", default="bfloat16")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

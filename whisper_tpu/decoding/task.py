@@ -1,0 +1,268 @@
+"""DecodingTask: one pass of the decoder over encoded audio windows.
+
+openai-whisper ``DecodingTask`` semantics on top of the jitted
+``decode_step``: host numpy orchestrates (logit rules, sampling, beam
+bookkeeping), the device runs fixed-shape forwards only. Prompt prefill is
+right-padded to 32-token buckets so arbitrary prompt lengths reuse a handful
+of compiled programs.
+
+The reference's vestigial fields this realizes: ``probs``/``logits``
+(main.rs:351-352), ``prompt_past`` consumption via options.prompt,
+``token_translate``/``token_transcribe`` usage (main.rs:553-572).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperConfig
+from ..io.vocab import WhisperVocab
+from ..model.decoder import KVCache, decode_step, init_cache
+from .result import DecodingResult, compression_ratio
+from .rules import (
+    ApplyTimestampRules,
+    SuppressBlank,
+    SuppressTokens,
+    build_suppress_list,
+    log_softmax,
+)
+from .sequence import BeamSearchDecoder, GreedyDecoder, MaximumLikelihoodRanker
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodingOptions:
+    task: str = "transcribe"           # "transcribe" | "translate"
+    language: Optional[str] = None     # None -> detect (multilingual) / "en"
+    temperature: float = 0.0
+    sample_len: Optional[int] = None   # default n_text_ctx // 2
+    best_of: Optional[int] = None      # sampling candidates when temperature > 0
+    beam_size: Optional[int] = None    # beam search when temperature == 0
+    patience: Optional[float] = None
+    length_penalty: Optional[float] = None
+    prompt: Optional[Sequence[int]] = None   # previous-text conditioning tokens
+    prefix: Optional[Sequence[int]] = None   # forced start of this segment
+    suppress_tokens: Optional[Sequence[int]] = (-1,)
+    suppress_blank: bool = True
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+    seed: int = 42
+
+
+_PREFILL_BUCKET = 32
+
+
+def _pad_to_bucket(tokens: np.ndarray) -> Tuple[np.ndarray, int]:
+    t = tokens.shape[1]
+    padded = (t + _PREFILL_BUCKET - 1) // _PREFILL_BUCKET * _PREFILL_BUCKET
+    if padded == t:
+        return tokens, t
+    out = np.zeros((tokens.shape[0], padded), dtype=tokens.dtype)
+    out[:, :t] = tokens
+    return out, t
+
+
+class DecodingTask:
+    def __init__(self, config: WhisperConfig, vocab: WhisperVocab, options: DecodingOptions):
+        self.config = config
+        self.vocab = vocab
+        self.options = options
+
+        if options.beam_size is not None and options.temperature > 0:
+            raise ValueError("beam search is only valid at temperature 0")
+
+        self.n_group = options.beam_size or options.best_of or 1
+        self.sample_len = options.sample_len or config.n_text_ctx // 2
+        self.sot_sequence = self._sot_sequence()
+        self.initial_tokens = self._initial_tokens()
+        self.sample_begin = len(self.initial_tokens)
+        self.sot_index = self.initial_tokens.index(vocab.token_sot)
+
+        if options.beam_size is not None:
+            self.decoder = BeamSearchDecoder(options.beam_size, vocab.token_eot, options.patience)
+        else:
+            self.decoder = GreedyDecoder(
+                options.temperature, vocab.token_eot, np.random.default_rng(options.seed)
+            )
+        self.ranker = MaximumLikelihoodRanker(options.length_penalty)
+
+        self.filters = []
+        if options.suppress_blank:
+            self.filters.append(SuppressBlank(vocab, self.sample_begin))
+        if options.suppress_tokens:
+            self.filters.append(
+                SuppressTokens(build_suppress_list(vocab, options.suppress_tokens))
+            )
+        if not options.without_timestamps:
+            max_initial_index = None
+            if options.max_initial_timestamp is not None:
+                max_initial_index = round(options.max_initial_timestamp / 0.02)
+            self.filters.append(
+                ApplyTimestampRules(vocab, self.sample_begin, max_initial_index)
+            )
+
+    # -- token sequence construction (openai _get_initial_tokens) --
+
+    def _sot_sequence(self) -> List[int]:
+        v = self.vocab
+        seq = [v.token_sot]
+        if v.is_multilingual:
+            lang = self.options.language or "en"
+            seq.append(v.language_token(lang))
+            seq.append(
+                v.token_translate if self.options.task == "translate" else v.token_transcribe
+            )
+        if self.options.without_timestamps:
+            seq.append(v.token_not)
+        return seq
+
+    def _initial_tokens(self) -> List[int]:
+        tokens = list(self.sot_sequence)
+        if self.options.prefix is not None:
+            prefix = list(self.options.prefix)
+            if self.sample_len is not None:
+                prefix = prefix[-(self.config.n_text_ctx // 2 - self.sample_len) :] or prefix
+            tokens = tokens + prefix
+        if self.options.prompt is not None and len(self.options.prompt) > 0:
+            prompt = list(self.options.prompt)
+            tokens = (
+                [self.vocab.token_prev]
+                + prompt[-(self.config.n_text_ctx // 2 - 1) :]
+                + tokens
+            )
+        return tokens
+
+    # -- main loop --
+
+    def run(self, cross_k: jnp.ndarray, cross_v: jnp.ndarray) -> List[DecodingResult]:
+        """cross_k/v: (L, n_audio, H, Ta, D) from the encoder."""
+        cfg, v = self.config, self.vocab
+        n_audio = cross_k.shape[1]
+        n_seq = n_audio * self.n_group
+        if self.n_group > 1:
+            cross_k = jnp.repeat(cross_k, self.n_group, axis=1)
+            cross_v = jnp.repeat(cross_v, self.n_group, axis=1)
+
+        self.decoder.reset()
+        tokens = np.tile(np.array(self.initial_tokens, np.int32), (n_seq, 1))
+        cache = init_cache(cfg, n_seq, dtype=cross_k.dtype)
+
+        # Prefill (bucketed) — one forward for the whole prompt.
+        padded, true_len = _pad_to_bucket(tokens)
+        logits_all, cache = decode_step(
+            self.params_ref, jnp.asarray(padded), jnp.int32(0), cache, cross_k, cross_v, cfg
+        )
+        logits_all = np.asarray(logits_all, dtype=np.float32)
+        # no-speech prob from the SOT position (openai semantics).
+        probs_at_sot = np.exp(log_softmax(logits_all[:, self.sot_index]))
+        no_speech_probs = probs_at_sot[:, v.token_nosp]
+        logits = logits_all[:, true_len - 1]
+        n_past = true_len
+
+        sum_logprobs = np.zeros(n_seq, dtype=np.float64)
+        for i in range(self.sample_len):
+            filt = logits.copy()
+            for f in self.filters:
+                f(filt, tokens)
+            if isinstance(self.decoder, BeamSearchDecoder):
+                tokens, completed, sources = self.decoder.update(tokens, filt, sum_logprobs)
+                if not np.array_equal(sources, np.arange(n_seq)):
+                    idx = jnp.asarray(sources)
+                    cache = KVCache(
+                        k=jnp.take(cache.k, idx, axis=1), v=jnp.take(cache.v, idx, axis=1)
+                    )
+            else:
+                tokens, completed = self.decoder.update(tokens, filt, sum_logprobs)
+            if completed or tokens.shape[-1] > cfg.n_text_ctx:
+                break
+            next_tok = jnp.asarray(tokens[:, -1:].astype(np.int32))
+            lg, cache = decode_step(
+                self.params_ref, next_tok, jnp.int32(n_past), cache, cross_k, cross_v, cfg
+            )
+            logits = np.asarray(lg[:, 0], dtype=np.float32)
+            n_past += 1
+
+        # Finalize & rank.
+        if isinstance(self.decoder, BeamSearchDecoder):
+            final_tokens, final_logprobs = self.decoder.finalize(tokens, sum_logprobs)
+            grouped_tokens = [
+                [seq[self.sample_begin : seq.index(v.token_eot) if v.token_eot in seq else len(seq)]
+                 for seq in group]
+                for group in final_tokens
+            ]
+            grouped_logprobs = final_logprobs
+        else:
+            final_tokens, final_logprobs = self.decoder.finalize(tokens, sum_logprobs)
+            grouped_tokens = []
+            grouped_logprobs = []
+            for i in range(n_audio):
+                gt, gp = [], []
+                for j in range(self.n_group):
+                    seq = final_tokens[i * self.n_group + j].tolist()
+                    end = seq.index(v.token_eot) if v.token_eot in seq else len(seq)
+                    gt.append(seq[self.sample_begin : end])
+                    gp.append(final_logprobs[i * self.n_group + j])
+                grouped_tokens.append(gt)
+                grouped_logprobs.append(gp)
+
+        selected = self.ranker.rank(grouped_tokens, grouped_logprobs)
+        results = []
+        for i, j in enumerate(selected):
+            toks = [int(t) for t in grouped_tokens[i][j]]
+            sum_lp = grouped_logprobs[i][j]
+            avg_logprob = sum_lp / (len(toks) + 1)
+            text = v.decode(toks).strip()
+            results.append(
+                DecodingResult(
+                    tokens=toks,
+                    text=text,
+                    avg_logprob=float(avg_logprob),
+                    no_speech_prob=float(no_speech_probs[i * self.n_group]),
+                    temperature=self.options.temperature,
+                    compression_ratio=compression_ratio(text),
+                )
+            )
+        return results
+
+
+def decode_full(
+    params,
+    config: WhisperConfig,
+    vocab: WhisperVocab,
+    cross_k: jnp.ndarray,
+    cross_v: jnp.ndarray,
+    options: DecodingOptions,
+) -> List[DecodingResult]:
+    """Decode one or more encoded windows with the given options."""
+    task = DecodingTask(config, vocab, options)
+    task.params_ref = params
+    return task.run(cross_k, cross_v)
+
+
+def detect_language(
+    params, config: WhisperConfig, vocab: WhisperVocab,
+    cross_k: jnp.ndarray, cross_v: jnp.ndarray,
+) -> Tuple[List[str], List[dict]]:
+    """Single forward from SOT; distribution over language tokens only
+    (openai detect_language)."""
+    n_audio = cross_k.shape[1]
+    cache = init_cache(config, n_audio, dtype=cross_k.dtype)
+    tokens = jnp.full((n_audio, 1), vocab.token_sot, dtype=jnp.int32)
+    logits, _ = decode_step(params, tokens, jnp.int32(0), cache, cross_k, cross_v, config)
+    logits = np.asarray(logits[:, 0], dtype=np.float32)
+    mask = np.full(logits.shape[-1], True)
+    mask[vocab.all_language_tokens] = False
+    logits[:, mask] = -np.inf
+    probs = np.exp(log_softmax(logits))
+    langs = []
+    all_probs = []
+    for i in range(n_audio):
+        token = int(probs[i].argmax())
+        langs.append(vocab.language_of_token(token))
+        all_probs.append(
+            {lang: float(probs[i, vocab.language_token(lang)]) for lang in vocab.languages}
+        )
+    return langs, all_probs

@@ -1,0 +1,103 @@
+"""Parameter and activation sharding rules (Megatron-style tensor parallel).
+
+Per-block layout (weights are (layer, out, in) stacked):
+
+  * q/k/v projections: shard OUT (= heads*d_head) over tp — each chip owns a
+    head slice, attention is fully local per head;
+  * attention out-proj and mlp.2: shard IN over tp — the contraction is
+    partial-summed and XLA inserts the psum (reduce-scatter+all-gather under
+    dp as needed);
+  * mlp.0: shard OUT (4*state) over tp;
+  * embeddings / layernorms / biases on sharded-out dims follow their weight;
+  * token embedding: shard vocab over tp — the logits matmul becomes a local
+    slice + all-gather (cheaper than replicating a 51865*d matrix per chip).
+
+Batch ("dp") shards the leading batch axis of activations, KV caches, and mel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_pspecs(config=None) -> Dict[str, Any]:
+    """PartitionSpec pytree matching the params pytree structure."""
+    enc_blocks = {
+        "attn_ln_w": P(None, None),
+        "attn_ln_b": P(None, None),
+        "q_w": P(None, "tp", None),
+        "q_b": P(None, "tp"),
+        "k_w": P(None, "tp", None),
+        "v_w": P(None, "tp", None),
+        "v_b": P(None, "tp"),
+        "out_w": P(None, None, "tp"),
+        "out_b": P(None, None),
+        "mlp_ln_w": P(None, None),
+        "mlp_ln_b": P(None, None),
+        "mlp0_w": P(None, "tp", None),
+        "mlp0_b": P(None, "tp"),
+        "mlp1_w": P(None, None, "tp"),
+        "mlp1_b": P(None, None),
+    }
+    dec_blocks = dict(
+        enc_blocks,
+        **{
+            "cross_attn_ln_w": P(None, None),
+            "cross_attn_ln_b": P(None, None),
+            "cross_q_w": P(None, "tp", None),
+            "cross_q_b": P(None, "tp"),
+            "cross_k_w": P(None, "tp", None),
+            "cross_v_w": P(None, "tp", None),
+            "cross_v_b": P(None, "tp"),
+            "cross_out_w": P(None, None, "tp"),
+            "cross_out_b": P(None, None),
+        },
+    )
+    return {
+        "encoder": {
+            "pe": P(None, None),
+            "conv1_w": P("tp", None, None),
+            "conv1_b": P("tp"),
+            "conv2_w": P("tp", None, None),
+            "conv2_b": P("tp"),
+            "ln_post_w": P(None),
+            "ln_post_b": P(None),
+            "blocks": enc_blocks,
+        },
+        "decoder": {
+            "pe": P(None, None),
+            "te": P("tp", None),
+            "ln_w": P(None),
+            "ln_b": P(None),
+            "blocks": dec_blocks,
+        },
+    }
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the params pytree with tensor-parallel shardings."""
+    specs = param_pspecs()
+    return jax.tree.map(
+        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def batch_pspec() -> P:
+    """Activations / mel / tokens: shard batch over dp."""
+    return P("dp")
+
+
+def cache_pspec() -> P:
+    """KV cache (L, B, H, C, D): batch over dp, heads over tp."""
+    return P(None, "dp", "tp", None, None)
+
+
+def cross_pspec() -> P:
+    """Cross K/V (L, B, H, Ta, D): batch over dp, heads over tp."""
+    return P(None, "dp", "tp", None, None)

@@ -1,0 +1,287 @@
+"""Long-form transcription: 30 s sliding-window loop with temperature fallback.
+
+This is the ``whisper_full`` driver the reference reserves state for but never
+implements (``result_all``/``prompt_past``/``t_beg``/``t_last`` at
+/root/reference/src/main.rs:354-361, ``WHISPER_CHUNK_SIZE`` at main.rs:29):
+semantics follow openai-whisper's ``transcribe()`` — segment extraction from
+timestamp tokens, seek advancement, previous-text conditioning, temperature
+ladder with compression-ratio/avg-logprob gates, no-speech skip.
+
+Device work per window: one encoder forward + the decode loop; host work is
+bookkeeping only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FRAMES_PER_SECOND, HOP_LENGTH, N_SAMPLES_PER_CHUNK, SAMPLE_RATE
+from ..decoding.result import DecodingResult, Segment
+from ..decoding.task import DecodingOptions, decode_full, detect_language
+from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
+from ..model.encoder import encode
+from ..model.load import WhisperModel
+from ..utils.logging import get_logger
+
+log = get_logger("transcribe")
+
+N_FRAMES = 3000  # 30 s of mel frames == 2 * n_audio_ctx
+INPUT_STRIDE = 2  # mel frames per timestamp tick (0.02 s)
+
+
+@dataclasses.dataclass
+class TranscribeOptions:
+    task: str = "transcribe"
+    language: Optional[str] = None
+    temperature: Union[float, Sequence[float]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    beam_size: Optional[int] = None
+    best_of: Optional[int] = None
+    patience: Optional[float] = None
+    length_penalty: Optional[float] = None
+    compression_ratio_threshold: Optional[float] = 2.4
+    logprob_threshold: Optional[float] = -1.0
+    no_speech_threshold: Optional[float] = 0.6
+    condition_on_previous_text: bool = True
+    initial_prompt: Optional[str] = None
+    without_timestamps: bool = False
+    suppress_tokens: Optional[Sequence[int]] = (-1,)
+    mel_mode: str = "openai"  # "openai" (center) | "reference" (whisper.cpp-1.0.3)
+    use_flash: bool = False
+    verbose: bool = False
+
+
+def _decode_with_fallback(
+    model: WhisperModel, cross_k, cross_v, opts: TranscribeOptions,
+    prompt: List[int],
+) -> DecodingResult:
+    temperatures = (
+        [opts.temperature] if isinstance(opts.temperature, (int, float)) else list(opts.temperature)
+    )
+    decode_result = None
+    for t in temperatures:
+        kwargs = dict(
+            task=opts.task,
+            language=opts.language,
+            temperature=t,
+            patience=opts.patience,
+            length_penalty=opts.length_penalty,
+            prompt=prompt or None,
+            without_timestamps=opts.without_timestamps,
+            suppress_tokens=opts.suppress_tokens,
+        )
+        if t > 0:
+            kwargs["best_of"] = opts.best_of
+        else:
+            kwargs["beam_size"] = opts.beam_size
+            kwargs["patience"] = opts.patience
+        options = DecodingOptions(**kwargs)
+        decode_result = decode_full(
+            model.params, model.config, model.vocab, cross_k, cross_v, options
+        )[0]
+        needs_fallback = False
+        if (
+            opts.compression_ratio_threshold is not None
+            and decode_result.compression_ratio > opts.compression_ratio_threshold
+        ):
+            needs_fallback = True  # too repetitive
+        if (
+            opts.logprob_threshold is not None
+            and decode_result.avg_logprob < opts.logprob_threshold
+        ):
+            needs_fallback = True  # average log probability too low
+        if (
+            opts.no_speech_threshold is not None
+            and decode_result.no_speech_prob > opts.no_speech_threshold
+        ):
+            needs_fallback = False  # silence: don't ladder, caller skips
+        if not needs_fallback:
+            break
+    return decode_result
+
+
+def transcribe(
+    model: WhisperModel,
+    audio: Union[str, np.ndarray],
+    options: Optional[TranscribeOptions] = None,
+    **kwargs,
+) -> dict:
+    """Transcribe audio (path or 16 kHz f32 PCM) -> {text, segments, language}."""
+    opts = options or TranscribeOptions(**kwargs)
+    if options is not None and kwargs:
+        opts = dataclasses.replace(options, **kwargs)
+    cfg, vocab = model.config, model.vocab
+
+    if isinstance(audio, str):
+        from ..io.wav import load_wav
+
+        audio = load_wav(audio)
+    audio = np.asarray(audio, dtype=np.float32)
+
+    with model.timers.stage("mel"):
+        # openai pads 30 s of zeros at the end so the last window is full.
+        padded = np.pad(audio, (0, N_SAMPLES_PER_CHUNK))
+        center = opts.mel_mode == "openai"
+        n_frames_total = frame_count(len(padded), center=center)
+        mel = log_mel_spectrogram(
+            jnp.asarray(padded), model.filters, n_frames_total,
+            center=center, fold=not center,
+        )
+    content_frames = mel.shape[-1] - N_FRAMES
+    content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
+
+    # Language detection on the first window (multilingual only).
+    language = opts.language
+    if language is None:
+        if not cfg.is_multilingual:
+            language = "en"
+        else:
+            with model.timers.stage("lang_id"):
+                window = mel_window(mel, 0, N_FRAMES)[None]
+                enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
+                langs, _ = detect_language(
+                    model.params, cfg, vocab, enc.cross_k, enc.cross_v
+                )
+            language = langs[0]
+            log.info("detected language: %s", language)
+    opts = dataclasses.replace(opts, language=language)
+
+    all_tokens: List[int] = []
+    all_segments: List[Segment] = []
+    prompt_reset_since = 0
+    if opts.initial_prompt is not None:
+        # byte-level prompt tokenization needs the BPE encoder; accept
+        # pre-tokenized prompts or raw text matched greedily over the vocab.
+        initial_prompt_tokens = _tokenize_prompt(vocab, opts.initial_prompt)
+        all_tokens.extend(initial_prompt_tokens)
+
+    seek = 0
+    last_speech_timestamp = 0.0
+    while seek < content_frames:
+        time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+        segment_size = min(N_FRAMES, content_frames - seek)
+        segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+
+        with model.timers.stage("encode"):
+            window = mel_window(mel, seek, N_FRAMES)[None]
+            enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
+
+        prompt = all_tokens[prompt_reset_since:] if opts.condition_on_previous_text else []
+        with model.timers.stage("decode"):
+            result = _decode_with_fallback(model, enc.cross_k, enc.cross_v, opts, prompt)
+
+        if opts.no_speech_threshold is not None:
+            should_skip = result.no_speech_prob > opts.no_speech_threshold
+            if (
+                opts.logprob_threshold is not None
+                and result.avg_logprob > opts.logprob_threshold
+            ):
+                should_skip = False  # confident despite no_speech: keep
+            if should_skip:
+                seek += segment_size
+                continue
+
+        previous_seek = seek
+        tokens = np.array(result.tokens)
+        timestamp_tokens = tokens >= vocab.token_beg
+        single_timestamp_ending = (
+            len(tokens) >= 2 and not timestamp_tokens[-2] and timestamp_tokens[-1]
+        )
+        consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+
+        def add_segment(start, end, seg_tokens):
+            text_tokens = [t for t in seg_tokens if t < vocab.token_eot]
+            all_segments.append(
+                Segment(
+                    id=len(all_segments),
+                    seek=previous_seek,
+                    t0=float(start),
+                    t1=float(end),
+                    text=vocab.decode(text_tokens),
+                    tokens=[int(t) for t in seg_tokens],
+                    avg_logprob=result.avg_logprob,
+                    no_speech_prob=result.no_speech_prob,
+                    temperature=result.temperature,
+                    compression_ratio=result.compression_ratio,
+                )
+            )
+
+        if len(consecutive) > 0:
+            # Segments delimited by paired timestamps inside the window.
+            slices = consecutive.tolist()
+            if single_timestamp_ending:
+                slices.append(len(tokens))
+            last_slice = 0
+            for current_slice in slices:
+                sliced = tokens[last_slice:current_slice]
+                start_pos = sliced[0].item() - vocab.token_beg
+                end_pos = sliced[-1].item() - vocab.token_beg
+                add_segment(
+                    time_offset + start_pos * 0.02,
+                    time_offset + end_pos * 0.02,
+                    sliced.tolist(),
+                )
+                last_slice = current_slice
+            if single_timestamp_ending:
+                seek += segment_size  # window fully consumed
+            else:
+                last_timestamp_pos = tokens[last_slice - 1].item() - vocab.token_beg
+                seek += last_timestamp_pos * INPUT_STRIDE
+        else:
+            duration = segment_duration
+            timestamps = tokens[timestamp_tokens]
+            if len(timestamps) > 0 and timestamps[-1].item() != vocab.token_beg:
+                duration = (timestamps[-1].item() - vocab.token_beg) * 0.02
+            add_segment(time_offset, time_offset + duration, tokens.tolist())
+            seek += segment_size
+
+        if seek <= previous_seek:
+            # Degenerate timestamps (e.g. all <|0.00|>) must not stall the loop.
+            log.warning("seek did not advance at frame %d; forcing full-window step", previous_seek)
+            seek = previous_seek + segment_size
+
+        if opts.verbose:
+            for seg in all_segments:
+                if seg.seek == previous_seek:
+                    log.info("[%.2fs -> %.2fs] %s", seg.t0, seg.t1, seg.text)
+
+        all_tokens.extend(tokens.tolist())
+        if not opts.condition_on_previous_text or result.temperature > 0.5:
+            prompt_reset_since = len(all_tokens)
+
+    text = "".join(seg.text for seg in all_segments)
+    return {
+        "text": text,
+        "segments": [dataclasses.asdict(s) for s in all_segments],
+        "language": language,
+        "duration": len(audio) / SAMPLE_RATE,
+    }
+
+
+def _tokenize_prompt(vocab, text: str) -> List[int]:
+    """Greedy longest-match byte tokenization over the vocab (host-side).
+
+    Whisper's GPT-2 BPE merges aren't stored in GGML files, so exact BPE isn't
+    reproducible from the checkpoint alone; greedy longest-match over the
+    token byte table is the standard fallback (whisper.cpp does the same).
+    """
+    data = text.encode("utf-8")
+    tokens: List[int] = []
+    i = 0
+    max_len = max((len(t) for t in vocab.token_to_id), default=1)
+    while i < len(data):
+        match = None
+        for j in range(min(len(data), i + max_len), i, -1):
+            tid = vocab.token_to_id.get(data[i:j])
+            if tid is not None and tid < vocab.token_eot:
+                match = (tid, j)
+                break
+        if match is None:
+            i += 1  # unencodable byte: skip
+        else:
+            tokens.append(match[0])
+            i = match[1]
+    return tokens

@@ -1,0 +1,107 @@
+"""Throughput benchmark: audio-seconds transcribed per second per chip (RTF).
+
+Measures the production serving path on real shapes: batched 30 s windows
+through mel + encoder + a fixed greedy decode budget (64 tokens/window —
+typical token count for 30 s of speech). The reference publishes no numbers
+(BASELINE.md); the north star is >=100x realtime for large-v3 on one chip.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def run_benchmark(
+    model_path: Optional[str] = None,
+    model_name: str = "large-v3",
+    seconds: int = 120,
+    batch: int = 8,
+    dtype: str = "bfloat16",
+    decode_tokens: int = 64,
+    use_flash: Optional[bool] = None,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import PRESETS
+    from ..decoding.task import DecodingOptions, DecodingTask
+    from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
+    from ..model.encoder import encode
+    from ..model.load import load_model, random_model
+
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    if model_path:
+        model = load_model(model_path, dtype=jdtype)
+    else:
+        model = random_model(PRESETS[model_name], seed=0, dtype=jdtype)
+    cfg = model.config
+
+    if use_flash is None:
+        use_flash = any("TPU" in str(d.device_kind) for d in jax.devices())
+        try:
+            if use_flash:
+                from ..kernels.flash_attention import flash_attention  # noqa: F401
+        except Exception:
+            use_flash = False
+
+    rng = np.random.default_rng(0)
+    window_sec = 30.0
+    n_frames = 2 * cfg.n_audio_ctx
+    audio = rng.standard_normal(16000 * 30).astype(np.float32) * 0.1
+
+    def one_batch():
+        mel = log_mel_spectrogram(
+            jnp.asarray(audio), model.filters, frame_count(len(audio))
+        )
+        win = mel_window(mel, 0, n_frames)
+        mel_b = jnp.broadcast_to(win[None], (batch, cfg.n_mels, n_frames))
+        enc = encode(model.params, mel_b, cfg, use_flash=use_flash)
+        opts = DecodingOptions(
+            without_timestamps=True,
+            sample_len=decode_tokens,
+            language="en" if cfg.is_multilingual else None,
+        )
+        task = DecodingTask(cfg, model.vocab, opts)
+        task.params_ref = model.params
+        results = task.run(enc.cross_k, enc.cross_v)
+        return results
+
+    # Warmup (compile).
+    t0 = time.perf_counter()
+    one_batch()
+    compile_time = time.perf_counter() - t0
+
+    # Timed runs until the budget is spent.
+    iters = 0
+    t0 = time.perf_counter()
+    deadline = t0 + max(5.0, seconds - compile_time)
+    while time.perf_counter() < deadline:
+        one_batch()
+        iters += 1
+        if iters >= 50:
+            break
+    wall = time.perf_counter() - t0
+    audio_sec = iters * batch * window_sec
+    rtf = audio_sec / wall if wall > 0 else 0.0
+
+    return {
+        "metric": f"rtf_{cfg.model_type}_b{batch}_greedy{decode_tokens}",
+        "value": round(rtf, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(rtf / 100.0, 3),
+        "detail": {
+            "model": cfg.model_type,
+            "batch": batch,
+            "dtype": dtype,
+            "decode_tokens": decode_tokens,
+            "iters": iters,
+            "wall_s": round(wall, 2),
+            "compile_s": round(compile_time, 1),
+            "use_flash": bool(use_flash),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
