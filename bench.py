@@ -15,7 +15,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main() -> int:
+    _enable_compile_cache()
     from whisper_tpu.utils.benchmark import run_benchmark
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")

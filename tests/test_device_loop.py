@@ -1,0 +1,87 @@
+"""On-device decode loop must match the host loop token-for-token (greedy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.decoding.device_loop import build_masks, decode_segment_device
+from whisper_tpu.decoding.task import DecodingOptions, decode_full
+from whisper_tpu.io.vocab import make_vocab
+from whisper_tpu.model.decoder import init_cache
+from whisper_tpu.model.encoder import encode
+from whisper_tpu.model.params import params_from_ggml
+
+from fixtures import micro_config, random_tensors, synthetic_tokens
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = micro_config(n_vocab=51864)
+    tensors = random_tensors(cfg, seed=21)
+    params = jax.tree.map(jnp.asarray, params_from_ggml(tensors, cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    enc = encode(params, jnp.asarray(mel), cfg)
+    return cfg, params, vocab, enc
+
+
+def _host_greedy(cfg, params, vocab, enc, use_timestamps, sample_len):
+    opts = DecodingOptions(
+        without_timestamps=not use_timestamps,
+        sample_len=sample_len,
+        suppress_tokens=(-1,),
+        suppress_blank=True,
+    )
+    return decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts)
+
+
+def _device_greedy(cfg, params, vocab, enc, use_timestamps, sample_len):
+    sup, blank = build_masks(vocab)
+    B = enc.cross_k.shape[1]
+    init = [vocab.token_sot] + ([] if use_timestamps else [vocab.token_not])
+    init_tokens = jnp.asarray(np.tile(np.array(init, np.int32), (B, 1)))
+    cache = init_cache(cfg, B)
+    toks, lengths, sum_lp, nosp = decode_segment_device(
+        params, init_tokens, len(init), init.index(vocab.token_sot),
+        cache, enc.cross_k, enc.cross_v, sup, blank, cfg,
+        sample_len=sample_len, use_timestamps=use_timestamps,
+    )
+    return np.asarray(toks), np.asarray(lengths), np.asarray(sum_lp), np.asarray(nosp)
+
+
+@pytest.mark.parametrize("use_timestamps", [False, True])
+def test_device_matches_host(setup, use_timestamps):
+    cfg, params, vocab, enc = setup
+    sample_len = 24
+    host = _host_greedy(cfg, params, vocab, enc, use_timestamps, sample_len)
+    toks, lengths, sum_lp, nosp = _device_greedy(
+        cfg, params, vocab, enc, use_timestamps, sample_len
+    )
+    for i in range(len(host)):
+        h = host[i].tokens
+        d = toks[i][: lengths[i]].tolist()
+        assert d == h, f"seq {i}: device {d} != host {h}"
+        # no-speech prob identical source position
+        assert abs(nosp[i] - host[i].no_speech_prob) < 1e-4
+        # avg logprob close (host adds the EOT step logprob too)
+        if lengths[i] < sample_len:  # finished: logprob accounting comparable
+            host_avg = host[i].avg_logprob
+            dev_avg = sum_lp[i] / (lengths[i] + 1)
+            assert abs(dev_avg - host_avg) < 0.15
+
+
+def test_device_loop_temperature_runs(setup):
+    cfg, params, vocab, enc = setup
+    sup, blank = build_masks(vocab)
+    B = enc.cross_k.shape[1]
+    init_tokens = jnp.asarray(np.tile([[vocab.token_sot]], (B, 1)).astype(np.int32))
+    cache = init_cache(cfg, B)
+    toks, lengths, _, _ = decode_segment_device(
+        params, init_tokens, 1, 0, cache, enc.cross_k, enc.cross_v, sup, blank, cfg,
+        sample_len=12, use_timestamps=True, temperature=0.7, seed=5,
+    )
+    assert toks.shape == (B, 12)
+    assert (np.asarray(lengths) <= 12).all()

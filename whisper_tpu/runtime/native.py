@@ -29,11 +29,30 @@ _LIB_PATHS = [
 ]
 
 
+def build(quiet: bool = True) -> bool:
+    """Compile libwhisper_rt.so in-tree (g++; ~1 s). Returns success."""
+    import subprocess
+
+    src_dir = os.path.join(_HERE, "native")
+    try:
+        res = subprocess.run(
+            ["make", "-C", src_dir],
+            capture_output=quiet,
+            timeout=120,
+            check=False,
+        )
+        return res.returncode == 0 and os.path.exists(_LIB_PATHS[0])
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
+    if not any(os.path.exists(p) for p in _LIB_PATHS):
+        build()  # lazy first-use build; falls through to Python on failure
     for p in _LIB_PATHS:
         if os.path.exists(p):
             try:

@@ -27,8 +27,9 @@ def run_benchmark(
     import jax.numpy as jnp
 
     from ..config import PRESETS
-    from ..decoding.task import DecodingOptions, DecodingTask
+    from ..decoding.device_loop import build_masks, decode_segment_device
     from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
+    from ..model.decoder import init_cache
     from ..model.encoder import encode
     from ..model.load import load_model, random_model
 
@@ -40,34 +41,35 @@ def run_benchmark(
     cfg = model.config
 
     if use_flash is None:
-        use_flash = any("TPU" in str(d.device_kind) for d in jax.devices())
-        try:
-            if use_flash:
-                from ..kernels.flash_attention import flash_attention  # noqa: F401
-        except Exception:
-            use_flash = False
+        use_flash = jax.default_backend() == "tpu"
 
     rng = np.random.default_rng(0)
     window_sec = 30.0
     n_frames = 2 * cfg.n_audio_ctx
     audio = rng.standard_normal(16000 * 30).astype(np.float32) * 0.1
 
+    vocab = model.vocab
+    sup_mask, blank_mask = build_masks(vocab)
+    init = [vocab.token_sot]
+    if cfg.is_multilingual:
+        init += [vocab.language_token("en"), vocab.token_transcribe]
+    init_tokens = jnp.asarray(np.tile(np.array(init, np.int32), (batch, 1)))
+
     def one_batch():
+        # Full serving path, all on device: mel -> encoder -> fused decode loop.
         mel = log_mel_spectrogram(
             jnp.asarray(audio), model.filters, frame_count(len(audio))
         )
         win = mel_window(mel, 0, n_frames)
         mel_b = jnp.broadcast_to(win[None], (batch, cfg.n_mels, n_frames))
         enc = encode(model.params, mel_b, cfg, use_flash=use_flash)
-        opts = DecodingOptions(
-            without_timestamps=True,
-            sample_len=decode_tokens,
-            language="en" if cfg.is_multilingual else None,
+        cache = init_cache(cfg, batch, dtype=enc.cross_k.dtype)
+        toks, lengths, sum_lp, nosp = decode_segment_device(
+            model.params, init_tokens, len(init), 0, cache,
+            enc.cross_k, enc.cross_v, sup_mask, blank_mask, cfg,
+            sample_len=decode_tokens, use_timestamps=True,
         )
-        task = DecodingTask(cfg, model.vocab, opts)
-        task.params_ref = model.params
-        results = task.run(enc.cross_k, enc.cross_v)
-        return results
+        return np.asarray(toks), np.asarray(lengths)
 
     # Warmup (compile).
     t0 = time.perf_counter()
