@@ -73,6 +73,21 @@ def test_device_matches_host(setup, use_timestamps):
             assert abs(dev_avg - host_avg) < 0.15
 
 
+def test_device_path_with_prompt_matches_host(setup):
+    """decode_full(use_device_loop) == host path, with prompt conditioning
+    (exercises bucketed prefill and sot_index > 0)."""
+    cfg, params, vocab, enc = setup
+    prompt = list(range(200, 240))
+    opts = DecodingOptions(sample_len=16, prompt=prompt)
+    host = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                       use_device_loop=False)
+    dev = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                      use_device_loop=True)
+    for h, d in zip(host, dev):
+        assert d.tokens == h.tokens
+        assert abs(d.no_speech_prob - h.no_speech_prob) < 1e-4
+
+
 def test_device_loop_temperature_runs(setup):
     cfg, params, vocab, enc = setup
     sup, blank = build_masks(vocab)

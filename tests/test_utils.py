@@ -1,0 +1,99 @@
+"""WER metric, normalizer, timers, checkpoint save/restore."""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.utils.wer import edit_distance, normalize_text, wer
+
+
+def test_normalize():
+    assert normalize_text("Hello, World!") == "hello world"
+    assert normalize_text("it's  FINE.") == "it's fine"
+    assert normalize_text("café") == "cafe"
+
+
+def test_edit_distance():
+    assert edit_distance(list("abc"), list("abc"))[3] == 0
+    s, d, i, c = edit_distance("the cat sat".split(), "the cat".split())
+    assert (s, d, i, c) == (0, 1, 0, 1)
+    s, d, i, c = edit_distance("the cat".split(), "the big cat".split())
+    assert (s, d, i, c) == (0, 0, 1, 1)
+    s, d, i, c = edit_distance("a b c".split(), "a x c".split())
+    assert (s, d, i, c) == (1, 0, 0, 1)
+
+
+def test_wer_corpus():
+    out = wer(["the cat sat on the mat"], ["the cat sat on mat"])
+    assert out["wer"] == pytest.approx(1 / 6)
+    out = wer(["hello world", "foo bar baz"], ["hello world", "foo bar baz"])
+    assert out["wer"] == 0.0
+    out = wer(["a b"], ["x y"])
+    assert out["wer"] == 1.0
+
+
+def test_timers():
+    from whisper_tpu.utils.logging import StageTimers
+
+    t = StageTimers()
+    with t.stage("mel"):
+        pass
+    with t.stage("mel"):
+        pass
+    assert t.counts["mel"] == 2
+    assert "t_mel" in t.report()
+
+
+def test_params_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from whisper_tpu.model.params import random_params
+    from whisper_tpu.training.checkpoint import restore_params, save_params
+
+    from fixtures import micro_config
+
+    params = random_params(micro_config(n_vocab=512), seed=1)
+    path = str(tmp_path / "ckpt")
+    save_params(path, params)
+    back = restore_params(path)
+    np.testing.assert_array_equal(
+        back["encoder"]["blocks"]["q_w"], params["encoder"]["blocks"]["q_w"]
+    )
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.model.params import random_params
+    from whisper_tpu.training.checkpoint import restore_train_state, save_train_state
+    from whisper_tpu.training.train import init_train_state, make_optimizer
+
+    from fixtures import micro_config
+
+    params = jax.tree.map(jnp.asarray, random_params(micro_config(n_vocab=512), seed=1))
+    opt = make_optimizer()
+    state = init_train_state(params, opt)
+    path = str(tmp_path / "train_ckpt")
+    save_train_state(path, state)
+    restored = restore_train_state(path, state)
+    assert int(restored.step) == 0
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["decoder"]["te"]),
+        np.asarray(state.params["decoder"]["te"]),
+    )
+
+
+def test_cached_load(tmp_path):
+    from whisper_tpu.training.checkpoint import cached_load
+
+    from fixtures import tiny_config, write_synthetic_ggml
+
+    p = str(tmp_path / "m.bin")
+    write_synthetic_ggml(p, tiny_config(), seed=2)
+    m1 = cached_load(p, cache_dir=str(tmp_path / "cache"), use_native=False)
+    m2 = cached_load(p, cache_dir=str(tmp_path / "cache"))  # hits the cache
+    np.testing.assert_array_equal(
+        np.asarray(m1.params["encoder"]["pe"]), np.asarray(m2.params["encoder"]["pe"])
+    )
+    assert m1.config == m2.config
+    assert m2.vocab.id_to_token[0] == m1.vocab.id_to_token[0]

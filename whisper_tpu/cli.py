@@ -27,6 +27,8 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--temperature", type=float, default=None,
                    help="single temperature (default: 0 with fallback ladder)")
     p.add_argument("--no-timestamps", action="store_true")
+    p.add_argument("--token-timestamps", action="store_true",
+                   help="compute per-token timestamps")
     p.add_argument("--no-condition-on-previous-text", action="store_true")
     p.add_argument("--initial-prompt", default=None)
     p.add_argument("--mel-mode", choices=["openai", "reference"], default="openai")
@@ -51,6 +53,7 @@ def cmd_transcribe(args) -> int:
         beam_size=args.beam,
         best_of=args.best_of,
         without_timestamps=args.no_timestamps,
+        token_timestamps=args.token_timestamps,
         condition_on_previous_text=not args.no_condition_on_previous_text,
         initial_prompt=args.initial_prompt,
         mel_mode=args.mel_mode,
@@ -110,6 +113,12 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from . import enable_compile_cache
+
+    try:
+        enable_compile_cache()
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
     parser = argparse.ArgumentParser(prog="whisper_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -149,8 +149,12 @@ def decode_segment_device(
         key=jax.random.PRNGKey(seed),
     )
 
-    def step_fn(carry, step):
-        state, logits, n_past = carry
+    def cond_fn(carry):
+        state, logits, n_past, step = carry
+        return (step < sample_len) & ~jnp.all(state.finished)
+
+    def step_fn(carry):
+        state, logits, n_past, step = carry
         filt = _apply_rules_device(
             logits, step, state, suppress_mask, blank_mask,
             (eot, beg, not_, v), use_timestamps, max_initial_index,
@@ -168,7 +172,9 @@ def decode_segment_device(
         sum_lp = state.sum_logprobs + jnp.where(state.finished, 0.0, step_lp)
         length = state.length + jnp.where(now_finished, 0, 1)
 
-        tokens_out = state.tokens_out.at[:, step].set(nxt)
+        tokens_out = jax.lax.dynamic_update_slice(
+            state.tokens_out, nxt[:, None], (0, step)
+        )
         is_ts = (nxt >= beg) & ~now_finished
         new_state = state._replace(
             tokens_out=tokens_out,
@@ -179,19 +185,20 @@ def decode_segment_device(
             length=length,
             sum_logprobs=sum_lp,
         )
-        # next forward (runs even when all finished; scan keeps shape static)
         lg, new_cache = decode_step(
             params, nxt[:, None],
             n_past, KVCache(new_state.cache_k, new_state.cache_v),
             cross_k, cross_v, cfg,
         )
         new_state = new_state._replace(cache_k=new_cache.k, cache_v=new_cache.v)
-        return (new_state, lg[:, 0].astype(jnp.float32), n_past + 1), None
+        return (new_state, lg[:, 0].astype(jnp.float32), n_past + 1, step + 1)
 
-    (state, _, _), _ = jax.lax.scan(
+    # while_loop (not scan): exits as soon as every sequence hit EOT — real
+    # segments are ~30-60 tokens, far short of the 224-token worst case.
+    (state, _, _, _) = jax.lax.while_loop(
+        cond_fn,
         step_fn,
-        (state, first_logits, jnp.asarray(init_len, jnp.int32)),
-        jnp.arange(sample_len),
+        (state, first_logits, jnp.asarray(init_len, jnp.int32), jnp.int32(0)),
     )
     return state.tokens_out, state.length, state.sum_logprobs, no_speech_probs
 

@@ -235,11 +235,79 @@ def decode_full(
     cross_k: jnp.ndarray,
     cross_v: jnp.ndarray,
     options: DecodingOptions,
+    use_device_loop: bool = False,
 ) -> List[DecodingResult]:
-    """Decode one or more encoded windows with the given options."""
+    """Decode one or more encoded windows with the given options.
+
+    ``use_device_loop=True`` routes plain greedy/temperature decoding through
+    the fused on-device loop (decoding.device_loop) — token-identical for
+    greedy, ~50x lower per-segment latency on remote/tunneled chips. Beam
+    search and best_of groups use the host loop.
+    """
+    if (
+        use_device_loop
+        and options.beam_size is None
+        and (options.best_of or 1) == 1
+    ):
+        return _decode_full_device(params, config, vocab, cross_k, cross_v, options)
     task = DecodingTask(config, vocab, options)
     task.params_ref = params
     return task.run(cross_k, cross_v)
+
+
+def _decode_full_device(
+    params, config, vocab, cross_k, cross_v, options: DecodingOptions
+) -> List[DecodingResult]:
+    from .device_loop import build_masks, decode_segment_device
+
+    task = DecodingTask(config, vocab, options)  # reuses token-sequence logic
+    n_audio = cross_k.shape[1]
+    sup_mask, blank_mask = build_masks(vocab, suppress=bool(options.suppress_tokens))
+    if not options.suppress_blank:
+        blank_mask = jnp.zeros_like(blank_mask)
+    init = np.tile(np.array(task.initial_tokens, np.int32), (n_audio, 1))
+    padded, true_len = _pad_to_bucket(init)
+    max_initial_index = None
+    if options.max_initial_timestamp is not None and not options.without_timestamps:
+        max_initial_index = round(options.max_initial_timestamp / 0.02)
+    cache = init_cache(config, n_audio, dtype=cross_k.dtype)
+    toks, lengths, sum_lp, nosp = decode_segment_device(
+        params,
+        jnp.asarray(padded),
+        true_len,
+        task.sot_index,
+        cache,
+        cross_k,
+        cross_v,
+        sup_mask,
+        blank_mask,
+        config,
+        sample_len=task.sample_len,
+        use_timestamps=not options.without_timestamps,
+        max_initial_index=max_initial_index,
+        temperature=options.temperature,
+        seed=options.seed,
+    )
+    toks = np.asarray(toks)
+    lengths = np.asarray(lengths)
+    sum_lp = np.asarray(sum_lp)
+    nosp = np.asarray(nosp)
+    results = []
+    for i in range(n_audio):
+        seq = [int(t) for t in toks[i, : lengths[i]]]
+        avg_logprob = float(sum_lp[i]) / (len(seq) + 1)
+        text = vocab.decode(seq).strip()
+        results.append(
+            DecodingResult(
+                tokens=seq,
+                text=text,
+                avg_logprob=avg_logprob,
+                no_speech_prob=float(nosp[i]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(text),
+            )
+        )
+    return results
 
 
 def detect_language(

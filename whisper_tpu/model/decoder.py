@@ -53,11 +53,16 @@ def _masked_sdpa(q, k, v, mask, scale):
     return jnp.einsum("bhtc,bhcd->bhtd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _decoder_block(x, blk, ck, cv, cross_k, cross_v, n_past, cfg: WhisperConfig):
+def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
+                   cfg: WhisperConfig):
+    """One decoder block. The KV cache is the FULL (L,B,H,C,D) buffer, updated
+    in place at (layer, :, :, n_past, :) — threading one buffer through the
+    layer scan's carry lets XLA keep every update in-place instead of copying
+    the cache per layer (the copy variant OOMs large-v3 on a 16 GB chip)."""
     h = cfg.n_text_head
     d = cfg.d_head_text
     B, T, _ = x.shape
-    C = ck.shape[-2]
+    C = ck_all.shape[-2]
 
     # ---- causal self-attention over the cache ----
     y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
@@ -67,8 +72,14 @@ def _decoder_block(x, blk, ck, cv, cross_k, cross_v, n_past, cfg: WhisperConfig)
 
     # Append at n_past — the functional version of the reference's
     # view_1d(memory_k, ..., offset=il*n_ctx + n_past) + cpy pattern.
-    ck = jax.lax.dynamic_update_slice(ck, k_new.astype(ck.dtype), (0, 0, n_past, 0))
-    cv = jax.lax.dynamic_update_slice(cv, v_new.astype(cv.dtype), (0, 0, n_past, 0))
+    ck_all = jax.lax.dynamic_update_slice(
+        ck_all, k_new.astype(ck_all.dtype)[None], (layer, 0, 0, n_past, 0)
+    )
+    cv_all = jax.lax.dynamic_update_slice(
+        cv_all, v_new.astype(cv_all.dtype)[None], (layer, 0, 0, n_past, 0)
+    )
+    ck = jax.lax.dynamic_index_in_dim(ck_all, layer, 0, keepdims=False)
+    cv = jax.lax.dynamic_index_in_dim(cv_all, layer, 0, keepdims=False)
 
     key_pos = jnp.arange(C)[None, :]                             # (1, C)
     q_pos = n_past + jnp.arange(T)[:, None]                      # (T, 1)
@@ -89,7 +100,7 @@ def _decoder_block(x, blk, ck, cv, cross_k, cross_v, n_past, cfg: WhisperConfig)
     y = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
     y = gelu(linear(y, blk["mlp0_w"], blk["mlp0_b"]), cfg.gelu_impl)
     x = x + linear(y, blk["mlp1_w"], blk["mlp1_b"])
-    return x, ck, cv
+    return x, ck_all, cv_all
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -115,13 +126,17 @@ def decode_step(
     x = x + pe[None]
 
     def body(carry, xs):
-        x = carry
-        blk, ck, cv, xk, xv = xs
-        x, ck, cv = _decoder_block(x, blk, ck, cv, xk, xv, n_past, cfg)
-        return x, (ck, cv)
+        x, ck_all, cv_all, layer = carry
+        blk, xk, xv = xs
+        x, ck_all, cv_all = _decoder_block(
+            x, blk, ck_all, cv_all, layer, xk, xv, n_past, cfg
+        )
+        return (x, ck_all, cv_all, layer + 1), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (dec["blocks"], cache.k, cache.v, cross_k, cross_v)
+    (x, new_k, new_v, _), _ = jax.lax.scan(
+        body,
+        (x, cache.k, cache.v, jnp.int32(0)),
+        (dec["blocks"], cross_k, cross_v),
     )
     x = layer_norm(x, dec["ln_w"], dec["ln_b"])
     logits = jnp.einsum(

@@ -44,7 +44,14 @@ class EncoderOutput(NamedTuple):
 
 
 def _conv_stem(x: jnp.ndarray, p: dict, cfg: WhisperConfig) -> jnp.ndarray:
-    """(B, n_mels, T) -> (B, T//2, n_state). conv weights are (out, in, k)."""
+    """(B, n_mels, T) -> (B, T//2, n_state). conv weights are (out, in, k).
+
+    Activations follow the weight dtype: a bf16 model computes in bf16 (f32
+    accumulation via preferred_element_type) regardless of the mel input
+    dtype — otherwise an f32 mel silently upgrades the whole encoder (and the
+    cross-KV memory) to f32, doubling HBM.
+    """
+    x = x.astype(p["conv1_w"].dtype)
     dn = jax.lax.conv_dimension_numbers(x.shape, p["conv1_w"].shape, ("NCH", "OIH", "NCH"))
     x = jax.lax.conv_general_dilated(
         x, p["conv1_w"].astype(x.dtype), window_strides=(1,), padding=[(1, 1)],

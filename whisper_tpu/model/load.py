@@ -84,12 +84,23 @@ def load_model(
     return model
 
 
-def random_model(config: WhisperConfig, seed: int = 0, dtype=jnp.float32) -> WhisperModel:
-    """Random-weight model for benchmarks and shape tests (no checkpoint)."""
+def random_model(config: WhisperConfig, seed: int = 0, dtype=jnp.float32,
+                 on_device: bool = True) -> WhisperModel:
+    """Random-weight model for benchmarks and shape tests (no checkpoint).
+
+    ``on_device=True`` generates weights with jax.random directly in HBM —
+    host-side generation of a large-v3-sized pytree costs minutes of
+    host->device transfer on tunneled chips.
+    """
     from ..frontend.mel import mel_filter_bank
 
-    host = random_params(config, seed=seed)
-    params = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), host)
+    if on_device:
+        from .params import random_params_device
+
+        params = random_params_device(config, seed=seed, dtype=dtype)
+    else:
+        host = random_params(config, seed=seed)
+        params = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), host)
     filters = jnp.asarray(mel_filter_bank(config.n_mels), dtype=jnp.float32)
     tokens = [f"tok{i}".encode() for i in range(config.n_vocab)]
     vocab = make_vocab(config.n_vocab, tokens, config.n_vocab)

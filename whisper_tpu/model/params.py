@@ -125,6 +125,83 @@ def params_to_ggml(params: Params, config: WhisperConfig) -> Dict[str, np.ndarra
     return out
 
 
+def random_params_device(config: WhisperConfig, seed: int = 0, scale: float = 0.02,
+                         dtype=None) -> Params:
+    """Random pytree generated directly in device memory (jitted jax.random) —
+    avoids multi-GB host->device staging for big-model benchmarks."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float32
+    c = config
+
+    def build():
+        key = [jax.random.PRNGKey(seed)]
+
+        def rnd(*shape):
+            key[0], sub = jax.random.split(key[0])
+            return scale * jax.random.normal(sub, shape, dtype)
+
+        def ones(*shape):
+            return jnp.ones(shape, dtype)
+
+        def zeros(*shape):
+            return jnp.zeros(shape, dtype)
+
+        a, t, v, m = c.n_audio_state, c.n_text_state, c.n_vocab, c.n_mels
+        La, Lt = c.n_audio_layer, c.n_text_layer
+
+        def enc_blocks():
+            return {
+                "attn_ln_w": ones(La, a), "attn_ln_b": zeros(La, a),
+                "q_w": rnd(La, a, a), "q_b": zeros(La, a),
+                "k_w": rnd(La, a, a),
+                "v_w": rnd(La, a, a), "v_b": zeros(La, a),
+                "out_w": rnd(La, a, a), "out_b": zeros(La, a),
+                "mlp_ln_w": ones(La, a), "mlp_ln_b": zeros(La, a),
+                "mlp0_w": rnd(La, 4 * a, a), "mlp0_b": zeros(La, 4 * a),
+                "mlp1_w": rnd(La, a, 4 * a), "mlp1_b": zeros(La, a),
+            }
+
+        def dec_blocks():
+            return {
+                "attn_ln_w": ones(Lt, t), "attn_ln_b": zeros(Lt, t),
+                "q_w": rnd(Lt, t, t), "q_b": zeros(Lt, t),
+                "k_w": rnd(Lt, t, t),
+                "v_w": rnd(Lt, t, t), "v_b": zeros(Lt, t),
+                "out_w": rnd(Lt, t, t), "out_b": zeros(Lt, t),
+                "mlp_ln_w": ones(Lt, t), "mlp_ln_b": zeros(Lt, t),
+                "mlp0_w": rnd(Lt, 4 * t, t), "mlp0_b": zeros(Lt, 4 * t),
+                "mlp1_w": rnd(Lt, t, 4 * t), "mlp1_b": zeros(Lt, t),
+                "cross_attn_ln_w": ones(Lt, t), "cross_attn_ln_b": zeros(Lt, t),
+                "cross_q_w": rnd(Lt, t, t), "cross_q_b": zeros(Lt, t),
+                "cross_k_w": rnd(Lt, t, t),
+                "cross_v_w": rnd(Lt, t, t), "cross_v_b": zeros(Lt, t),
+                "cross_out_w": rnd(Lt, t, t), "cross_out_b": zeros(Lt, t),
+            }
+
+        return {
+            "encoder": {
+                "pe": rnd(c.n_audio_ctx, a),
+                "conv1_w": rnd(a, m, 3), "conv1_b": zeros(a),
+                "conv2_w": rnd(a, a, 3), "conv2_b": zeros(a),
+                "ln_post_w": ones(a), "ln_post_b": zeros(a),
+                "blocks": enc_blocks(),
+            },
+            "decoder": {
+                "pe": rnd(c.n_text_ctx, t),
+                "te": rnd(v, t),
+                "ln_w": ones(t), "ln_b": zeros(t),
+                "blocks": dec_blocks(),
+            },
+        }
+
+    return jax.jit(build)()
+
+
 def random_params(config: WhisperConfig, seed: int = 0, scale: float = 0.02,
                   dtype=np.float32) -> Params:
     """Random-weight pytree for tests/benchmarks (no checkpoint needed)."""

@@ -85,9 +85,13 @@ class BatchTranscriber:
             mel = jax.device_put(mel, NamedSharding(self.mesh, batch_pspec()))
         enc = encode(self.params, mel, cfg, use_flash=self.use_flash)
 
-        task = DecodingTask(cfg, vocab, self.options)
-        task.params_ref = self.params
-        return task.run(enc.cross_k, enc.cross_v)
+        from ..decoding.task import decode_full
+
+        use_device = self.options.beam_size is None and (self.options.best_of or 1) == 1
+        return decode_full(
+            self.params, cfg, vocab, enc.cross_k, enc.cross_v, self.options,
+            use_device_loop=use_device,
+        )
 
 
 def auto_engine(model: WhisperModel, batch_size: int = 8, tp: Optional[int] = None):

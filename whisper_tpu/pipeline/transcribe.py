@@ -48,9 +48,13 @@ class TranscribeOptions:
     condition_on_previous_text: bool = True
     initial_prompt: Optional[str] = None
     without_timestamps: bool = False
+    token_timestamps: bool = False  # per-token t0/t1 (whisper.cpp algorithm)
     suppress_tokens: Optional[Sequence[int]] = (-1,)
     mel_mode: str = "openai"  # "openai" (center) | "reference" (whisper.cpp-1.0.3)
     use_flash: bool = False
+    # None -> auto: fused on-device decode loop on TPU (token-identical for
+    # greedy; see decoding.device_loop), host loop elsewhere/for beam.
+    use_device_loop: Optional[bool] = None
     verbose: bool = False
 
 
@@ -79,8 +83,14 @@ def _decode_with_fallback(
             kwargs["beam_size"] = opts.beam_size
             kwargs["patience"] = opts.patience
         options = DecodingOptions(**kwargs)
+        use_device = opts.use_device_loop
+        if use_device is None:
+            import jax
+
+            use_device = jax.default_backend() == "tpu"
         decode_result = decode_full(
-            model.params, model.config, model.vocab, cross_k, cross_v, options
+            model.params, model.config, model.vocab, cross_k, cross_v, options,
+            use_device_loop=use_device,
         )[0]
         needs_fallback = False
         if (
@@ -251,6 +261,11 @@ def transcribe(
         all_tokens.extend(tokens.tolist())
         if not opts.condition_on_previous_text or result.temperature > 0.5:
             prompt_reset_since = len(all_tokens)
+
+    if opts.token_timestamps:
+        from .timestamps import add_token_timestamps
+
+        add_token_timestamps(all_segments, vocab, audio)
 
     text = "".join(seg.text for seg in all_segments)
     return {
