@@ -32,6 +32,11 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-condition-on-previous-text", action="store_true")
     p.add_argument("--initial-prompt", default=None)
     p.add_argument("--mel-mode", choices=["openai", "reference"], default="openai")
+    p.add_argument("--chunked", action="store_true",
+                   help="chunk-parallel long-form mode (batched windows, "
+                        "no prompt conditioning; fastest for long audio)")
+    p.add_argument("--audio-ctx", type=int, default=None,
+                   help="encoder context override for short audio (speed)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--gelu", choices=["erf", "tanh"], default="erf")
     p.add_argument("--flash", action="store_true", help="use Pallas flash attention")
@@ -58,15 +63,21 @@ def cmd_transcribe(args) -> int:
         initial_prompt=args.initial_prompt,
         mel_mode=args.mel_mode,
         use_flash=args.flash,
+        audio_ctx=args.audio_ctx,
         verbose=args.verbose,
     )
     if args.temperature is not None:
         opts.temperature = args.temperature
 
+    if args.chunked:
+        from .pipeline.chunked import transcribe_chunked as _transcribe_fn
+    else:
+        _transcribe_fn = transcribe
+
     all_results = {}
     for path in args.audio:
         t0 = time.perf_counter()
-        result = transcribe(model, path, opts)
+        result = _transcribe_fn(model, path, opts)
         wall = time.perf_counter() - t0
         rtf = result["duration"] / wall if wall > 0 else float("inf")
         all_results[path] = result

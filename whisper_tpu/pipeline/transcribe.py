@@ -49,6 +49,10 @@ class TranscribeOptions:
     initial_prompt: Optional[str] = None
     without_timestamps: bool = False
     token_timestamps: bool = False  # per-token t0/t1 (whisper.cpp algorithm)
+    # Audio-context override (reference exp_n_audio_ctx, main.rs:362,
+    # 1803-1807): encode only the first audio_ctx positions — a large speedup
+    # for audio much shorter than 30 s, at slight accuracy cost.
+    audio_ctx: Optional[int] = None
     suppress_tokens: Optional[Sequence[int]] = (-1,)
     mel_mode: str = "openai"  # "openai" (center) | "reference" (whisper.cpp-1.0.3)
     use_flash: bool = False
@@ -140,7 +144,8 @@ def transcribe(
             jnp.asarray(padded), model.filters, n_frames_total,
             center=center, fold=not center,
         )
-    content_frames = mel.shape[-1] - N_FRAMES
+    n_frames_window = 2 * (opts.audio_ctx or cfg.n_audio_ctx)
+    content_frames = mel.shape[-1] - n_frames_window
     content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
 
     # Language detection on the first window (multilingual only).
@@ -150,7 +155,7 @@ def transcribe(
             language = "en"
         else:
             with model.timers.stage("lang_id"):
-                window = mel_window(mel, 0, N_FRAMES)[None]
+                window = mel_window(mel, 0, n_frames_window)[None]
                 enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
                 langs, _ = detect_language(
                     model.params, cfg, vocab, enc.cross_k, enc.cross_v
@@ -172,11 +177,11 @@ def transcribe(
     last_speech_timestamp = 0.0
     while seek < content_frames:
         time_offset = seek * HOP_LENGTH / SAMPLE_RATE
-        segment_size = min(N_FRAMES, content_frames - seek)
+        segment_size = min(n_frames_window, content_frames - seek)
         segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
 
         with model.timers.stage("encode"):
-            window = mel_window(mel, seek, N_FRAMES)[None]
+            window = mel_window(mel, seek, n_frames_window)[None]
             enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
 
         prompt = all_tokens[prompt_reset_since:] if opts.condition_on_previous_text else []
