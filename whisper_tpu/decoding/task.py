@@ -320,7 +320,7 @@ def detect_language(
     cache = init_cache(config, n_audio, dtype=cross_k.dtype)
     tokens = jnp.full((n_audio, 1), vocab.token_sot, dtype=jnp.int32)
     logits, _ = decode_step(params, tokens, jnp.int32(0), cache, cross_k, cross_v, config)
-    logits = np.asarray(logits[:, 0], dtype=np.float32)
+    logits = np.array(logits[:, 0], dtype=np.float32)  # mutable host copy
     mask = np.full(logits.shape[-1], True)
     mask[vocab.all_language_tokens] = False
     logits[:, mask] = -np.inf

@@ -66,13 +66,14 @@ def frame_count(n_samples: int, center: bool = True) -> int:
     return n_samples // HOP_LENGTH  # main.rs:1575
 
 
-@functools.partial(jax.jit, static_argnames=("n_frames", "center", "fold"))
+@functools.partial(jax.jit, static_argnames=("n_frames", "center", "fold", "speed_up"))
 def log_mel_spectrogram(
     audio: jnp.ndarray,
     filters: jnp.ndarray,
     n_frames: int,
     center: bool = True,
     fold: bool = False,
+    speed_up: bool = False,
 ) -> jnp.ndarray:
     """audio (n_samples,) f32, filters (n_mel, 201) -> mel (n_mel, n_frames).
 
@@ -111,7 +112,17 @@ def log_mel_spectrogram(
         foldv = jnp.ones((_N_BINS,), dtype=jnp.float32).at[1:-1].set(2.0)
         power = power * foldv[None, :]
 
-    mel = jnp.dot(power, filters.T, precision=jax.lax.Precision.HIGHEST)  # (n_frames, n_mel)
+    if speed_up:
+        # 2x speed-up path (main.rs:1580, 1612-1617): average adjacent power
+        # bins — frequency-domain downscaling == time-domain speedup. The
+        # reference ships this behind a flag that is always false at the call
+        # site (main.rs:1700); kept for parity. Filters must then span
+        # fft_size//4 + 1 bins.
+        power = 0.5 * (power[:, 0:-1:2] + power[:, 1::2])  # (n_frames, 100)
+        power = jnp.pad(power, ((0, 0), (0, 1)))           # bin n_fft/4 -> 101
+
+    mel = jnp.dot(power[:, : filters.shape[1]], filters.T,
+                  precision=jax.lax.Precision.HIGHEST)  # (n_frames, n_mel)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     log_spec = jnp.maximum(log_spec, log_spec.max() - 8.0)
     log_spec = (log_spec + 4.0) / 4.0

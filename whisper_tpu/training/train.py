@@ -43,7 +43,9 @@ def decoder_forward_train(params, tokens, cross_k, cross_v, cfg: WhisperConfig):
         x = x + linear(merge_heads(o), blk["out_w"], blk["out_b"])
         y = layer_norm(x, blk["cross_attn_ln_w"], blk["cross_attn_ln_b"])
         qc = split_heads(linear(y, blk["cross_q_w"], blk["cross_q_b"]), h)
-        o = sdpa(qc * (d ** -0.25) * (d ** 0.5), xk, xv)  # xk pre-scaled d^-0.25
+        # xk arrives pre-scaled by d^-0.25 (encoder); sdpa divides by d^0.5,
+        # so scaling q by d^0.25 yields the standard 1/sqrt(d) product.
+        o = sdpa(qc * (d ** 0.25), xk, xv)
         x = x + linear(merge_heads(o), blk["cross_out_w"], blk["cross_out_b"])
         y = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
         y = gelu(linear(y, blk["mlp0_w"], blk["mlp0_b"]), cfg.gelu_impl)
