@@ -51,8 +51,8 @@ def test_cross_kv_scaling(setup):
     hid = np.asarray(out.hidden)[0]
     kw = tensors["decoder.blocks.1.cross_attn.key.weight"]
     expect = (hid @ kw.T) * (cfg.d_head_text ** -0.25)
-    got = np.asarray(out.cross_k)[1, 0]  # (H, Ta, D)
-    got = np.moveaxis(got, 0, 1).reshape(cfg.n_audio_ctx, cfg.n_text_state)
+    got = np.asarray(out.cross_k)[1, 0]  # kv-major (H, D, Ta)
+    got = np.moveaxis(got, -1, 0).reshape(cfg.n_audio_ctx, cfg.n_text_state)
     np.testing.assert_allclose(got, expect, atol=2e-4)
 
 

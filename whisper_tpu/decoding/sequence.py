@@ -138,6 +138,61 @@ class BeamSearchDecoder:
         )
         return tokens, completed, source_indices
 
+    def update_from_topk(
+        self,
+        tokens: np.ndarray,
+        top_logprobs: np.ndarray,  # (n, beam_size+1) — device-side rules+topk
+        top_ids: np.ndarray,
+        sum_logprobs: np.ndarray,
+    ) -> Tuple[np.ndarray, bool, np.ndarray]:
+        """Identical semantics to update(): openai's candidate set is exactly
+        the top beam_size+1 extensions per beam, which is what the device
+        step returns — no full-vocab logits transfer needed."""
+        if tokens.shape[0] % self.beam_size != 0:
+            raise ValueError(f"{tokens.shape[0]} not divisible by beam {self.beam_size}")
+        n_audio = tokens.shape[0] // self.beam_size
+        if self.finished_sequences is None:
+            self.finished_sequences = [{} for _ in range(n_audio)]
+
+        next_tokens, source_indices, finished_sequences = [], [], []
+        for i in range(n_audio):
+            scores, sources, finished = {}, {}, {}
+            for j in range(self.beam_size):
+                idx = i * self.beam_size + j
+                prefix = tokens[idx].tolist()
+                for logprob, token in zip(top_logprobs[idx], top_ids[idx]):
+                    new_logprob = (sum_logprobs[idx] + logprob).item()
+                    sequence = tuple(prefix + [int(token)])
+                    scores[sequence] = new_logprob
+                    sources[sequence] = idx
+            saved = 0
+            for sequence in sorted(scores, key=scores.get, reverse=True):
+                if sequence[-1] == self.eot:
+                    finished[sequence] = scores[sequence]
+                else:
+                    sum_logprobs[len(next_tokens)] = scores[sequence]
+                    next_tokens.append(sequence)
+                    source_indices.append(sources[sequence])
+                    saved += 1
+                    if saved == self.beam_size:
+                        break
+            finished_sequences.append(finished)
+
+        tokens = np.array([list(s) for s in next_tokens], dtype=tokens.dtype)
+        source_indices = np.array(source_indices)
+        for previously_finished, newly_finished in zip(
+            self.finished_sequences, finished_sequences
+        ):
+            for seq in sorted(newly_finished, key=newly_finished.get, reverse=True):
+                if len(previously_finished) >= self.max_candidates:
+                    break
+                previously_finished[seq] = newly_finished[seq]
+        completed = all(
+            len(sequences) >= self.max_candidates
+            for sequences in self.finished_sequences
+        )
+        return tokens, completed, source_indices
+
     def finalize(self, preceding_tokens: np.ndarray, sum_logprobs: np.ndarray):
         """Collect finished sequences; pad with in-flight ones if beams ran dry."""
         sum_logprobs = sum_logprobs.copy()

@@ -137,14 +137,39 @@ class DecodingTask:
 
     # -- main loop --
 
-    def run(self, cross_k: jnp.ndarray, cross_v: jnp.ndarray) -> List[DecodingResult]:
-        """cross_k/v: (L, n_audio, H, Ta, D) from the encoder."""
+    def run(self, cross_k: jnp.ndarray, cross_v: jnp.ndarray,
+            use_topk_device: bool = False) -> List[DecodingResult]:
+        """cross_k/v: (L, n_audio, Ta, S) from the encoder.
+
+        ``use_topk_device``: for beam search, apply logit rules on device and
+        transfer only the top beam_size+1 candidates per step (identical
+        candidate set to openai's host computation; avoids the full-vocab
+        logits transfer that dominates step latency on remote chips).
+        """
         cfg, v = self.config, self.vocab
         n_audio = cross_k.shape[1]
         n_seq = n_audio * self.n_group
         if self.n_group > 1:
             cross_k = jnp.repeat(cross_k, self.n_group, axis=1)
             cross_v = jnp.repeat(cross_v, self.n_group, axis=1)
+
+        from .sequence import BeamSearchDecoder as _Beam
+
+        use_topk = use_topk_device and isinstance(self.decoder, _Beam)
+        if use_topk:
+            from .device_loop import build_masks
+
+            sup_mask, blank_mask = build_masks(
+                v, suppress=bool(self.options.suppress_tokens)
+            )
+            if not self.options.suppress_blank:
+                blank_mask = jnp.zeros_like(blank_mask)
+            max_initial_index = None
+            if (
+                self.options.max_initial_timestamp is not None
+                and not self.options.without_timestamps
+            ):
+                max_initial_index = round(self.options.max_initial_timestamp / 0.02)
 
         self.decoder.reset()
         tokens = np.tile(np.array(self.initial_tokens, np.int32), (n_seq, 1))
@@ -163,26 +188,53 @@ class DecodingTask:
         n_past = true_len
 
         sum_logprobs = np.zeros(n_seq, dtype=np.float64)
+        topk = None  # (top_lp, top_ids) when the device applied the rules
         for i in range(self.sample_len):
-            filt = logits.copy()
-            for f in self.filters:
-                f(filt, tokens)
-            if isinstance(self.decoder, BeamSearchDecoder):
-                tokens, completed, sources = self.decoder.update(tokens, filt, sum_logprobs)
+            if topk is not None:
+                tokens, completed, sources = self.decoder.update_from_topk(
+                    tokens, topk[0], topk[1], sum_logprobs
+                )
+            else:
+                filt = logits.copy()
+                for f in self.filters:
+                    f(filt, tokens)
+                if isinstance(self.decoder, BeamSearchDecoder):
+                    tokens, completed, sources = self.decoder.update(
+                        tokens, filt, sum_logprobs
+                    )
+                else:
+                    tokens, completed = self.decoder.update(tokens, filt, sum_logprobs)
+                    sources = None
+            if isinstance(self.decoder, BeamSearchDecoder) and sources is not None:
                 if not np.array_equal(sources, np.arange(n_seq)):
                     idx = jnp.asarray(sources)
                     cache = KVCache(
                         k=jnp.take(cache.k, idx, axis=1), v=jnp.take(cache.v, idx, axis=1)
                     )
-            else:
-                tokens, completed = self.decoder.update(tokens, filt, sum_logprobs)
             if completed or tokens.shape[-1] > cfg.n_text_ctx:
                 break
             next_tok = jnp.asarray(tokens[:, -1:].astype(np.int32))
-            lg, cache = decode_step(
-                self.params_ref, next_tok, jnp.int32(n_past), cache, cross_k, cross_v, cfg
-            )
-            logits = np.asarray(lg[:, 0], dtype=np.float32)
+            if use_topk:
+                from .topk_step import decode_step_topk, rule_state_from_tokens
+
+                last_t, prev_t, last_ts, step = rule_state_from_tokens(
+                    tokens, self.sample_begin, v.token_beg
+                )
+                top_lp, top_ids, _, cache = decode_step_topk(
+                    self.params_ref, next_tok, jnp.int32(n_past), cache,
+                    cross_k, cross_v, sup_mask, blank_mask,
+                    last_t, prev_t, last_ts, step, cfg,
+                    k=self.options.beam_size + 1,
+                    use_timestamps=not self.options.without_timestamps,
+                    max_initial_index=max_initial_index,
+                )
+                topk = (np.asarray(top_lp), np.asarray(top_ids))
+            else:
+                lg, cache = decode_step(
+                    self.params_ref, next_tok, jnp.int32(n_past), cache,
+                    cross_k, cross_v, cfg,
+                )
+                logits = np.asarray(lg[:, 0], dtype=np.float32)
             n_past += 1
 
         # Finalize & rank.
@@ -252,7 +304,8 @@ def decode_full(
         return _decode_full_device(params, config, vocab, cross_k, cross_v, options)
     task = DecodingTask(config, vocab, options)
     task.params_ref = params
-    return task.run(cross_k, cross_v)
+    # Beam search with device acceleration: rules + top-k on device.
+    return task.run(cross_k, cross_v, use_topk_device=use_device_loop)
 
 
 def _decode_full_device(

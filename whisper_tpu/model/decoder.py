@@ -32,51 +32,66 @@ from ..kernels.ops import gelu, layer_norm, linear, merge_heads, split_heads
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (n_layer, B, H, n_text_ctx, d_head)
+    # KV-MAJOR storage (n_layer, B, H, d_head, n_text_ctx): the context axis
+    # is minor, so (a) tile padding is 448->512 instead of the 2x a d_head=64
+    # minor dim costs, and (b) both attention contractions hit the stored
+    # layout directly (q@k contracts d with k already d-by-C; probs@v
+    # contracts C on the minor dim of both) — no per-step relayout copies.
+    # The reference's flat F16 arena (main.rs:1336-1354) is the same idea:
+    # lay the memory out for the read pattern, not the producer.
+    k: jnp.ndarray
     v: jnp.ndarray
 
 
 def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.n_text_ctx, cfg.d_head_text)
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.d_head_text, cfg.n_text_ctx)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
-def _masked_sdpa(q, k, v, mask, scale):
+def _kvmajor_sdpa(q, k, v, mask, scale):
     """softmax(q k^T * scale + mask) v with f32 softmax statistics.
 
-    q (B,H,T,D), k/v (B,H,C,D), mask bool (T,C) or (B,1,T,C), True = attend.
+    q (B,H,T,D) head-split; k/v (B,H,D,C) kv-major.
+    mask bool (T,C) broadcastable, True = attend.
     """
-    logits = jnp.einsum("bhtd,bhcd->bhtc", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bhtd,bhdc->bhtc", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     logits = jnp.where(mask, logits, jnp.float32(-1e30))
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhtc,bhcd->bhtd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+    return jnp.einsum("bhtc,bhdc->bhtd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def to_kv_major(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """(..., T, S) -> (..., H, D, T)."""
+    *lead, t, s = x.shape
+    x = x.reshape(*lead, t, n_head, s // n_head)
+    return jnp.moveaxis(x, -3, -1)  # (..., H, D, T)
 
 
 def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
                    cfg: WhisperConfig):
-    """One decoder block. The KV cache is the FULL (L,B,H,C,D) buffer, updated
-    in place at (layer, :, :, n_past, :) — threading one buffer through the
+    """One decoder block. The KV cache is the FULL (L,B,H,D,C) buffer, updated
+    in place at (layer, ..., n_past) — threading one buffer through the
     layer scan's carry lets XLA keep every update in-place instead of copying
     the cache per layer (the copy variant OOMs large-v3 on a 16 GB chip)."""
     h = cfg.n_text_head
     d = cfg.d_head_text
     B, T, _ = x.shape
-    C = ck_all.shape[-2]
+    C = ck_all.shape[-1]
 
     # ---- causal self-attention over the cache ----
     y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
     q = split_heads(linear(y, blk["q_w"], blk["q_b"]), h)       # (B,H,T,D)
-    k_new = split_heads(linear(y, blk["k_w"]), h)                # K: no bias
-    v_new = split_heads(linear(y, blk["v_w"], blk["v_b"]), h)
+    k_new = to_kv_major(linear(y, blk["k_w"]), h)                # (B,H,D,T); no bias
+    v_new = to_kv_major(linear(y, blk["v_w"], blk["v_b"]), h)
 
     # Append at n_past — the functional version of the reference's
     # view_1d(memory_k, ..., offset=il*n_ctx + n_past) + cpy pattern.
     ck_all = jax.lax.dynamic_update_slice(
-        ck_all, k_new.astype(ck_all.dtype)[None], (layer, 0, 0, n_past, 0)
+        ck_all, k_new.astype(ck_all.dtype)[None], (layer, 0, 0, 0, n_past)
     )
     cv_all = jax.lax.dynamic_update_slice(
-        cv_all, v_new.astype(cv_all.dtype)[None], (layer, 0, 0, n_past, 0)
+        cv_all, v_new.astype(cv_all.dtype)[None], (layer, 0, 0, 0, n_past)
     )
     ck = jax.lax.dynamic_index_in_dim(ck_all, layer, 0, keepdims=False)
     cv = jax.lax.dynamic_index_in_dim(cv_all, layer, 0, keepdims=False)
@@ -84,16 +99,16 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
     key_pos = jnp.arange(C)[None, :]                             # (1, C)
     q_pos = n_past + jnp.arange(T)[:, None]                      # (T, 1)
     mask = key_pos <= q_pos                                      # causal + past
-    o = _masked_sdpa(q, ck, cv, mask, d ** -0.5)
+    o = _kvmajor_sdpa(q, ck, cv, mask, d ** -0.5)
     x = x + linear(merge_heads(o), blk["out_w"], blk["out_b"])
 
     # ---- cross-attention over precomputed encoder memory ----
     y = layer_norm(x, blk["cross_attn_ln_w"], blk["cross_attn_ln_b"])
     qc = split_heads(linear(y, blk["cross_q_w"], blk["cross_q_b"]), h)
     # cross_k is pre-scaled by d^-0.25 (encoder.py); scale q by the rest.
-    Ta = cross_k.shape[-2]
+    Ta = cross_k.shape[-1]
     full = jnp.ones((T, Ta), dtype=bool)
-    o = _masked_sdpa(qc * (d ** -0.25), cross_k, cross_v, full, 1.0)
+    o = _kvmajor_sdpa(qc * (d ** -0.25), cross_k, cross_v, full, 1.0)
     x = x + linear(merge_heads(o), blk["cross_out_w"], blk["cross_out_b"])
 
     # ---- MLP ----
@@ -109,7 +124,7 @@ def decode_step(
     tokens: jnp.ndarray,   # (B, T) int32, right-padded
     n_past: jnp.ndarray,   # scalar int32: number of cached positions
     cache: KVCache,
-    cross_k: jnp.ndarray,  # (L, B, H, Ta, D)
+    cross_k: jnp.ndarray,  # (L, B, H, D, Ta) kv-major
     cross_v: jnp.ndarray,
     cfg: WhisperConfig,
 ) -> Tuple[jnp.ndarray, KVCache]:

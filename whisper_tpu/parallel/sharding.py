@@ -94,10 +94,10 @@ def batch_pspec() -> P:
 
 
 def cache_pspec() -> P:
-    """KV cache (L, B, H, C, D): batch over dp, heads over tp."""
+    """KV cache (L, B, H, D, C): batch over dp, heads over tp."""
     return P(None, "dp", "tp", None, None)
 
 
 def cross_pspec() -> P:
-    """Cross K/V (L, B, H, Ta, D): batch over dp, heads over tp."""
+    """Cross K/V (L, B, H, D, Ta): batch over dp, heads over tp."""
     return P(None, "dp", "tp", None, None)

@@ -17,8 +17,8 @@ import optax
 
 from ..config import WhisperConfig
 from ..kernels.ops import gelu, layer_norm, linear, merge_heads, sdpa, split_heads
+from ..model.decoder import _kvmajor_sdpa
 from ..model.encoder import encode
-from ..model.decoder import _decoder_block
 
 
 def decoder_forward_train(params, tokens, cross_k, cross_v, cfg: WhisperConfig):
@@ -43,9 +43,11 @@ def decoder_forward_train(params, tokens, cross_k, cross_v, cfg: WhisperConfig):
         x = x + linear(merge_heads(o), blk["out_w"], blk["out_b"])
         y = layer_norm(x, blk["cross_attn_ln_w"], blk["cross_attn_ln_b"])
         qc = split_heads(linear(y, blk["cross_q_w"], blk["cross_q_b"]), h)
-        # xk arrives pre-scaled by d^-0.25 (encoder); sdpa divides by d^0.5,
-        # so scaling q by d^0.25 yields the standard 1/sqrt(d) product.
-        o = sdpa(qc * (d ** 0.25), xk, xv)
+        # xk (B,H,D,Ta) kv-major, pre-scaled by d^-0.25 (encoder); scale q by
+        # the other d^-0.25 for the standard 1/sqrt(d) product.
+        Ta = xk.shape[-1]
+        full = jnp.ones((x.shape[1], Ta), dtype=bool)
+        o = _kvmajor_sdpa(qc * (d ** -0.25), xk, xv, full, 1.0)
         x = x + linear(merge_heads(o), blk["cross_out_w"], blk["cross_out_b"])
         y = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
         y = gelu(linear(y, blk["mlp0_w"], blk["mlp0_b"]), cfg.gelu_impl)
