@@ -29,7 +29,7 @@ def main() -> int:
     from whisper_tpu.utils.benchmark import run_benchmark
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))  # b24 = HBM sweet spot
     seconds = int(os.environ.get("BENCH_SECONDS", "120"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     result = run_benchmark(
