@@ -32,8 +32,10 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "24"))  # b24 = HBM sweet spot
     seconds = int(os.environ.get("BENCH_SECONDS", "120"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    kv_dtype = os.environ.get("BENCH_KV", "bfloat16")
     result = run_benchmark(
-        model_name=model_name, batch=batch, seconds=seconds, dtype=dtype
+        model_name=model_name, batch=batch, seconds=seconds, dtype=dtype,
+        kv_dtype=kv_dtype,
     )
     print(json.dumps(result))
     return 0

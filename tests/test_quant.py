@@ -1,0 +1,62 @@
+"""int8 KV quantization: numerics and end-to-end decode quality."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.decoding.task import DecodingOptions, decode_full
+from whisper_tpu.io.vocab import make_vocab
+from whisper_tpu.model.encoder import encode
+from whisper_tpu.model.params import params_from_ggml
+from whisper_tpu.model.quant import pv_out, qk_logits, quantize_cross, quantize_kv
+
+from fixtures import micro_config, random_tensors, synthetic_tokens
+
+
+def test_quantize_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 64, 96)).astype(np.float32))
+    q = quantize_kv(x)
+    assert q.data.dtype == jnp.int8
+    deq = q.data.astype(jnp.float32) * q.scale[..., None, :]
+    rel = np.abs(np.asarray(deq) - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
+    assert rel < 0.01  # 127-level per-position quantization
+
+
+def test_attention_products_match():
+    rng = np.random.default_rng(1)
+    B, H, T, D, C = 1, 2, 3, 64, 128
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, D, C)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, D, C)).astype(np.float32))
+    kq, vq = quantize_kv(k), quantize_kv(v)
+    ref_logits = np.einsum("bhtd,bhdc->bhtc", np.asarray(q), np.asarray(k))
+    got = np.asarray(qk_logits(q, kq))
+    assert np.abs(got - ref_logits).max() < 0.05 * np.abs(ref_logits).max() + 0.05
+    probs = jax.nn.softmax(jnp.asarray(ref_logits), axis=-1)
+    ref_out = np.einsum("bhtc,bhdc->bhtd", np.asarray(probs), np.asarray(v))
+    got_out = np.asarray(pv_out(probs, vq, jnp.float32))
+    assert np.abs(got_out - ref_out).max() < 0.05
+
+
+def test_greedy_decode_with_int8_cross():
+    cfg = micro_config(n_vocab=51864)
+    tensors = random_tensors(cfg, seed=17)
+    params = jax.tree.map(jnp.asarray, params_from_ggml(tensors, cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    enc = encode(params, jnp.asarray(mel), cfg)
+    opts = DecodingOptions(sample_len=16, without_timestamps=True)
+    ref = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                      use_device_loop=True)[0]
+    qk, qv = quantize_cross(enc.cross_k, enc.cross_v)
+    got = decode_full(params, cfg, vocab, qk, qv, opts, use_device_loop=True)[0]
+    # int8 perturbs logits slightly; sequences must still be overwhelmingly
+    # similar on this random model (usually identical).
+    min_len = min(len(ref.tokens), len(got.tokens))
+    agree = sum(a == b for a, b in zip(ref.tokens, got.tokens)) / max(min_len, 1)
+    assert agree > 0.7, (ref.tokens, got.tokens)
+    assert np.isfinite(got.avg_logprob)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,19 @@ class DecodingOptions:
 
 
 _PREFILL_BUCKET = 32
+
+
+def _cross_batch(cross) -> int:
+    """Batch dim of the cross memory (plain array or QuantKV)."""
+    return getattr(cross, "data", cross).shape[1]
+
+
+def _cache_dtype(cross):
+    """Cache compute dtype: bf16 when the cross memory is int8-quantized."""
+    import jax.numpy as _jnp
+
+    arr = getattr(cross, "data", cross)
+    return _jnp.bfloat16 if arr.dtype == _jnp.int8 else arr.dtype
 
 
 def _pad_to_bucket(tokens: np.ndarray) -> Tuple[np.ndarray, int]:
@@ -147,11 +161,12 @@ class DecodingTask:
         logits transfer that dominates step latency on remote chips).
         """
         cfg, v = self.config, self.vocab
-        n_audio = cross_k.shape[1]
+        n_audio = _cross_batch(cross_k)
         n_seq = n_audio * self.n_group
         if self.n_group > 1:
-            cross_k = jnp.repeat(cross_k, self.n_group, axis=1)
-            cross_v = jnp.repeat(cross_v, self.n_group, axis=1)
+            rep = lambda a: jnp.repeat(a, self.n_group, axis=1)
+            cross_k = jax.tree.map(rep, cross_k)
+            cross_v = jax.tree.map(rep, cross_v)
 
         from .sequence import BeamSearchDecoder as _Beam
 
@@ -173,7 +188,7 @@ class DecodingTask:
 
         self.decoder.reset()
         tokens = np.tile(np.array(self.initial_tokens, np.int32), (n_seq, 1))
-        cache = init_cache(cfg, n_seq, dtype=cross_k.dtype)
+        cache = init_cache(cfg, n_seq, dtype=_cache_dtype(cross_k))
 
         # Prefill (bucketed) — one forward for the whole prompt.
         padded, true_len = _pad_to_bucket(tokens)
@@ -314,7 +329,7 @@ def _decode_full_device(
     from .device_loop import build_masks, decode_segment_device
 
     task = DecodingTask(config, vocab, options)  # reuses token-sequence logic
-    n_audio = cross_k.shape[1]
+    n_audio = _cross_batch(cross_k)
     sup_mask, blank_mask = build_masks(vocab, suppress=bool(options.suppress_tokens))
     if not options.suppress_blank:
         blank_mask = jnp.zeros_like(blank_mask)
@@ -323,7 +338,7 @@ def _decode_full_device(
     max_initial_index = None
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_initial_index = round(options.max_initial_timestamp / 0.02)
-    cache = init_cache(config, n_audio, dtype=cross_k.dtype)
+    cache = init_cache(config, n_audio, dtype=_cache_dtype(cross_k))
     toks, lengths, sum_lp, nosp = decode_segment_device(
         params,
         jnp.asarray(padded),
@@ -369,8 +384,8 @@ def detect_language(
 ) -> Tuple[List[str], List[dict]]:
     """Single forward from SOT; distribution over language tokens only
     (openai detect_language)."""
-    n_audio = cross_k.shape[1]
-    cache = init_cache(config, n_audio, dtype=cross_k.dtype)
+    n_audio = _cross_batch(cross_k)
+    cache = init_cache(config, n_audio, dtype=_cache_dtype(cross_k))
     tokens = jnp.full((n_audio, 1), vocab.token_sot, dtype=jnp.int32)
     logits, _ = decode_step(params, tokens, jnp.int32(0), cache, cross_k, cross_v, config)
     logits = np.array(logits[:, 0], dtype=np.float32)  # mutable host copy

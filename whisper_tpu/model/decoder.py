@@ -106,9 +106,18 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
     y = layer_norm(x, blk["cross_attn_ln_w"], blk["cross_attn_ln_b"])
     qc = split_heads(linear(y, blk["cross_q_w"], blk["cross_q_b"]), h)
     # cross_k is pre-scaled by d^-0.25 (encoder.py); scale q by the rest.
-    Ta = cross_k.shape[-1]
-    full = jnp.ones((T, Ta), dtype=bool)
-    o = _kvmajor_sdpa(qc * (d ** -0.25), cross_k, cross_v, full, 1.0)
+    qc = qc * (d ** -0.25)
+    from .quant import QuantKV, pv_out, qk_logits
+
+    if isinstance(cross_k, QuantKV):
+        # int8 serving mode: per-position scales fold into the products.
+        logits = qk_logits(qc, cross_k)
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = pv_out(probs, cross_v, x.dtype)
+    else:
+        Ta = cross_k.shape[-1]
+        full = jnp.ones((T, Ta), dtype=bool)
+        o = _kvmajor_sdpa(qc, cross_k, cross_v, full, 1.0)
     x = x + linear(merge_heads(o), blk["cross_out_w"], blk["cross_out_b"])
 
     # ---- MLP ----

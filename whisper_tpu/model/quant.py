@@ -1,0 +1,64 @@
+"""int8 quantization for the decode-step bandwidth giants.
+
+Every decoder step re-reads the full cross-attention memory (the dominant
+HBM traffic at serving batch: ~6 GB/step for large-v3 b24 in bf16) and the
+growing self-attention cache. Both are quantized to int8 with PER-POSITION
+scales (one scale per (layer, batch, head, ctx) vector along d_head), chosen
+because they factor out of both attention contractions:
+
+    logits[t,c] = sum_d q[t,d] * (i8[d,c] * s[c]) = (q @ i8)[t,c] * s[c]
+    out[t,d]    = sum_c p[t,c] * (v8[d,c] * s[c]) = ((p*s) @ v8^T)[t,d]
+
+so the MXU consumes the int8 buffer directly (converted on read, never
+dequantized in HBM) and the scale is a cheap VPU multiply on the small side.
+
+Opt-in (serving mode): quantization perturbs attention logits, so the
+bf16 path remains the parity default.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantKV(NamedTuple):
+    """int8 KV with per-position scales. data (..., D, C) int8; scale (..., C) f32."""
+
+    data: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def quantize_kv(x: jnp.ndarray) -> QuantKV:
+    """(..., D, C) float -> int8 + per-position (along C) scale."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-2)  # (..., C)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None, :]), -127, 127
+    ).astype(jnp.int8)
+    return QuantKV(data=q, scale=scale.astype(jnp.float32))
+
+
+def qk_logits(q: jnp.ndarray, kq: QuantKV) -> jnp.ndarray:
+    """einsum('bhtd,bhdc->bhtc') against int8 K; returns f32 logits."""
+    raw = jnp.einsum(
+        "bhtd,bhdc->bhtc", q, kq.data.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return raw * kq.scale[..., None, :]
+
+
+def pv_out(probs: jnp.ndarray, vq: QuantKV, out_dtype) -> jnp.ndarray:
+    """einsum('bhtc,bhdc->bhtd') against int8 V with scale folded into probs."""
+    p = (probs * vq.scale[..., None, :]).astype(jnp.bfloat16)
+    return jnp.einsum(
+        "bhtc,bhdc->bhtd", p, vq.data.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def quantize_cross(cross_k: jnp.ndarray, cross_v: jnp.ndarray):
+    """Quantize the encoder's (L,B,H,D,Ta) cross memory."""
+    return quantize_kv(cross_k), quantize_kv(cross_v)

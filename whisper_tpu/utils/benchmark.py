@@ -22,6 +22,7 @@ def run_benchmark(
     dtype: str = "bfloat16",
     decode_tokens: int = 64,
     use_flash: Optional[bool] = None,
+    kv_dtype: str = "bfloat16",  # "int8": quantized cross memory (serving mode)
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -63,10 +64,15 @@ def run_benchmark(
         win = mel_window(mel, 0, n_frames)
         mel_b = jnp.broadcast_to(win[None], (batch, cfg.n_mels, n_frames))
         enc = encode(model.params, mel_b, cfg, use_flash=use_flash)
-        cache = init_cache(cfg, batch, dtype=enc.cross_k.dtype)
+        cross_k, cross_v = enc.cross_k, enc.cross_v
+        if kv_dtype == "int8":
+            from ..model.quant import quantize_cross
+
+            cross_k, cross_v = quantize_cross(cross_k, cross_v)
+        cache = init_cache(cfg, batch, dtype=jnp.bfloat16)
         toks, lengths, sum_lp, nosp = decode_segment_device(
             model.params, init_tokens, len(init), 0, cache,
-            enc.cross_k, enc.cross_v, sup_mask, blank_mask, cfg,
+            cross_k, cross_v, sup_mask, blank_mask, cfg,
             sample_len=decode_tokens, use_timestamps=True,
         )
         return np.asarray(toks), np.asarray(lengths)
@@ -90,7 +96,8 @@ def run_benchmark(
     rtf = audio_sec / wall if wall > 0 else 0.0
 
     return {
-        "metric": f"rtf_{cfg.model_type}_b{batch}_greedy{decode_tokens}",
+        "metric": f"rtf_{cfg.model_type}_b{batch}_greedy{decode_tokens}"
+        + ("_kvint8" if kv_dtype == "int8" else ""),
         "value": round(rtf, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
@@ -98,6 +105,7 @@ def run_benchmark(
             "model": cfg.model_type,
             "batch": batch,
             "dtype": dtype,
+            "kv_dtype": kv_dtype,
             "decode_tokens": decode_tokens,
             "iters": iters,
             "wall_s": round(wall, 2),
