@@ -31,14 +31,25 @@ class QuantKV(NamedTuple):
     scale: jnp.ndarray
 
 
-def quantize_kv(x: jnp.ndarray) -> QuantKV:
-    """(..., D, C) float -> int8 + per-position (along C) scale."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-2)  # (..., C)
+def _quantize_one(x: jnp.ndarray) -> QuantKV:
+    # Arithmetic stays in the input dtype (bf16 represents integers <= 256
+    # exactly, so the rounded levels are lossless); only the tiny scale
+    # reduction is f32. Avoids f32 copies of multi-GB buffers.
+    amax = jnp.max(jnp.abs(x), axis=-2).astype(jnp.float32)  # (..., C)
     scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale[..., None, :]), -127, 127
-    ).astype(jnp.int8)
-    return QuantKV(data=q, scale=scale.astype(jnp.float32))
+    q = jnp.clip(jnp.round(x / scale[..., None, :].astype(x.dtype)), -127, 127)
+    return QuantKV(data=q.astype(jnp.int8), scale=scale)
+
+
+def quantize_kv(x: jnp.ndarray) -> QuantKV:
+    """(..., D, C) float -> int8 + per-position (along C) scale.
+
+    5-D (layer-stacked) inputs are quantized one layer at a time so the
+    temporaries stay at 1/L of the buffer size (quantizing a 6 GB cross
+    memory in one shot OOMs a 16 GB chip on temps alone)."""
+    if x.ndim >= 5:
+        return jax.lax.map(_quantize_one, x)
+    return _quantize_one(x)
 
 
 def qk_logits(q: jnp.ndarray, kq: QuantKV) -> jnp.ndarray:
