@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import WhisperConfig
-from ..model.decoder import KVCache, decode_step, init_cache
+from ..model.decoder import KVCache, decode_step
 
 NEG = jnp.float32(-1e30)
 

@@ -12,7 +12,7 @@ step index) that the host mirrors from its token history.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

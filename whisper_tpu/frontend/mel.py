@@ -31,7 +31,6 @@ Two parity modes (they differ in framing AND in bin folding):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ text is produced by concatenating token byte strings and decoding UTF-8.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 # The 99 Whisper languages in training-data order; language token for index i
 # is ``sot + 1 + i``. large-v3 appends "yue" as the 100th.

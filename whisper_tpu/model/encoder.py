@@ -25,7 +25,7 @@ Design deltas from the reference (deliberate, TPU-idiomatic):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -87,9 +87,9 @@ def _encoder_block(x: jnp.ndarray, blk: dict, cfg: WhisperConfig,
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "quantize_kv"))
 def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
-           use_flash: bool = False) -> EncoderOutput:
+           use_flash: bool = False, quantize_kv: bool = False) -> EncoderOutput:
     """Run the encoder on a mel window.
 
     mel: (B, n_mels, 2*n_audio_ctx) — the zero-padded window the driver
@@ -117,7 +117,14 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
     def cross_kv(blk_ck_w, blk_cv_w, blk_cv_b):
         k = linear(x, blk_ck_w) * kscale  # no bias; ^-0.25 scale (main.rs:1992-1996)
         v = linear(x, blk_cv_w, blk_cv_b)
-        return to_kv_major(k, h), to_kv_major(v, h)  # (B, H, D, Ta)
+        k, v = to_kv_major(k, h), to_kv_major(v, h)  # (B, H, D, Ta)
+        if quantize_kv:
+            # int8 serving mode, fused per layer: the bf16 cross memory never
+            # materializes in full — peak extra HBM is one layer's worth.
+            from .quant import _quantize_one
+
+            return _quantize_one(k), _quantize_one(v)
+        return k, v
 
     cross_k, cross_v = jax.vmap(cross_kv)(
         dec_blocks["cross_k_w"], dec_blocks["cross_v_w"], dec_blocks["cross_v_b"]

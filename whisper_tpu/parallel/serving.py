@@ -14,25 +14,15 @@ SURVEY (§2.2) prescribes.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import WhisperConfig
-from ..decoding.result import DecodingResult, compression_ratio
-from ..decoding.rules import (
-    ApplyTimestampRules,
-    SuppressBlank,
-    SuppressTokens,
-    build_suppress_list,
-    log_softmax,
-)
-from ..decoding.task import DecodingOptions, DecodingTask
+from ..decoding.result import DecodingResult
+from ..decoding.task import DecodingOptions
 from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
-from ..model.decoder import decode_step, init_cache
 from ..model.encoder import encode
 from ..model.load import WhisperModel
 from .mesh import make_mesh

@@ -19,7 +19,7 @@ from typing import List, Optional, Sequence, Union
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FRAMES_PER_SECOND, HOP_LENGTH, N_SAMPLES_PER_CHUNK, SAMPLE_RATE
+from ..config import HOP_LENGTH, N_SAMPLES_PER_CHUNK, SAMPLE_RATE
 from ..decoding.result import DecodingResult, Segment
 from ..decoding.task import DecodingOptions, decode_full, detect_language
 from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window

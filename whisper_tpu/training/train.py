@@ -8,8 +8,8 @@ over a (dp, tp) mesh with the sharding rules from parallel.sharding.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -63,12 +63,10 @@ def run_benchmark(
         )
         win = mel_window(mel, 0, n_frames)
         mel_b = jnp.broadcast_to(win[None], (batch, cfg.n_mels, n_frames))
-        enc = encode(model.params, mel_b, cfg, use_flash=use_flash)
+        enc = encode(model.params, mel_b, cfg, use_flash=use_flash,
+                     quantize_kv=(kv_dtype == "int8"))
         cross_k, cross_v = enc.cross_k, enc.cross_v
-        if kv_dtype == "int8":
-            from ..model.quant import quantize_cross
-
-            cross_k, cross_v = quantize_cross(cross_k, cross_v)
+        del enc
         cache = init_cache(cfg, batch, dtype=jnp.bfloat16)
         toks, lengths, sum_lp, nosp = decode_segment_device(
             model.params, init_tokens, len(init), 0, cache,
