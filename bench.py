@@ -33,9 +33,10 @@ def main() -> int:
     seconds = int(os.environ.get("BENCH_SECONDS", "120"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     kv_dtype = os.environ.get("BENCH_KV", "bfloat16")
+    weight_dtype = os.environ.get("BENCH_WQ", "bfloat16")
     result = run_benchmark(
         model_name=model_name, batch=batch, seconds=seconds, dtype=dtype,
-        kv_dtype=kv_dtype,
+        kv_dtype=kv_dtype, weight_dtype=weight_dtype,
     )
     print(json.dumps(result))
     return 0

@@ -41,6 +41,44 @@ def test_attention_products_match():
     assert np.abs(got_out - ref_out).max() < 0.05
 
 
+def test_weight_quantization_numerics():
+    from whisper_tpu.model.quant import quantize_weight
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((3, 128, 96)).astype(np.float32) * 0.05)
+    w8, s = quantize_weight(w)
+    assert w8.dtype == jnp.int8 and s.shape == (3, 128)
+    deq = w8.astype(jnp.float32) * s[..., None]
+    rel = np.abs(np.asarray(deq - w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.01
+    x = jnp.asarray(rng.standard_normal((5, 96)).astype(np.float32))
+    ref = np.asarray(x) @ np.asarray(w[0]).T
+    got = (np.asarray(x) @ np.asarray(w8[0]).T.astype(np.float32)) * np.asarray(s[0])
+    assert np.abs(got - ref).max() < 0.02 * np.abs(ref).max() + 1e-3
+
+
+def test_greedy_decode_with_int8_weights():
+    from whisper_tpu.model.quant import quantize_decoder_weights
+
+    cfg = micro_config(n_vocab=51864)
+    tensors = random_tensors(cfg, seed=19)
+    params = jax.tree.map(jnp.asarray, params_from_ggml(tensors, cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((1, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    enc = encode(params, jnp.asarray(mel), cfg)
+    opts = DecodingOptions(sample_len=16, without_timestamps=True)
+    ref = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                      use_device_loop=True)[0]
+    qparams = quantize_decoder_weights(params)
+    got = decode_full(qparams, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                      use_device_loop=True)[0]
+    min_len = min(len(ref.tokens), len(got.tokens))
+    agree = sum(a == b for a, b in zip(ref.tokens, got.tokens)) / max(min_len, 1)
+    assert agree > 0.6, (ref.tokens, got.tokens)
+    assert np.isfinite(got.avg_logprob)
+
+
 def test_greedy_decode_with_int8_cross():
     cfg = micro_config(n_vocab=51864)
     tensors = random_tensors(cfg, seed=17)

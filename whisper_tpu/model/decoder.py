@@ -68,6 +68,21 @@ def to_kv_major(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     return jnp.moveaxis(x, -3, -1)  # (..., H, D, T)
 
 
+def _plinear(y, blk, name, bias_name=None):
+    """linear() that transparently consumes int8 weights (+ per-out-channel
+    scale under ``<name>_scale``, see model.quant.quantize_decoder_weights)."""
+    w = blk[name]
+    s = blk.get(name + "_scale")
+    b = blk[bias_name] if bias_name else None
+    if s is None:
+        return linear(y, w, b)
+    out = jnp.einsum(
+        "...i,oi->...o", y, w.astype(y.dtype), preferred_element_type=jnp.float32
+    )
+    out = (out * s).astype(y.dtype)
+    return out + b if b is not None else out
+
+
 def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
                    cfg: WhisperConfig):
     """One decoder block. The KV cache is the FULL (L,B,H,D,C) buffer, updated
@@ -81,9 +96,9 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
 
     # ---- causal self-attention over the cache ----
     y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
-    q = split_heads(linear(y, blk["q_w"], blk["q_b"]), h)       # (B,H,T,D)
-    k_new = to_kv_major(linear(y, blk["k_w"]), h)                # (B,H,D,T); no bias
-    v_new = to_kv_major(linear(y, blk["v_w"], blk["v_b"]), h)
+    q = split_heads(_plinear(y, blk, "q_w", "q_b"), h)           # (B,H,T,D)
+    k_new = to_kv_major(_plinear(y, blk, "k_w"), h)              # (B,H,D,T); no bias
+    v_new = to_kv_major(_plinear(y, blk, "v_w", "v_b"), h)
 
     # Append at n_past — the functional version of the reference's
     # view_1d(memory_k, ..., offset=il*n_ctx + n_past) + cpy pattern.
@@ -100,11 +115,11 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
     q_pos = n_past + jnp.arange(T)[:, None]                      # (T, 1)
     mask = key_pos <= q_pos                                      # causal + past
     o = _kvmajor_sdpa(q, ck, cv, mask, d ** -0.5)
-    x = x + linear(merge_heads(o), blk["out_w"], blk["out_b"])
+    x = x + _plinear(merge_heads(o), blk, "out_w", "out_b")
 
     # ---- cross-attention over precomputed encoder memory ----
     y = layer_norm(x, blk["cross_attn_ln_w"], blk["cross_attn_ln_b"])
-    qc = split_heads(linear(y, blk["cross_q_w"], blk["cross_q_b"]), h)
+    qc = split_heads(_plinear(y, blk, "cross_q_w", "cross_q_b"), h)
     # cross_k is pre-scaled by d^-0.25 (encoder.py); scale q by the rest.
     qc = qc * (d ** -0.25)
     from .quant import QuantKV, pv_out, qk_logits
@@ -118,12 +133,12 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         Ta = cross_k.shape[-1]
         full = jnp.ones((T, Ta), dtype=bool)
         o = _kvmajor_sdpa(qc, cross_k, cross_v, full, 1.0)
-    x = x + linear(merge_heads(o), blk["cross_out_w"], blk["cross_out_b"])
+    x = x + _plinear(merge_heads(o), blk, "cross_out_w", "cross_out_b")
 
     # ---- MLP ----
     y = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
-    y = gelu(linear(y, blk["mlp0_w"], blk["mlp0_b"]), cfg.gelu_impl)
-    x = x + linear(y, blk["mlp1_w"], blk["mlp1_b"])
+    y = gelu(_plinear(y, blk, "mlp0_w", "mlp0_b"), cfg.gelu_impl)
+    x = x + _plinear(y, blk, "mlp1_w", "mlp1_b")
     return x, ck_all, cv_all
 
 
@@ -145,7 +160,10 @@ def decode_step(
     """
     dec = params["decoder"]
     B, T = tokens.shape
+    te_scale = dec.get("te_scale")  # set when the embedding is int8-quantized
     x = dec["te"][tokens].astype(dec["pe"].dtype)
+    if te_scale is not None:
+        x = x * te_scale[tokens][..., None].astype(x.dtype)
     pe = jax.lax.dynamic_slice_in_dim(dec["pe"], n_past, T, axis=0)
     x = x + pe[None]
 
@@ -166,4 +184,6 @@ def decode_step(
     logits = jnp.einsum(
         "bts,vs->btv", x, dec["te"].astype(x.dtype), preferred_element_type=jnp.float32
     )
+    if te_scale is not None:
+        logits = logits * te_scale[None, None, :]
     return logits, KVCache(k=new_k, v=new_v)

@@ -73,3 +73,52 @@ def pv_out(probs: jnp.ndarray, vq: QuantKV, out_dtype) -> jnp.ndarray:
 def quantize_cross(cross_k: jnp.ndarray, cross_v: jnp.ndarray):
     """Quantize the encoder's (L,B,H,D,Ta) cross memory."""
     return quantize_kv(cross_k), quantize_kv(cross_v)
+
+
+# ---- weight-only int8 (decoder) ----
+#
+# The decode step re-reads every decoder weight each token (~1.7 GB/step for
+# large-v3 in bf16). Per-OUTPUT-channel scales factor out of the matmul:
+#     y[o] = sum_i x[i] * (w8[o,i] * s[o]) = (x @ w8^T)[o] * s[o]
+# so the dot consumes int8 weights directly and the scale is one multiply on
+# the output row. Tied embeddings quantize per vocab row (logits scale on the
+# output; embedding lookups rescale the gathered rows).
+
+_WEIGHT_KEYS = (
+    "q_w", "k_w", "v_w", "out_w", "mlp0_w", "mlp1_w",
+    "cross_q_w", "cross_k_w", "cross_v_w", "cross_out_w",
+)
+
+
+def quantize_weight(w: jnp.ndarray):
+    """(..., O, I) float -> (int8, per-O scale). Leading layer axis allowed."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1)  # (..., O)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(w.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_decoder_weights(params: dict) -> dict:
+    """Return params with the decoder's matmul weights in int8 (+ scales).
+
+    The decoder consumers (model.decoder._plinear / the logits matmul) pick
+    up the ``*_scale`` entries automatically. Encoder weights stay bf16:
+    they're read once per 30 s window, not once per token.
+    """
+    import copy
+
+    out = dict(params)
+    dec = dict(params["decoder"])
+    blocks = dict(dec["blocks"])
+    for key in _WEIGHT_KEYS:
+        q, s = quantize_weight(blocks[key])
+        blocks[key] = q
+        blocks[key + "_scale"] = s
+    dec["blocks"] = blocks
+    te_q, te_s = quantize_weight(dec["te"])
+    dec["te"] = te_q
+    dec["te_scale"] = te_s
+    out["decoder"] = dec
+    return out

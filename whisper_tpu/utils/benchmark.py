@@ -23,6 +23,7 @@ def run_benchmark(
     decode_tokens: int = 64,
     use_flash: Optional[bool] = None,
     kv_dtype: str = "bfloat16",  # "int8": quantized cross memory (serving mode)
+    weight_dtype: str = "bfloat16",  # "int8": quantized decoder weights
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -43,6 +44,11 @@ def run_benchmark(
 
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
+
+    if weight_dtype == "int8":
+        from ..model.quant import quantize_decoder_weights
+
+        model.params = jax.jit(quantize_decoder_weights)(model.params)
 
     rng = np.random.default_rng(0)
     window_sec = 30.0
@@ -95,7 +101,8 @@ def run_benchmark(
 
     return {
         "metric": f"rtf_{cfg.model_type}_b{batch}_greedy{decode_tokens}"
-        + ("_kvint8" if kv_dtype == "int8" else ""),
+        + ("_kvint8" if kv_dtype == "int8" else "")
+        + ("_wint8" if weight_dtype == "int8" else ""),
         "value": round(rtf, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
@@ -104,6 +111,7 @@ def run_benchmark(
             "batch": batch,
             "dtype": dtype,
             "kv_dtype": kv_dtype,
+            "weight_dtype": weight_dtype,
             "decode_tokens": decode_tokens,
             "iters": iters,
             "wall_s": round(wall, 2),
