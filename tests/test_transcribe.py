@@ -117,6 +117,25 @@ def test_cli_transcribe(tmp_path, model, capsys):
     assert wav in data and "segments" in data[wav]
 
 
+def test_cli_eval(tmp_path, capsys):
+    from scipy.io import wavfile
+
+    from whisper_tpu.cli import main
+
+    ckpt = str(tmp_path / "m.bin")
+    write_synthetic_ggml(ckpt, tiny_config(), seed=9)
+    for i in range(2):
+        audio = synthetic_audio(SAMPLE_RATE * 2, seed=i)
+        wavfile.write(str(tmp_path / f"u{i}.wav"), SAMPLE_RATE,
+                      (audio * 32767).astype(np.int16))
+        (tmp_path / f"u{i}.txt").write_text("some reference text")
+    rc = main(["eval", ckpt, str(tmp_path), "--dtype", "float32",
+               "--no-condition-on-previous-text"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"wer"' in out and '"utterances": 2' in out
+
+
 def test_cli_info(tmp_path, capsys):
     from whisper_tpu.cli import main
 

@@ -38,6 +38,8 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--audio-ctx", type=int, default=None,
                    help="encoder context override for short audio (speed)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--quantize-weights", action="store_true",
+                   help="int8 decoder weights (serving mode; slight accuracy cost)")
     p.add_argument("--gelu", choices=["erf", "tanh"], default="erf")
     p.add_argument("--flash", action="store_true", help="use Pallas flash attention")
     p.add_argument("--output-json", default=None, help="write result JSON here")
@@ -52,6 +54,12 @@ def cmd_transcribe(args) -> int:
 
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     model = load_model(args.model, dtype=dtype, gelu_impl=args.gelu)
+    if args.quantize_weights:
+        import jax
+
+        from .model.quant import quantize_decoder_weights
+
+        model.params = jax.jit(quantize_decoder_weights)(model.params)
     opts = TranscribeOptions(
         task=args.task,
         language=args.language,
@@ -114,6 +122,59 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """WER evaluation over a dataset directory.
+
+    Layout: either LibriSpeech-style (*.trans.txt listing `utt_id text` with
+    utt_id.flac/.wav next to it) or a flat dir of `name.wav` + `name.txt`.
+    """
+    import jax.numpy as jnp
+
+    from .model.load import load_model
+    from .pipeline.transcribe import TranscribeOptions
+    from .utils.wer import evaluate_dataset
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    model = load_model(args.model, dtype=dtype)
+
+    def dataset():
+        import glob
+        import os
+
+        n = 0
+        trans = glob.glob(os.path.join(args.data, "**", "*.trans.txt"), recursive=True)
+        if trans:
+            for tf in sorted(trans):
+                root = os.path.dirname(tf)
+                with open(tf) as f:
+                    for line in f:
+                        utt, _, text = line.strip().partition(" ")
+                        for ext in (".wav", ".flac"):
+                            p = os.path.join(root, utt + ext)
+                            if os.path.exists(p):
+                                yield p, text
+                                n += 1
+                                break
+                        if args.limit and n >= args.limit:
+                            return
+        else:
+            for wav in sorted(glob.glob(os.path.join(args.data, "*.wav"))):
+                txt = wav[:-4] + ".txt"
+                if os.path.exists(txt):
+                    yield wav, open(txt).read().strip()
+                    n += 1
+                    if args.limit and n >= args.limit:
+                        return
+
+    opts = TranscribeOptions(
+        language=args.language, beam_size=args.beam,
+        condition_on_previous_text=not args.no_condition_on_previous_text,
+    )
+    result = evaluate_dataset(model, dataset(), options=opts)
+    print(json.dumps(result, indent=2))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .utils.benchmark import run_benchmark
 
@@ -140,6 +201,16 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="inspect a GGML checkpoint")
     p.add_argument("model")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("eval", help="WER evaluation over a dataset directory")
+    p.add_argument("model")
+    p.add_argument("data", help="LibriSpeech-style dir or flat wav+txt dir")
+    p.add_argument("--language", default=None)
+    p.add_argument("--beam", type=int, default=None)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--no-condition-on-previous-text", action="store_true")
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("model", nargs="?", default=None,
