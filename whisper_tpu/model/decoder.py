@@ -43,8 +43,17 @@ class KVCache(NamedTuple):
     v: jnp.ndarray
 
 
-def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.d_head_text, cfg.n_text_ctx)
+def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
+               pad_ctx: bool = False) -> KVCache:
+    # pad_ctx rounds the context up to a 128 multiple (required by the Pallas
+    # DMA decode kernel, kernels/decode_attention.py). Measured on-chip: the
+    # padding costs ~10% decode RTF (334x vs 371x, large-v3 b24) because the
+    # attention then reads the padded tail too — so the exact size is the
+    # default and the kernel remains opt-in/experimental.
+    c = cfg.n_text_ctx
+    if pad_ctx:
+        c = -(-c // 128) * 128
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.d_head_text, c)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
