@@ -79,6 +79,36 @@ def test_greedy_decode_with_int8_weights():
     assert np.isfinite(got.avg_logprob)
 
 
+def test_int8_self_cache_decode():
+    """decode with the quantized self-attention cache stays close to bf16."""
+    from whisper_tpu.decoding.device_loop import build_masks, decode_segment_device
+    from whisper_tpu.model.decoder import KVCache, init_cache
+    from whisper_tpu.model.quant import init_quant_cache
+
+    cfg = micro_config(n_vocab=51864)
+    tensors = random_tensors(cfg, seed=23)
+    params = jax.tree.map(jnp.asarray, params_from_ggml(tensors, cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(6)
+    mel = rng.standard_normal((1, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    enc = encode(params, jnp.asarray(mel), cfg)
+    sup, blank = build_masks(vocab)
+    init = jnp.asarray([[vocab.token_sot]], dtype=jnp.int32)
+
+    def run(cache):
+        toks, lengths, _, _ = decode_segment_device(
+            params, init, 1, 0, cache, enc.cross_k, enc.cross_v, sup, blank,
+            cfg, sample_len=16, use_timestamps=True,
+        )
+        return np.asarray(toks)[0, : int(np.asarray(lengths)[0])].tolist()
+
+    ref = run(init_cache(cfg, 1))
+    got = run(KVCache(*init_quant_cache(cfg, 1)))
+    min_len = max(min(len(ref), len(got)), 1)
+    agree = sum(a == b for a, b in zip(ref, got)) / min_len
+    assert agree > 0.6, (ref, got)
+
+
 def test_greedy_decode_with_int8_cross():
     cfg = micro_config(n_vocab=51864)
     tensors = random_tensors(cfg, seed=17)

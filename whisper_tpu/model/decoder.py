@@ -101,7 +101,7 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
     h = cfg.n_text_head
     d = cfg.d_head_text
     B, T, _ = x.shape
-    C = ck_all.shape[-1]
+    C = getattr(ck_all, "data", ck_all).shape[-1]
 
     # ---- causal self-attention over the cache ----
     y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
@@ -109,21 +109,45 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
     k_new = to_kv_major(_plinear(y, blk, "k_w"), h)              # (B,H,D,T); no bias
     v_new = to_kv_major(_plinear(y, blk, "v_w", "v_b"), h)
 
-    # Append at n_past — the functional version of the reference's
-    # view_1d(memory_k, ..., offset=il*n_ctx + n_past) + cpy pattern.
-    ck_all = jax.lax.dynamic_update_slice(
-        ck_all, k_new.astype(ck_all.dtype)[None], (layer, 0, 0, 0, n_past)
-    )
-    cv_all = jax.lax.dynamic_update_slice(
-        cv_all, v_new.astype(cv_all.dtype)[None], (layer, 0, 0, 0, n_past)
-    )
-    ck = jax.lax.dynamic_index_in_dim(ck_all, layer, 0, keepdims=False)
-    cv = jax.lax.dynamic_index_in_dim(cv_all, layer, 0, keepdims=False)
+    from .quant import QuantKV, _quantize_one, quant_sdpa
 
     key_pos = jnp.arange(C)[None, :]                             # (1, C)
     q_pos = n_past + jnp.arange(T)[:, None]                      # (T, 1)
     mask = key_pos <= q_pos                                      # causal + past
-    o = _kvmajor_sdpa(q, ck, cv, mask, d ** -0.5)
+
+    if isinstance(ck_all, QuantKV):
+        # int8 cache: quantize the appended positions, update data + scale.
+        k8 = _quantize_one(k_new)
+        v8 = _quantize_one(v_new)
+        ck_all = QuantKV(
+            jax.lax.dynamic_update_slice(ck_all.data, k8.data[None], (layer, 0, 0, 0, n_past)),
+            jax.lax.dynamic_update_slice(ck_all.scale, k8.scale[None], (layer, 0, 0, n_past)),
+        )
+        cv_all = QuantKV(
+            jax.lax.dynamic_update_slice(cv_all.data, v8.data[None], (layer, 0, 0, 0, n_past)),
+            jax.lax.dynamic_update_slice(cv_all.scale, v8.scale[None], (layer, 0, 0, n_past)),
+        )
+        ck = QuantKV(
+            jax.lax.dynamic_index_in_dim(ck_all.data, layer, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(ck_all.scale, layer, 0, keepdims=False),
+        )
+        cv = QuantKV(
+            jax.lax.dynamic_index_in_dim(cv_all.data, layer, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(cv_all.scale, layer, 0, keepdims=False),
+        )
+        o = quant_sdpa(q * (d ** -0.5), ck, cv, mask, x.dtype)
+    else:
+        # Append at n_past — the functional version of the reference's
+        # view_1d(memory_k, ..., offset=il*n_ctx + n_past) + cpy pattern.
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k_new.astype(ck_all.dtype)[None], (layer, 0, 0, 0, n_past)
+        )
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v_new.astype(cv_all.dtype)[None], (layer, 0, 0, 0, n_past)
+        )
+        ck = jax.lax.dynamic_index_in_dim(ck_all, layer, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cv_all, layer, 0, keepdims=False)
+        o = _kvmajor_sdpa(q, ck, cv, mask, d ** -0.5)
     x = x + _plinear(merge_heads(o), blk, "out_w", "out_b")
 
     # ---- cross-attention over precomputed encoder memory ----

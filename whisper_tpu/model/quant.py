@@ -75,6 +75,22 @@ def quantize_cross(cross_k: jnp.ndarray, cross_v: jnp.ndarray):
     return quantize_kv(cross_k), quantize_kv(cross_v)
 
 
+def quant_sdpa(q, kq: QuantKV, vq: QuantKV, mask, out_dtype):
+    """Masked attention over int8 KV (kv-major (...,D,C) data, (...,C) scale)."""
+    logits = qk_logits(q, kq)
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    return pv_out(probs, vq, out_dtype)
+
+
+def init_quant_cache(cfg, batch: int):
+    """int8 KV cache: data (L,B,H,D,C) int8 + per-position scale (L,B,H,C)."""
+    L, H, D, C = cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text, cfg.n_text_ctx
+    data = jnp.zeros((L, batch, H, D, C), jnp.int8)
+    scale = jnp.zeros((L, batch, H, C), jnp.float32)
+    return QuantKV(data, scale), QuantKV(data, scale)
+
+
 # ---- weight-only int8 (decoder) ----
 #
 # The decode step re-reads every decoder weight each token (~1.7 GB/step for

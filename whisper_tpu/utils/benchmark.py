@@ -73,7 +73,13 @@ def run_benchmark(
                      quantize_kv=(kv_dtype == "int8"))
         cross_k, cross_v = enc.cross_k, enc.cross_v
         del enc
-        cache = init_cache(cfg, batch, dtype=jnp.bfloat16)
+        if kv_dtype == "int8":
+            from ..model.decoder import KVCache
+            from ..model.quant import init_quant_cache
+
+            cache = KVCache(*init_quant_cache(cfg, batch))
+        else:
+            cache = init_cache(cfg, batch, dtype=jnp.bfloat16)
         toks, lengths, sum_lp, nosp = decode_segment_device(
             model.params, init_tokens, len(init), 0, cache,
             cross_k, cross_v, sup_mask, blank_mask, cfg,
