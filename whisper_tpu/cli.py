@@ -122,6 +122,24 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Re-export a GGML checkpoint (f32 <-> f16) — the whisper.cpp `quantize`
+    tool's role for this format."""
+    import dataclasses
+
+    import numpy as np
+
+    from .io.ggml import load_ggml, write_ggml
+
+    ckpt = load_ggml(args.model)
+    new_cfg = dataclasses.replace(ckpt.config, f16=1 if args.f16 else 0)
+    tokens = [ckpt.vocab.id_to_token[i] for i in range(max(ckpt.vocab.id_to_token) + 1)]
+    tensors = {k: np.asarray(v, dtype=np.float32) for k, v in ckpt.tensors.items()}
+    write_ggml(args.out, new_cfg, ckpt.filters, tokens, tensors)
+    print(f"wrote {args.out} (f16={new_cfg.f16})")
+    return 0
+
+
 def cmd_eval(args) -> int:
     """WER evaluation over a dataset directory.
 
@@ -201,6 +219,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="inspect a GGML checkpoint")
     p.add_argument("model")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("convert", help="re-export a GGML checkpoint (f32/f16)")
+    p.add_argument("model")
+    p.add_argument("out")
+    p.add_argument("--f16", action="store_true", help="store weights as f16")
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("eval", help="WER evaluation over a dataset directory")
     p.add_argument("model")
