@@ -338,7 +338,11 @@ def _decode_full_device(
     max_initial_index = None
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_initial_index = round(options.max_initial_timestamp / 0.02)
-    cache = init_cache(config, n_audio, dtype=_cache_dtype(cross_k))
+    # Right-size the cache: the segment can't exceed prefill + sample budget.
+    cache = init_cache(
+        config, n_audio, dtype=_cache_dtype(cross_k),
+        ctx=padded.shape[1] + task.sample_len + 8,
+    )
     toks, lengths, sum_lp, nosp = decode_segment_device(
         params,
         jnp.asarray(padded),

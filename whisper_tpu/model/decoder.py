@@ -44,13 +44,15 @@ class KVCache(NamedTuple):
 
 
 def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
-               pad_ctx: bool = False) -> KVCache:
-    # pad_ctx rounds the context up to a 128 multiple (required by the Pallas
-    # DMA decode kernel, kernels/decode_attention.py). Measured on-chip: the
-    # padding costs ~10% decode RTF (334x vs 371x, large-v3 b24) because the
-    # attention then reads the padded tail too — so the exact size is the
-    # default and the kernel remains opt-in/experimental.
-    c = cfg.n_text_ctx
+               pad_ctx: bool = False, ctx: int | None = None) -> KVCache:
+    # ``ctx`` right-sizes the cache when the maximum sequence length is known
+    # statically (prefill + sample_len in the device decode loop) — attention
+    # cost scales with the stored context, so a 64-token serving segment
+    # shouldn't pay for 448. pad_ctx rounds up to a 128 multiple (required by
+    # the Pallas DMA decode kernel); measured on-chip that padding alone costs
+    # ~10% decode RTF at the full 448 ctx, so exact sizing is the default.
+    c = ctx if ctx is not None else cfg.n_text_ctx
+    c = min(c, cfg.n_text_ctx)
     if pad_ctx:
         c = -(-c // 128) * 128
     shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.d_head_text, c)

@@ -83,9 +83,10 @@ def quant_sdpa(q, kq: QuantKV, vq: QuantKV, mask, out_dtype):
     return pv_out(probs, vq, out_dtype)
 
 
-def init_quant_cache(cfg, batch: int):
+def init_quant_cache(cfg, batch: int, ctx: int | None = None):
     """int8 KV cache: data (L,B,H,D,C) int8 + per-position scale (L,B,H,C)."""
-    L, H, D, C = cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text, cfg.n_text_ctx
+    L, H, D = cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text
+    C = min(ctx or cfg.n_text_ctx, cfg.n_text_ctx)
     data = jnp.zeros((L, batch, H, D, C), jnp.int8)
     scale = jnp.zeros((L, batch, H, C), jnp.float32)
     return QuantKV(data, scale), QuantKV(data, scale)

@@ -73,13 +73,15 @@ def run_benchmark(
                      quantize_kv=(kv_dtype == "int8"))
         cross_k, cross_v = enc.cross_k, enc.cross_v
         del enc
+        # Right-size the cache: segment length is statically prefill+budget.
+        seg_ctx = len(init) + decode_tokens + 8
         if kv_dtype == "int8":
             from ..model.decoder import KVCache
             from ..model.quant import init_quant_cache
 
-            cache = KVCache(*init_quant_cache(cfg, batch))
+            cache = KVCache(*init_quant_cache(cfg, batch, ctx=seg_ctx))
         else:
-            cache = init_cache(cfg, batch, dtype=jnp.bfloat16)
+            cache = init_cache(cfg, batch, dtype=jnp.bfloat16, ctx=seg_ctx)
         toks, lengths, sum_lp, nosp = decode_segment_device(
             model.params, init_tokens, len(init), 0, cache,
             cross_k, cross_v, sup_mask, blank_mask, cfg,
