@@ -7,6 +7,20 @@ See docs/ARCHITECTURE.md for the design and SURVEY.md for the reference
 __version__ = "0.1.0"
 
 
+def load_model(path, **kwargs):
+    """Load a GGML Whisper checkpoint (see model.load.load_model)."""
+    from .model.load import load_model as _load
+
+    return _load(path, **kwargs)
+
+
+def transcribe(model, audio, **kwargs):
+    """Transcribe audio with a loaded model (see pipeline.transcribe)."""
+    from .pipeline.transcribe import transcribe as _transcribe
+
+    return _transcribe(model, audio, **kwargs)
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> None:
     """Persistent XLA compilation cache — large-model decode loops take
     minutes to compile; cached reloads take seconds."""
