@@ -28,6 +28,25 @@ def setup():
 
 @pytest.mark.parametrize("without_timestamps", [True, False])
 def test_beam_topk_matches_host(setup, without_timestamps):
+    """Host beam vs device rules+topk steps (patience forces the topk path)."""
+    cfg, params, vocab, enc = setup
+    opts = DecodingOptions(
+        beam_size=3, sample_len=14, without_timestamps=without_timestamps,
+        patience=1.0,  # patience != None keeps the host bookkeeping path
+    )
+    host = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v,
+                       DecodingOptions(beam_size=3, sample_len=14,
+                                       without_timestamps=without_timestamps),
+                       use_device_loop=False)[0]
+    dev = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                      use_device_loop=True)[0]
+    assert dev.tokens == host.tokens
+    assert abs(dev.avg_logprob - host.avg_logprob) < 1e-3
+
+
+@pytest.mark.parametrize("without_timestamps", [True, False])
+def test_device_beam_matches_host(setup, without_timestamps):
+    """Fully on-device beam loop vs the host beam — token exact."""
     cfg, params, vocab, enc = setup
     opts = DecodingOptions(
         beam_size=3, sample_len=14, without_timestamps=without_timestamps
@@ -38,3 +57,4 @@ def test_beam_topk_matches_host(setup, without_timestamps):
                       use_device_loop=True)[0]
     assert dev.tokens == host.tokens
     assert abs(dev.avg_logprob - host.avg_logprob) < 1e-3
+    assert abs(dev.no_speech_prob - host.no_speech_prob) < 1e-4

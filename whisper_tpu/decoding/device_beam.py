@@ -1,0 +1,226 @@
+"""Fully on-device beam search decode loop.
+
+The host beam (decoding.sequence.BeamSearchDecoder) pays one device dispatch +
+one result transfer per token — ~50 ms/step on tunneled chips even with the
+top-k step (decoding.topk_step). Here the whole beam decode runs as ONE jitted
+``lax.while_loop``, replicating openai's update semantics exactly:
+
+  * candidate set = top (k+1) extensions per beam (same as openai's argsort
+    prefix), flattened in (beam, rank) order and stable-sorted by score — the
+    same order python's ``sorted`` over the insertion-ordered dict produces;
+  * duplicate-candidate dedup is only ever needed at step 0 (identical
+    prefixes); initializing ``sum_logprobs = [0, -inf, ..., -inf]`` makes
+    beams 1..k propose nothing, which is equivalent;
+  * EOT candidates are routed to a finished set in score order, capped at
+    ``beam_size`` in INSERTION order (openai's max_candidates semantics:
+    later, better candidates do NOT evict earlier ones);
+  * the KV cache, rule state, and token history are gathered by the source
+    indices each step (openai's host-side cache reorder).
+
+Verified token-exact against the host beam in tests/test_device_beam.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WhisperConfig
+from ..model.decoder import KVCache, decode_step
+from .device_loop import LoopState, _apply_rules_device
+
+NEG = jnp.float32(-1e30)
+
+
+class BeamState(NamedTuple):
+    cache_k: jnp.ndarray      # (L, G*k, ...) pytree leaves ok
+    cache_v: jnp.ndarray
+    tokens: jnp.ndarray       # (G, k, sample_len) sampled tokens of ACTIVE beams
+    sum_lp: jnp.ndarray       # (G, k)
+    last_tok: jnp.ndarray     # (G*k,)
+    prev_tok: jnp.ndarray
+    last_ts: jnp.ndarray
+    fin_tokens: jnp.ndarray   # (G, k, sample_len) finished sequences (incl. no EOT)
+    fin_scores: jnp.ndarray   # (G, k) sum logprob of finished (NEG if empty)
+    fin_len: jnp.ndarray      # (G, k) token count of finished sequences
+    fin_count: jnp.ndarray    # (G,)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "beam_size", "sample_len", "use_timestamps",
+                     "max_initial_index"),
+)
+def beam_decode_device(
+    params,
+    init_tokens: jnp.ndarray,   # (G*k, P) right-padded, identical within group
+    init_len,
+    sot_index,
+    cache: KVCache,             # batch G*k
+    cross_k, cross_v,           # batch G*k (pre-tiled)
+    suppress_mask, blank_mask,
+    cfg: WhisperConfig,
+    beam_size: int,
+    sample_len: int,
+    use_timestamps: bool = True,
+    max_initial_index: Optional[int] = 50,
+):
+    """Returns (active_tokens (G,k,SL), active_sum_lp (G,k),
+                fin_tokens (G,k,SL), fin_scores (G,k), fin_len (G,k),
+                fin_count (G,), steps, no_speech_probs (G,))."""
+    v = cfg.n_vocab
+    eot = 50256 if v == 51864 else 50257
+    beg = eot + 107 if v != 51866 else eot + 108
+    not_ = beg - 1
+    nosp = beg - 2
+    k = beam_size
+    GK = init_tokens.shape[0]
+    G = GK // k
+
+    logits_all, cache = decode_step(
+        params, init_tokens, jnp.int32(0), cache, cross_k, cross_v, cfg
+    )
+    logits_all = logits_all.astype(jnp.float32)
+    probs_at_sot = jax.nn.softmax(logits_all[:, sot_index], axis=-1)
+    no_speech_probs = probs_at_sot[::k, nosp]
+    first_logits = jnp.take_along_axis(
+        logits_all, jnp.full((GK, 1, 1), init_len - 1), axis=1
+    )[:, 0]
+
+    sum_lp0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG)])[None, :], (G, 1)
+    ).astype(jnp.float32)
+
+    state = BeamState(
+        cache_k=cache.k, cache_v=cache.v,
+        tokens=jnp.full((G, k, sample_len), eot, jnp.int32),
+        sum_lp=sum_lp0,
+        last_tok=jnp.full((GK,), -1, jnp.int32),
+        prev_tok=jnp.full((GK,), -1, jnp.int32),
+        last_ts=jnp.full((GK,), -1, jnp.int32),
+        fin_tokens=jnp.full((G, k, sample_len), eot, jnp.int32),
+        fin_scores=jnp.full((G, k), NEG),
+        fin_len=jnp.zeros((G, k), jnp.int32),
+        fin_count=jnp.zeros((G,), jnp.int32),
+    )
+
+    def cond_fn(carry):
+        state, logits, n_past, step = carry
+        return (step < sample_len) & ~jnp.all(state.fin_count >= k)
+
+    def step_fn(carry):
+        state, logits, n_past, step = carry
+
+        rule_state = LoopState(
+            cache_k=None, cache_v=None, tokens_out=None,
+            last_tok=state.last_tok, prev_tok=state.prev_tok,
+            last_ts=state.last_ts, finished=None, length=None,
+            sum_logprobs=None, key=None,
+        )
+        filt = _apply_rules_device(
+            logits, step, rule_state, suppress_mask, blank_mask,
+            (eot, beg, not_, v), use_timestamps, max_initial_index,
+        )
+        logprobs = jax.nn.log_softmax(filt, axis=-1)          # (GK, V)
+        top_lp, top_ids = jax.lax.top_k(logprobs, k + 1)       # (GK, k+1)
+
+        cand_score = (
+            state.sum_lp.reshape(GK, 1) + top_lp
+        ).reshape(G, k * (k + 1))                              # flattened (beam, rank)
+        cand_tok = top_ids.reshape(G, k * (k + 1))
+        cand_src = jnp.repeat(jnp.arange(k), k + 1)[None, :]   # (1, k(k+1)) beam idx
+
+        # Stable sort by descending score == python sorted() over the
+        # insertion-ordered candidate dict.
+        order = jnp.argsort(-cand_score, axis=1, stable=True)  # (G, k(k+1))
+        s_score = jnp.take_along_axis(cand_score, order, axis=1)
+        s_tok = jnp.take_along_axis(cand_tok, order, axis=1)
+        s_src = jnp.take_along_axis(cand_src.repeat(G, 0), order, axis=1)
+
+        is_eot = s_tok == eot
+        # Active selection: first k non-EOT candidates in sorted order.
+        nf_rank = jnp.cumsum(~is_eot, axis=1) - 1              # rank among non-eot
+        take_active = (~is_eot) & (nf_rank < k)
+        # scatter: active slot j <- candidate with nf_rank == j
+        slot = jnp.where(take_active, nf_rank, k)              # k = dropped
+        # one-hot based gather: for each group, idx_of_slot[j]
+        idx_sorted = jnp.argsort(jnp.where(take_active, slot, k + 1), axis=1,
+                                 stable=True)[:, :k]           # (G, k) candidate idx
+        new_sum_lp = jnp.take_along_axis(s_score, idx_sorted, axis=1)
+        new_tok = jnp.take_along_axis(s_tok, idx_sorted, axis=1)
+        new_src = jnp.take_along_axis(s_src, idx_sorted, axis=1)  # (G, k) beam idx
+
+        src_rows = (new_src + jnp.arange(G)[:, None] * k).reshape(GK)
+
+        # Gather histories and rule state by source beam.
+        tokens_g = jnp.take_along_axis(
+            state.tokens, new_src[:, :, None], axis=1
+        )                                                       # (G,k,SL)
+        tokens_new = jax.lax.dynamic_update_slice(
+            tokens_g, new_tok[:, :, None], (0, 0, step)
+        )
+        last_tok_g = state.last_tok[src_rows]
+        last_ts_g = state.last_ts[src_rows]
+        nt_flat = new_tok.reshape(GK)
+        new_last_ts = jnp.where(nt_flat >= beg, nt_flat, last_ts_g)
+
+        # Finished insertion (capacity k, insertion order).
+        eot_rank = jnp.cumsum(is_eot, axis=1) - 1
+        ins_pos = state.fin_count[:, None] + eot_rank           # (G, k(k+1))
+        accept = is_eot & (ins_pos < k)
+        # finished sequence = source beam history + EOT (EOT not stored; the
+        # buffer is EOT-padded already). length = step tokens sampled so far.
+        fin_tokens = state.fin_tokens
+        fin_scores = state.fin_scores
+        fin_len = state.fin_len
+        # scatter accepted candidates one slot at a time (<= k(k+1) static)
+        def insert(i, val):
+            fin_tokens, fin_scores, fin_len = val
+            pos = ins_pos[:, i]                                 # (G,)
+            ok = accept[:, i]
+            src_hist = jnp.take_along_axis(
+                state.tokens, s_src[:, i][:, None, None], axis=1
+            )[:, 0]                                             # (G, SL)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (G, k), 1) == pos[:, None]
+            ) & ok[:, None]
+            fin_tokens = jnp.where(onehot[:, :, None], src_hist[:, None, :], fin_tokens)
+            fin_scores = jnp.where(onehot, s_score[:, i][:, None], fin_scores)
+            fin_len = jnp.where(onehot, step, fin_len)
+            return fin_tokens, fin_scores, fin_len
+
+        fin_tokens, fin_scores, fin_len = jax.lax.fori_loop(
+            0, k * (k + 1), insert, (fin_tokens, fin_scores, fin_len)
+        )
+        fin_count = jnp.minimum(state.fin_count + jnp.sum(is_eot, axis=1), k)
+
+        # Cache reorder by source rows.
+        new_cache_k = jax.tree.map(lambda a: jnp.take(a, src_rows, axis=1), state.cache_k)
+        new_cache_v = jax.tree.map(lambda a: jnp.take(a, src_rows, axis=1), state.cache_v)
+
+        new_state = BeamState(
+            cache_k=new_cache_k, cache_v=new_cache_v,
+            tokens=tokens_new, sum_lp=new_sum_lp,
+            last_tok=nt_flat, prev_tok=last_tok_g, last_ts=new_last_ts,
+            fin_tokens=fin_tokens, fin_scores=fin_scores, fin_len=fin_len,
+            fin_count=fin_count,
+        )
+        lg, new_cache = decode_step(
+            params, nt_flat[:, None], n_past,
+            KVCache(new_cache_k, new_cache_v), cross_k, cross_v, cfg,
+        )
+        new_state = new_state._replace(cache_k=new_cache.k, cache_v=new_cache.v)
+        return (new_state, lg[:, 0].astype(jnp.float32), n_past + 1, step + 1)
+
+    (state, _, _, steps) = jax.lax.while_loop(
+        cond_fn, step_fn,
+        (state, first_logits, jnp.asarray(init_len, jnp.int32), jnp.int32(0)),
+    )
+    return (
+        state.tokens, state.sum_lp,
+        state.fin_tokens, state.fin_scores, state.fin_len, state.fin_count,
+        steps, no_speech_probs,
+    )

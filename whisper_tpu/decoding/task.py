@@ -317,9 +317,12 @@ def decode_full(
         and (options.best_of or 1) == 1
     ):
         return _decode_full_device(params, config, vocab, cross_k, cross_v, options)
+    if use_device_loop and options.beam_size is not None and options.patience is None:
+        # Fully on-device beam loop (token-exact vs the host beam).
+        return _decode_full_device_beam(params, config, vocab, cross_k, cross_v, options)
     task = DecodingTask(config, vocab, options)
     task.params_ref = params
-    # Beam search with device acceleration: rules + top-k on device.
+    # Fallback acceleration: rules + top-k on device, bookkeeping on host.
     return task.run(cross_k, cross_v, use_topk_device=use_device_loop)
 
 
@@ -375,6 +378,81 @@ def _decode_full_device(
                 text=text,
                 avg_logprob=avg_logprob,
                 no_speech_prob=float(nosp[i]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(text),
+            )
+        )
+    return results
+
+
+def _decode_full_device_beam(
+    params, config, vocab, cross_k, cross_v, options: DecodingOptions
+) -> List[DecodingResult]:
+    from .device_beam import beam_decode_device
+    from .device_loop import build_masks
+
+    k = options.beam_size
+    task = DecodingTask(config, vocab, options)
+    n_audio = _cross_batch(cross_k)
+    rep = lambda a: jnp.repeat(a, k, axis=1)
+    ck = jax.tree.map(rep, cross_k)
+    cv = jax.tree.map(rep, cross_v)
+
+    sup_mask, blank_mask = build_masks(vocab, suppress=bool(options.suppress_tokens))
+    if not options.suppress_blank:
+        blank_mask = jnp.zeros_like(blank_mask)
+    max_initial_index = None
+    if options.max_initial_timestamp is not None and not options.without_timestamps:
+        max_initial_index = round(options.max_initial_timestamp / 0.02)
+
+    init = np.tile(np.array(task.initial_tokens, np.int32), (n_audio * k, 1))
+    padded, true_len = _pad_to_bucket(init)
+    cache = init_cache(
+        config, n_audio * k, dtype=_cache_dtype(ck),
+        ctx=padded.shape[1] + task.sample_len + 8,
+    )
+    (act_toks, act_lp, fin_toks, fin_scores, fin_len, fin_count, steps, nosp) = (
+        beam_decode_device(
+            params, jnp.asarray(padded), true_len, task.sot_index, cache,
+            ck, cv, sup_mask, blank_mask, config,
+            beam_size=k, sample_len=task.sample_len,
+            use_timestamps=not options.without_timestamps,
+            max_initial_index=max_initial_index,
+        )
+    )
+    act_toks = np.asarray(act_toks)
+    act_lp = np.asarray(act_lp)
+    fin_toks = np.asarray(fin_toks)
+    fin_scores = np.asarray(fin_scores)
+    fin_len = np.asarray(fin_len)
+    fin_count = np.asarray(fin_count)
+    steps = int(steps)
+    nosp = np.asarray(nosp)
+
+    results = []
+    for g in range(n_audio):
+        seqs: List[List[int]] = []
+        lps: List[float] = []
+        for i in range(int(fin_count[g])):
+            seqs.append([int(t) for t in fin_toks[g, i, : int(fin_len[g, i])]])
+            lps.append(float(fin_scores[g, i]))
+        if len(seqs) < k:
+            # openai finalize: pad with in-flight beams (desc sum_lp), + EOT.
+            for i in np.argsort(-act_lp[g]):
+                if len(seqs) >= k:
+                    break
+                seqs.append([int(t) for t in act_toks[g, int(i), :steps]])
+                lps.append(float(act_lp[g, int(i)]))
+        sel = task.ranker.rank([seqs], [lps])[0]
+        toks = seqs[sel]
+        avg_logprob = lps[sel] / (len(toks) + 1)
+        text = vocab.decode(toks).strip()
+        results.append(
+            DecodingResult(
+                tokens=toks,
+                text=text,
+                avg_logprob=float(avg_logprob),
+                no_speech_prob=float(nosp[g]),
                 temperature=options.temperature,
                 compression_ratio=compression_ratio(text),
             )
