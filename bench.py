@@ -34,9 +34,11 @@ def main() -> int:
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     kv_dtype = os.environ.get("BENCH_KV", "bfloat16")
     weight_dtype = os.environ.get("BENCH_WQ", "bfloat16")
+    beam = os.environ.get("BENCH_BEAM")
     result = run_benchmark(
         model_name=model_name, batch=batch, seconds=seconds, dtype=dtype,
         kv_dtype=kv_dtype, weight_dtype=weight_dtype,
+        beam_size=int(beam) if beam else None,
     )
     print(json.dumps(result))
     return 0

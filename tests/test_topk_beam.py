@@ -44,6 +44,17 @@ def test_beam_topk_matches_host(setup, without_timestamps):
     assert abs(dev.avg_logprob - host.avg_logprob) < 1e-3
 
 
+def test_device_beam_with_prompt_matches_host(setup):
+    """Prompt conditioning (sot_index > 0, bucketed prefill) on the device beam."""
+    cfg, params, vocab, enc = setup
+    opts = DecodingOptions(beam_size=3, sample_len=10, prompt=list(range(300, 340)))
+    host = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                       use_device_loop=False)[0]
+    dev = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                      use_device_loop=True)[0]
+    assert dev.tokens == host.tokens
+
+
 @pytest.mark.parametrize("without_timestamps", [True, False])
 def test_device_beam_matches_host(setup, without_timestamps):
     """Fully on-device beam loop vs the host beam — token exact."""

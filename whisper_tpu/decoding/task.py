@@ -163,10 +163,9 @@ class DecodingTask:
         cfg, v = self.config, self.vocab
         n_audio = _cross_batch(cross_k)
         n_seq = n_audio * self.n_group
-        if self.n_group > 1:
-            rep = lambda a: jnp.repeat(a, self.n_group, axis=1)
-            cross_k = jax.tree.map(rep, cross_k)
-            cross_v = jax.tree.map(rep, cross_v)
+        # Beam/best_of groups share their group's cross memory: decode_step
+        # folds the group axis into the query when the cross batch is smaller
+        # than the token batch (rows are group-contiguous) — no tiling.
 
         from .sequence import BeamSearchDecoder as _Beam
 
@@ -394,9 +393,7 @@ def _decode_full_device_beam(
     k = options.beam_size
     task = DecodingTask(config, vocab, options)
     n_audio = _cross_batch(cross_k)
-    rep = lambda a: jnp.repeat(a, k, axis=1)
-    ck = jax.tree.map(rep, cross_k)
-    cv = jax.tree.map(rep, cross_v)
+    ck, cv = cross_k, cross_v  # group-shared: decode_step folds the beam axis
 
     sup_mask, blank_mask = build_masks(vocab, suppress=bool(options.suppress_tokens))
     if not options.suppress_blank:

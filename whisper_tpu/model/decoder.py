@@ -159,6 +159,16 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
     qc = qc * (d ** -0.25)
     from .quant import QuantKV, pv_out, qk_logits
 
+    # Group-shared cross memory: beam rows of one audio share identical
+    # encoder output — cross batch G with decoder batch B = G*k folds the
+    # beam axis into the query's time axis, so the memory is stored and READ
+    # once per group instead of per beam (it dominates decode HBM traffic).
+    Bc = getattr(cross_k, "data", cross_k).shape[0]
+    if Bc != B:
+        kk = B // Bc
+        qc = qc.reshape(Bc, kk, h, T, d).transpose(0, 2, 1, 3, 4).reshape(
+            Bc, h, kk * T, d
+        )
     if isinstance(cross_k, QuantKV):
         # int8 serving mode: per-position scales fold into the products.
         logits = qk_logits(qc, cross_k)
@@ -166,8 +176,10 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         o = pv_out(probs, cross_v, x.dtype)
     else:
         Ta = cross_k.shape[-1]
-        full = jnp.ones((T, Ta), dtype=bool)
+        full = jnp.ones((qc.shape[-2], Ta), dtype=bool)
         o = _kvmajor_sdpa(qc, cross_k, cross_v, full, 1.0)
+    if Bc != B:
+        o = o.reshape(Bc, h, kk, T, d).transpose(0, 2, 1, 3, 4).reshape(B, h, T, d)
     x = x + _plinear(merge_heads(o), blk, "cross_out_w", "cross_out_b")
 
     # ---- MLP ----

@@ -24,6 +24,7 @@ def run_benchmark(
     use_flash: Optional[bool] = None,
     kv_dtype: str = "bfloat16",  # "int8": quantized cross memory (serving mode)
     weight_dtype: str = "bfloat16",  # "int8": quantized decoder weights
+    beam_size: Optional[int] = None,  # on-device beam search instead of greedy
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -75,6 +76,17 @@ def run_benchmark(
         del enc
         # Right-size the cache: segment length is statically prefill+budget.
         seg_ctx = len(init) + decode_tokens + 8
+        if beam_size:
+            from ..decoding.device_beam import beam_decode_device
+
+            k = beam_size
+            cache = init_cache(cfg, batch * k, dtype=jnp.bfloat16, ctx=seg_ctx)
+            out = beam_decode_device(
+                model.params, jnp.repeat(init_tokens, k, axis=0), len(init), 0,
+                cache, cross_k, cross_v, sup_mask, blank_mask, cfg,
+                beam_size=k, sample_len=decode_tokens,
+            )
+            return np.asarray(out[2]), np.asarray(out[5])
         if kv_dtype == "int8":
             from ..model.decoder import KVCache
             from ..model.quant import init_quant_cache
@@ -108,7 +120,9 @@ def run_benchmark(
     rtf = audio_sec / wall if wall > 0 else 0.0
 
     return {
-        "metric": f"rtf_{cfg.model_type}_b{batch}_greedy{decode_tokens}"
+        "metric": f"rtf_{cfg.model_type}_b{batch}_"
+        + (f"beam{beam_size}x" if beam_size else "greedy")
+        + f"{decode_tokens}"
         + ("_kvint8" if kv_dtype == "int8" else "")
         + ("_wint8" if weight_dtype == "int8" else ""),
         "value": round(rtf, 2),
