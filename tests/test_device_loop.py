@@ -100,3 +100,32 @@ def test_device_loop_temperature_runs(setup):
     )
     assert toks.shape == (B, 12)
     assert (np.asarray(lengths) <= 12).all()
+
+
+def test_build_masks_forwards_custom_suppress_list():
+    """Custom suppress_tokens specs must reach the device mask (they were
+    silently replaced by the default non-speech set before)."""
+    from whisper_tpu.decoding.rules import build_suppress_list
+    from fixtures import micro_config, synthetic_tokens
+    from whisper_tpu.io.vocab import make_vocab
+
+    cfg = micro_config(n_vocab=51864)
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+
+    custom = (123, 456)  # no -1: non-speech set must NOT be applied
+    sup, _ = build_masks(vocab, suppress_tokens=custom)
+    sup = np.asarray(sup)
+    expect = np.zeros(cfg.n_vocab, bool)
+    expect[build_suppress_list(vocab, custom)] = True
+    np.testing.assert_array_equal(sup, expect)
+    assert sup[123] and sup[456]
+
+    # falsy spec -> no suppression at all (host adds no filter then)
+    sup_none, _ = build_masks(vocab, suppress_tokens=None)
+    assert not np.asarray(sup_none).any()
+
+    # default spec unchanged: -1 expands to non-speech + specials
+    sup_def, _ = build_masks(vocab)
+    expect_def = np.zeros(cfg.n_vocab, bool)
+    expect_def[build_suppress_list(vocab)] = True
+    np.testing.assert_array_equal(np.asarray(sup_def), expect_def)

@@ -69,3 +69,108 @@ def test_device_beam_matches_host(setup, without_timestamps):
     assert dev.tokens == host.tokens
     assert abs(dev.avg_logprob - host.avg_logprob) < 1e-3
     assert abs(dev.no_speech_prob - host.no_speech_prob) < 1e-4
+
+
+def test_beam_update_matches_host_fuzz():
+    """Direct fuzz of device beam_update vs host update_from_topk, forcing EOT
+    candidates at every rank — including BELOW the k-th non-EOT candidate,
+    which openai's update loop never considers (break after k saved). The
+    end-to-end tests above rarely hit that branch; this drives it explicitly.
+    """
+    from whisper_tpu.decoding.device_beam import beam_update
+    from whisper_tpu.decoding.sequence import BeamSearchDecoder
+
+    EOT = 999
+    k, G, SL, steps = 3, 2, 12, 8
+    rejected_eot_events = 0
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        GK = G * k
+        decoder = BeamSearchDecoder(k, EOT)
+        decoder.reset()
+        decoder.finished_sequences = None
+
+        # distinct step-0 tokens per beam (as after a real first beam step)
+        first = np.arange(1, GK + 1, dtype=np.int32).reshape(G, k) * 7
+        host_tokens = first.reshape(GK, 1).copy()
+        host_sum_lp = rng.standard_normal(GK).astype(np.float32).astype(np.float64)
+
+        dev_tokens = np.full((G, k, SL), EOT, np.int32)
+        dev_tokens[:, :, 0] = first
+        dev_sum_lp = jnp.asarray(host_sum_lp.reshape(G, k).astype(np.float32))
+        fin_tokens = jnp.full((G, k, SL), EOT, jnp.int32)
+        fin_scores = jnp.full((G, k), -1e30, jnp.float32)
+        fin_len = jnp.zeros((G, k), jnp.int32)
+        fin_count = jnp.zeros((G,), jnp.int32)
+        dev_tokens = jnp.asarray(dev_tokens)
+
+        for step in range(1, steps):
+            top_lp = rng.standard_normal((GK, k + 1)).astype(np.float32) * 2.0
+            # distinct non-EOT ids per row; then force EOT at random ranks
+            top_ids = np.stack(
+                [rng.choice(np.arange(1, 900), size=k + 1, replace=False)
+                 for _ in range(GK)]
+            ).astype(np.int32)
+            for row in range(GK):
+                if rng.random() < 0.5:
+                    top_ids[row, rng.integers(0, k + 1)] = EOT
+
+            # count EOT candidates that openai would never consider (ranked
+            # below the k-th non-EOT) so we know the branch is exercised
+            cand = (host_sum_lp.reshape(G, k, 1).astype(np.float32)
+                    + top_lp.reshape(G, k, k + 1)).reshape(G, -1)
+            ctok = top_ids.reshape(G, -1)
+            for g in range(G):
+                order = np.argsort(-cand[g], kind="stable")
+                noneot_seen = 0
+                for idx in order:
+                    if ctok[g, idx] == EOT:
+                        if noneot_seen >= k:
+                            rejected_eot_events += 1
+                    else:
+                        noneot_seen += 1
+
+            host_tokens, host_completed, host_src = decoder.update_from_topk(
+                host_tokens, top_lp, top_ids, host_sum_lp
+            )
+            (dev_sum_lp, new_tok, new_src, dev_tokens,
+             fin_tokens, fin_scores, fin_len, fin_count) = beam_update(
+                jnp.asarray(top_lp), jnp.asarray(top_ids), dev_sum_lp,
+                dev_tokens, fin_tokens, fin_scores, fin_len, fin_count,
+                step, k, EOT,
+            )
+
+            # active beams: tokens, scores, kv-source rows
+            np.testing.assert_array_equal(
+                np.asarray(new_tok).reshape(GK), host_tokens[:, -1]
+            )
+            np.testing.assert_array_equal(np.asarray(new_src).reshape(GK) % k,
+                                          host_src % k)
+            np.testing.assert_allclose(
+                np.asarray(dev_sum_lp).reshape(GK), host_sum_lp, rtol=0, atol=1e-4
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dev_tokens)[:, :, 1:step + 1].reshape(GK, step),
+                host_tokens[:, 1:],
+            )
+
+            # finished sets: same sequences, same scores, same order
+            fc = np.asarray(fin_count)
+            ft = np.asarray(fin_tokens)
+            fs = np.asarray(fin_scores)
+            fl = np.asarray(fin_len)
+            for g in range(G):
+                host_fin = list(decoder.finished_sequences[g].items())
+                assert fc[g] == len(host_fin)
+                for i, (seq, score) in enumerate(host_fin):
+                    assert seq[-1] == EOT
+                    np.testing.assert_array_equal(
+                        ft[g, i, : fl[g, i]], np.asarray(seq[:-1])
+                    )
+                    assert abs(fs[g, i] - score) < 1e-4
+            assert bool(np.all(fc >= k)) == host_completed
+            if host_completed:
+                break
+
+    assert rejected_eot_events > 0, "fuzz never exercised the rejected-EOT branch"

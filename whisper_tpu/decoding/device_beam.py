@@ -17,7 +17,7 @@ top-k step (decoding.topk_step). Here the whole beam decode runs as ONE jitted
   * the KV cache, rule state, and token history are gathered by the source
     indices each step (openai's host-side cache reorder).
 
-Verified token-exact against the host beam in tests/test_device_beam.py.
+Verified token-exact against the host beam in tests/test_topk_beam.py.
 """
 
 from __future__ import annotations
@@ -33,6 +33,94 @@ from ..model.decoder import KVCache, decode_step
 from .device_loop import LoopState, _apply_rules_device
 
 NEG = jnp.float32(-1e30)
+
+
+def beam_update(
+    top_lp: jnp.ndarray,      # (G*k, k+1) candidate logprobs per beam
+    top_ids: jnp.ndarray,     # (G*k, k+1) candidate token ids per beam
+    sum_lp: jnp.ndarray,      # (G, k) running beam scores
+    tokens: jnp.ndarray,      # (G, k, SL) sampled-token history of active beams
+    fin_tokens: jnp.ndarray,  # (G, k, SL)
+    fin_scores: jnp.ndarray,  # (G, k)
+    fin_len: jnp.ndarray,     # (G, k)
+    fin_count: jnp.ndarray,   # (G,)
+    step,                     # scalar: index of the position being sampled
+    k: int,
+    eot: int,
+):
+    """One beam-search bookkeeping step (openai update semantics), pure math.
+
+    Exactly mirrors BeamSearchDecoder.update_from_topk (sequence.py): stable
+    sort of the k(k+1) candidates by score, first k non-EOT become the new
+    beams, EOT candidates are routed to the finished set ONLY while fewer
+    than k non-EOT candidates precede them (openai's break-after-k-saved),
+    capped at k in insertion order. Tested directly against the host decoder
+    in tests/test_topk_beam.py.
+
+    Returns (new_sum_lp, new_tok, new_src, tokens_new,
+             fin_tokens, fin_scores, fin_len, fin_count).
+    """
+    G = sum_lp.shape[0]
+    GK = G * k
+
+    cand_score = (sum_lp.reshape(GK, 1) + top_lp).reshape(G, k * (k + 1))
+    cand_tok = top_ids.reshape(G, k * (k + 1))
+    cand_src = jnp.repeat(jnp.arange(k), k + 1)[None, :]   # (1, k(k+1)) beam idx
+
+    # Stable sort by descending score == python sorted() over the
+    # insertion-ordered candidate dict.
+    order = jnp.argsort(-cand_score, axis=1, stable=True)  # (G, k(k+1))
+    s_score = jnp.take_along_axis(cand_score, order, axis=1)
+    s_tok = jnp.take_along_axis(cand_tok, order, axis=1)
+    s_src = jnp.take_along_axis(cand_src.repeat(G, 0), order, axis=1)
+
+    is_eot = s_tok == eot
+    # Active selection: first k non-EOT candidates in sorted order.
+    nf_rank = jnp.cumsum(~is_eot, axis=1) - 1              # rank among non-eot
+    take_active = (~is_eot) & (nf_rank < k)
+    # scatter: active slot j <- candidate with nf_rank == j
+    slot = jnp.where(take_active, nf_rank, k)              # k = dropped
+    idx_sorted = jnp.argsort(jnp.where(take_active, slot, k + 1), axis=1,
+                             stable=True)[:, :k]           # (G, k) candidate idx
+    new_sum_lp = jnp.take_along_axis(s_score, idx_sorted, axis=1)
+    new_tok = jnp.take_along_axis(s_tok, idx_sorted, axis=1)
+    new_src = jnp.take_along_axis(s_src, idx_sorted, axis=1)  # (G, k) beam idx
+
+    tokens_new = jnp.take_along_axis(tokens, new_src[:, :, None], axis=1)
+    tokens_new = jax.lax.dynamic_update_slice(
+        tokens_new, new_tok[:, :, None], (0, 0, step)
+    )
+
+    # Finished insertion (capacity k, insertion order). openai's update
+    # loop breaks once beam_size non-EOT candidates are saved, so an EOT
+    # candidate is only CONSIDERED while fewer than k non-EOT candidates
+    # precede it in sorted order (at an EOT position, cumsum(~is_eot)
+    # counts exactly the preceding non-EOTs).
+    considered = is_eot & (jnp.cumsum(~is_eot, axis=1) < k)
+    eot_rank = jnp.cumsum(considered, axis=1) - 1
+    ins_pos = fin_count[:, None] + eot_rank                 # (G, k(k+1))
+    accept = considered & (ins_pos < k)
+    # finished sequence = source beam history + EOT (EOT not stored; the
+    # buffer is EOT-padded already). length = step tokens sampled so far.
+    # Insertion positions of accepted candidates are distinct within a
+    # group (eot_rank is strictly increasing over considered EOTs), so
+    # each slot selects its candidate with a vectorized one-hot match —
+    # no sequential fori_loop scatter.
+    match = accept[:, :, None] & (
+        ins_pos[:, :, None] == jnp.arange(k)[None, None, :]
+    )                                                       # (G, C, k)
+    has = jnp.any(match, axis=1)                            # (G, k)
+    cand_idx = jnp.argmax(match, axis=1)                    # (G, k)
+    sel_src = jnp.take_along_axis(s_src, cand_idx, axis=1)  # (G, k)
+    sel_score = jnp.take_along_axis(s_score, cand_idx, axis=1)
+    hist = jnp.take_along_axis(tokens, sel_src[:, :, None], axis=1)  # (G,k,SL)
+    fin_tokens = jnp.where(has[:, :, None], hist, fin_tokens)
+    fin_scores = jnp.where(has, sel_score, fin_scores)
+    fin_len = jnp.where(has, step, fin_len)
+    fin_count = jnp.minimum(fin_count + jnp.sum(considered, axis=1), k)
+
+    return (new_sum_lp, new_tok, new_src, tokens_new,
+            fin_tokens, fin_scores, fin_len, fin_count)
 
 
 class BeamState(NamedTuple):
@@ -127,75 +215,20 @@ def beam_decode_device(
         logprobs = jax.nn.log_softmax(filt, axis=-1)          # (GK, V)
         top_lp, top_ids = jax.lax.top_k(logprobs, k + 1)       # (GK, k+1)
 
-        cand_score = (
-            state.sum_lp.reshape(GK, 1) + top_lp
-        ).reshape(G, k * (k + 1))                              # flattened (beam, rank)
-        cand_tok = top_ids.reshape(G, k * (k + 1))
-        cand_src = jnp.repeat(jnp.arange(k), k + 1)[None, :]   # (1, k(k+1)) beam idx
-
-        # Stable sort by descending score == python sorted() over the
-        # insertion-ordered candidate dict.
-        order = jnp.argsort(-cand_score, axis=1, stable=True)  # (G, k(k+1))
-        s_score = jnp.take_along_axis(cand_score, order, axis=1)
-        s_tok = jnp.take_along_axis(cand_tok, order, axis=1)
-        s_src = jnp.take_along_axis(cand_src.repeat(G, 0), order, axis=1)
-
-        is_eot = s_tok == eot
-        # Active selection: first k non-EOT candidates in sorted order.
-        nf_rank = jnp.cumsum(~is_eot, axis=1) - 1              # rank among non-eot
-        take_active = (~is_eot) & (nf_rank < k)
-        # scatter: active slot j <- candidate with nf_rank == j
-        slot = jnp.where(take_active, nf_rank, k)              # k = dropped
-        # one-hot based gather: for each group, idx_of_slot[j]
-        idx_sorted = jnp.argsort(jnp.where(take_active, slot, k + 1), axis=1,
-                                 stable=True)[:, :k]           # (G, k) candidate idx
-        new_sum_lp = jnp.take_along_axis(s_score, idx_sorted, axis=1)
-        new_tok = jnp.take_along_axis(s_tok, idx_sorted, axis=1)
-        new_src = jnp.take_along_axis(s_src, idx_sorted, axis=1)  # (G, k) beam idx
+        (new_sum_lp, new_tok, new_src, tokens_new,
+         fin_tokens, fin_scores, fin_len, fin_count) = beam_update(
+            top_lp, top_ids, state.sum_lp, state.tokens,
+            state.fin_tokens, state.fin_scores, state.fin_len, state.fin_count,
+            step, k, eot,
+        )
 
         src_rows = (new_src + jnp.arange(G)[:, None] * k).reshape(GK)
 
-        # Gather histories and rule state by source beam.
-        tokens_g = jnp.take_along_axis(
-            state.tokens, new_src[:, :, None], axis=1
-        )                                                       # (G,k,SL)
-        tokens_new = jax.lax.dynamic_update_slice(
-            tokens_g, new_tok[:, :, None], (0, 0, step)
-        )
+        # Gather rule state by source beam.
         last_tok_g = state.last_tok[src_rows]
         last_ts_g = state.last_ts[src_rows]
         nt_flat = new_tok.reshape(GK)
         new_last_ts = jnp.where(nt_flat >= beg, nt_flat, last_ts_g)
-
-        # Finished insertion (capacity k, insertion order).
-        eot_rank = jnp.cumsum(is_eot, axis=1) - 1
-        ins_pos = state.fin_count[:, None] + eot_rank           # (G, k(k+1))
-        accept = is_eot & (ins_pos < k)
-        # finished sequence = source beam history + EOT (EOT not stored; the
-        # buffer is EOT-padded already). length = step tokens sampled so far.
-        fin_tokens = state.fin_tokens
-        fin_scores = state.fin_scores
-        fin_len = state.fin_len
-        # scatter accepted candidates one slot at a time (<= k(k+1) static)
-        def insert(i, val):
-            fin_tokens, fin_scores, fin_len = val
-            pos = ins_pos[:, i]                                 # (G,)
-            ok = accept[:, i]
-            src_hist = jnp.take_along_axis(
-                state.tokens, s_src[:, i][:, None, None], axis=1
-            )[:, 0]                                             # (G, SL)
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (G, k), 1) == pos[:, None]
-            ) & ok[:, None]
-            fin_tokens = jnp.where(onehot[:, :, None], src_hist[:, None, :], fin_tokens)
-            fin_scores = jnp.where(onehot, s_score[:, i][:, None], fin_scores)
-            fin_len = jnp.where(onehot, step, fin_len)
-            return fin_tokens, fin_scores, fin_len
-
-        fin_tokens, fin_scores, fin_len = jax.lax.fori_loop(
-            0, k * (k + 1), insert, (fin_tokens, fin_scores, fin_len)
-        )
-        fin_count = jnp.minimum(state.fin_count + jnp.sum(is_eot, axis=1), k)
 
         # Cache reorder by source rows.
         new_cache_k = jax.tree.map(lambda a: jnp.take(a, src_rows, axis=1), state.cache_k)

@@ -22,7 +22,7 @@ token-for-token against the host loop:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -203,16 +203,25 @@ def decode_segment_device(
     return state.tokens_out, state.length, state.sum_logprobs, no_speech_probs
 
 
-def build_masks(vocab, suppress: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Host-side precompute of the (V,) suppression and blank masks."""
+def build_masks(
+    vocab, suppress_tokens: Optional[Sequence[int]] = (-1,)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host-side precompute of the (V,) suppression and blank masks.
+
+    ``suppress_tokens`` follows openai's spec (-1 expands to non-speech
+    tokens; explicit ids honored; None/empty -> special tokens only) and is
+    forwarded verbatim so device decodes match the host filters
+    (rules.SuppressTokens) for custom lists."""
     import numpy as np
 
     from .rules import build_suppress_list
 
     v = vocab.n_vocab
     sup = np.zeros(v, bool)
-    if suppress:
-        sup[build_suppress_list(vocab)] = True
+    # Falsy spec -> no SuppressTokens filter at all (host/openai semantics:
+    # the filter, specials included, is only added when the spec is truthy).
+    if suppress_tokens:
+        sup[build_suppress_list(vocab, suppress_tokens)] = True
     blank = np.zeros(v, bool)
     blank_tok = vocab.token_to_id.get(b" ")
     if blank_tok is not None:

@@ -80,10 +80,17 @@ def _pad_to_bucket(tokens: np.ndarray) -> Tuple[np.ndarray, int]:
 
 
 class DecodingTask:
-    def __init__(self, config: WhisperConfig, vocab: WhisperVocab, options: DecodingOptions):
+    def __init__(
+        self,
+        config: WhisperConfig,
+        vocab: WhisperVocab,
+        options: DecodingOptions,
+        params=None,
+    ):
         self.config = config
         self.vocab = vocab
         self.options = options
+        self.params_ref = params  # model params pytree used by run()
 
         if options.beam_size is not None and options.temperature > 0:
             raise ValueError("beam search is only valid at temperature 0")
@@ -174,7 +181,7 @@ class DecodingTask:
             from .device_loop import build_masks
 
             sup_mask, blank_mask = build_masks(
-                v, suppress=bool(self.options.suppress_tokens)
+                v, suppress_tokens=self.options.suppress_tokens
             )
             if not self.options.suppress_blank:
                 blank_mask = jnp.zeros_like(blank_mask)
@@ -319,8 +326,7 @@ def decode_full(
     if use_device_loop and options.beam_size is not None and options.patience is None:
         # Fully on-device beam loop (token-exact vs the host beam).
         return _decode_full_device_beam(params, config, vocab, cross_k, cross_v, options)
-    task = DecodingTask(config, vocab, options)
-    task.params_ref = params
+    task = DecodingTask(config, vocab, options, params=params)
     # Fallback acceleration: rules + top-k on device, bookkeeping on host.
     return task.run(cross_k, cross_v, use_topk_device=use_device_loop)
 
@@ -332,7 +338,7 @@ def _decode_full_device(
 
     task = DecodingTask(config, vocab, options)  # reuses token-sequence logic
     n_audio = _cross_batch(cross_k)
-    sup_mask, blank_mask = build_masks(vocab, suppress=bool(options.suppress_tokens))
+    sup_mask, blank_mask = build_masks(vocab, suppress_tokens=options.suppress_tokens)
     if not options.suppress_blank:
         blank_mask = jnp.zeros_like(blank_mask)
     init = np.tile(np.array(task.initial_tokens, np.int32), (n_audio, 1))
@@ -340,10 +346,15 @@ def _decode_full_device(
     max_initial_index = None
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_initial_index = round(options.max_initial_timestamp / 0.02)
+    # Clamp to the positional-embedding budget: prefill positions + sampled
+    # positions must stay < n_text_ctx, else dynamic_update_slice/pe lookups
+    # clamp silently and corrupt the last KV slot (host loop breaks at
+    # tokens.shape[-1] > n_text_ctx; this is the static device equivalent).
+    sample_len = max(0, min(task.sample_len, config.n_text_ctx - padded.shape[1]))
     # Right-size the cache: the segment can't exceed prefill + sample budget.
     cache = init_cache(
         config, n_audio, dtype=_cache_dtype(cross_k),
-        ctx=padded.shape[1] + task.sample_len + 8,
+        ctx=padded.shape[1] + sample_len + 8,
     )
     toks, lengths, sum_lp, nosp = decode_segment_device(
         params,
@@ -356,7 +367,7 @@ def _decode_full_device(
         sup_mask,
         blank_mask,
         config,
-        sample_len=task.sample_len,
+        sample_len=sample_len,
         use_timestamps=not options.without_timestamps,
         max_initial_index=max_initial_index,
         temperature=options.temperature,
@@ -395,7 +406,7 @@ def _decode_full_device_beam(
     n_audio = _cross_batch(cross_k)
     ck, cv = cross_k, cross_v  # group-shared: decode_step folds the beam axis
 
-    sup_mask, blank_mask = build_masks(vocab, suppress=bool(options.suppress_tokens))
+    sup_mask, blank_mask = build_masks(vocab, suppress_tokens=options.suppress_tokens)
     if not options.suppress_blank:
         blank_mask = jnp.zeros_like(blank_mask)
     max_initial_index = None
@@ -404,15 +415,17 @@ def _decode_full_device_beam(
 
     init = np.tile(np.array(task.initial_tokens, np.int32), (n_audio * k, 1))
     padded, true_len = _pad_to_bucket(init)
+    # Same n_text_ctx clamp as _decode_full_device (silent-KV-corruption guard).
+    sample_len = max(0, min(task.sample_len, config.n_text_ctx - padded.shape[1]))
     cache = init_cache(
         config, n_audio * k, dtype=_cache_dtype(ck),
-        ctx=padded.shape[1] + task.sample_len + 8,
+        ctx=padded.shape[1] + sample_len + 8,
     )
     (act_toks, act_lp, fin_toks, fin_scores, fin_len, fin_count, steps, nosp) = (
         beam_decode_device(
             params, jnp.asarray(padded), true_len, task.sot_index, cache,
             ck, cv, sup_mask, blank_mask, config,
-            beam_size=k, sample_len=task.sample_len,
+            beam_size=k, sample_len=sample_len,
             use_timestamps=not options.without_timestamps,
             max_initial_index=max_initial_index,
         )

@@ -106,11 +106,19 @@ class WhisperVocab:
     def non_speech_tokens(self) -> List[int]:
         """Tokens suppressed by openai-whisper's SuppressTokens(-1): symbols,
         music/misc markers, never produced in transcription output."""
-        symbols = [bytes([c]) for c in b'"#()*+/:;<=>@[\\]^_`{|}~'] + [
-            b"<<", b">>", b"<<<", b">>>", b"--", b"---", b"-(", b"-[", b"('",
-            b'("', b"((", b"))", b"(((", b")))", b"[[", b"]]", b"{{", b"}}",
-            "♪".encode(), "♪♪".encode(), "♪♪♪".encode(),
-        ]
+        symbols = (
+            [bytes([c]) for c in b'"#()*+/:;<=>@[\\]^_`{|}~']
+            + [s.encode() for s in "「」『』"]  # CJK quotes (single gpt2 tokens)
+            + [
+                b"<<", b">>", b"<<<", b">>>", b"--", b"---", b"-(", b"-[", b"('",
+                b'("', b"((", b"))", b"(((", b")))", b"[[", b"]]", b"{{", b"}}",
+                "♪♪".encode(), "♪♪♪".encode(),
+            ]
+            # openai's miscellaneous music/accidental set ♩♪♫♬♭♮♯: suppressed
+            # even when multi-token (first BPE piece); exact-byte + space
+            # variants cover the single-token cases present in the vocab.
+            + [s.encode() for s in "♩♪♫♬♭♮♯"]
+        )
         # the space-prefixed variants too (GPT-2 byte-level uses raw leading space here)
         candidates = set()
         for s in symbols:
