@@ -103,9 +103,76 @@ class WhisperVocab:
     def decode_with_special(self, tokens) -> str:
         return self.decode(tokens, strip_special=False)
 
+    @property
+    def bpe(self):
+        """Exact GPT-2 BPE encoder, reconstructed lazily from the id table
+        (see io/bpe.py). ``bpe.valid`` is False for non-BPE vocabs (synthetic
+        fixtures) — callers fall back to greedy longest-match then."""
+        if getattr(self, "_bpe", None) is None:
+            from .bpe import ByteBPE
+
+            self._bpe = ByteBPE(self.id_to_token, self.token_eot)
+        return self._bpe
+
+    def encode(self, text: str) -> List[int]:
+        """Text -> token ids: exact BPE when the vocab is a real byte-level
+        BPE table, greedy longest-match fallback otherwise (whisper.cpp's
+        approach, adequate only for synthetic vocabs)."""
+        if self.bpe.valid:
+            return self.bpe.encode(text)
+        data = text.encode("utf-8")
+        tokens: List[int] = []
+        i = 0
+        max_len = max((len(t) for t in self.token_to_id), default=1)
+        while i < len(data):
+            match = None
+            for ln in range(min(max_len, len(data) - i), 0, -1):
+                tid = self.token_to_id.get(data[i : i + ln])
+                if tid is not None and tid < self.token_eot:
+                    match = (tid, ln)
+                    break
+            if match is None:
+                i += 1  # unencodable byte: skip (openai never hits this)
+                continue
+            tokens.append(match[0])
+            i += match[1]
+        return tokens
+
     def non_speech_tokens(self) -> List[int]:
         """Tokens suppressed by openai-whisper's SuppressTokens(-1): symbols,
-        music/misc markers, never produced in transcription output."""
+        music/misc markers, never produced in transcription output.
+
+        With a real BPE vocab this reproduces openai's computation exactly:
+        single-token symbol encodings (bare + space-prefixed) plus the FIRST
+        BPE piece of each miscellaneous music symbol even when multi-token.
+        """
+        cached = getattr(self, "_non_speech", None)
+        if cached is not None:
+            return cached
+        if self.bpe.valid:
+            symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+            symbols += (
+                '<< >> <<< >>> -- --- -( -[ (\' (" (( )) ((( ))) [[ ]] {{ }} '
+                "♪♪ ♪♪♪".split()
+            )
+            miscellaneous = set("♩♪♫♬♭♮♯")
+            result = set()
+            for s in (" -", " '"):
+                ids = self.bpe.encode(s)
+                if ids:
+                    result.add(ids[0])
+            for symbol in symbols + list(miscellaneous):
+                for ids in (self.bpe.encode(symbol), self.bpe.encode(" " + symbol)):
+                    if len(ids) == 1 or symbol in miscellaneous:
+                        if ids:
+                            result.add(ids[0])
+            self._non_speech = sorted(result)
+            return self._non_speech
+        self._non_speech = self._non_speech_bytes()
+        return self._non_speech
+
+    def _non_speech_bytes(self) -> List[int]:
+        """Exact-byte fallback for non-BPE (synthetic) vocabs."""
         symbols = (
             [bytes([c]) for c in b'"#()*+/:;<=>@[\\]^_`{|}~']
             + [s.encode() for s in "「」『』"]  # CJK quotes (single gpt2 tokens)

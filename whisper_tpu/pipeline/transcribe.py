@@ -168,8 +168,6 @@ def transcribe(
     all_segments: List[Segment] = []
     prompt_reset_since = 0
     if opts.initial_prompt is not None:
-        # byte-level prompt tokenization needs the BPE encoder; accept
-        # pre-tokenized prompts or raw text matched greedily over the vocab.
         initial_prompt_tokens = _tokenize_prompt(vocab, opts.initial_prompt)
         all_tokens.extend(initial_prompt_tokens)
 
@@ -282,26 +280,12 @@ def transcribe(
 
 
 def _tokenize_prompt(vocab, text: str) -> List[int]:
-    """Greedy longest-match byte tokenization over the vocab (host-side).
+    """Prompt text -> token ids.
 
-    Whisper's GPT-2 BPE merges aren't stored in GGML files, so exact BPE isn't
-    reproducible from the checkpoint alone; greedy longest-match over the
-    token byte table is the standard fallback (whisper.cpp does the same).
+    Exact GPT-2 byte-level BPE when the vocab is a real BPE table — the
+    merges are reconstructed from the GGML id table itself (io/bpe.py), so
+    conditioning is token-identical to openai-whisper. Synthetic (non-BPE)
+    vocabs fall back to greedy longest-match (whisper.cpp's approach).
+    Matches openai's transcribe.py: a leading space is prepended.
     """
-    data = text.encode("utf-8")
-    tokens: List[int] = []
-    i = 0
-    max_len = max((len(t) for t in vocab.token_to_id), default=1)
-    while i < len(data):
-        match = None
-        for j in range(min(len(data), i + max_len), i, -1):
-            tid = vocab.token_to_id.get(data[i:j])
-            if tid is not None and tid < vocab.token_eot:
-                match = (tid, j)
-                break
-        if match is None:
-            i += 1  # unencodable byte: skip
-        else:
-            tokens.append(match[0])
-            i = match[1]
-    return tokens
+    return vocab.encode(" " + text.strip())
