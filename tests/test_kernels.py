@@ -44,3 +44,50 @@ def test_flash_in_encoder_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out.hidden), np.asarray(ref.hidden), atol=5e-4
     )
+
+
+def test_cross_attention_int8_kernel_matches_xla():
+    """Pallas int8 cross-attention (interpret mode) vs the XLA reference path
+    (quant.qk_logits/pv_out) — same math, on-chip temporaries only."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from whisper_tpu.kernels.cross_attention_int8 import cross_attention_int8
+    from whisper_tpu.model.quant import QuantKV, _quantize_one, qk_logits, pv_out
+
+    rng = np.random.default_rng(3)
+    B, H, T, D, C = 2, 3, 1, 64, 300
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, D, C)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, D, C)).astype(np.float32))
+    kq, vq = _quantize_one(k), _quantize_one(v)
+
+    logits = qk_logits(q, kq)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ref = pv_out(probs, vq, jnp.float32)
+
+    out = cross_attention_int8(q, kq.data, kq.scale, vq.data, vq.scale,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-2)
+
+
+def test_cross_attention_int8_kernel_multi_query():
+    """T>1 (prefill / beam fold) with non-128-multiple C padding."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from whisper_tpu.kernels.cross_attention_int8 import cross_attention_int8
+    from whisper_tpu.model.quant import _quantize_one, qk_logits, pv_out
+
+    rng = np.random.default_rng(4)
+    B, H, T, D, C = 1, 2, 20, 64, 130
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, D, C)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, D, C)).astype(np.float32))
+    kq, vq = _quantize_one(k), _quantize_one(v)
+    ref = pv_out(jax.nn.softmax(qk_logits(q, kq), axis=-1), vq, jnp.float32)
+    out = cross_attention_int8(q, kq.data, kq.scale, vq.data, vq.scale,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-2)

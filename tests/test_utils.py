@@ -8,7 +8,8 @@ from whisper_tpu.utils.wer import edit_distance, normalize_text, wer
 
 def test_normalize():
     assert normalize_text("Hello, World!") == "hello world"
-    assert normalize_text("it's  FINE.") == "it's fine"
+    # full EnglishTextNormalizer semantics: contractions expand
+    assert normalize_text("it's  FINE.") == "it is fine"
     assert normalize_text("café") == "cafe"
 
 

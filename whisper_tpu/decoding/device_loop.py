@@ -48,7 +48,7 @@ class LoopState(NamedTuple):
 
 def _apply_rules_device(
     logits: jnp.ndarray,          # (B, V) f32
-    step: jnp.ndarray,            # scalar: 0 at first sampled position
+    step: jnp.ndarray,            # scalar or (B,): 0 at first sampled position
     state: LoopState,
     suppress_mask: jnp.ndarray,   # (V,) bool: True = never sample
     blank_mask: jnp.ndarray,      # (V,) bool: suppressed at step 0 only
@@ -57,7 +57,11 @@ def _apply_rules_device(
     max_initial_index: Optional[int],
 ) -> jnp.ndarray:
     eot, beg, not_, n_vocab = vocab_consts
+    B = logits.shape[0]
     ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    # step may be per-row (the serving engine's slots each carry their own
+    # position); normalize to (B, 1) so every rule broadcasts either way.
+    step = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(step)), (B,))[:, None]
 
     logits = jnp.where(suppress_mask[None, :], NEG, logits)
     logits = jnp.where((step == 0) & blank_mask[None, :], NEG, logits)
@@ -65,7 +69,7 @@ def _apply_rules_device(
     if use_timestamps:
         logits = logits.at[:, not_].set(NEG)
         last_was = state.last_tok >= beg            # (B,)
-        penult_was = (step < 2) | (state.prev_tok >= beg)
+        penult_was = (step[:, 0] < 2) | (state.prev_tok >= beg)
         is_ts = ids >= beg
         is_text = ids < eot
         # pair closed -> no timestamps; pair open -> no text

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 256
+# Measured on v5e (large-v3 encoder shapes, 24x20 heads x 1500 ctx):
+# block_q 256 = 0.212 s / 32 layers, 512 = 0.193, 768 = 0.189 — bigger q
+# tiles amortize the K/V VMEM residency better; 768 divides 1536 evenly.
+BLOCK_Q = 768
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, t_kv, block_q):

@@ -113,21 +113,43 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
 
     from .quant import QuantKV, _quantize_one, quant_sdpa
 
+    ragged = getattr(n_past, "ndim", 0) == 1  # per-row positions (serving slots)
     key_pos = jnp.arange(C)[None, :]                             # (1, C)
-    q_pos = n_past + jnp.arange(T)[:, None]                      # (T, 1)
-    mask = key_pos <= q_pos                                      # causal + past
+    if ragged:
+        # (B, 1, T, C) mask: each row has its own past length.
+        q_pos = n_past[:, None, None] + jnp.arange(T)[None, :, None]  # (B,T,1)
+        mask = (key_pos[None] <= q_pos)[:, None]                 # (B,1,T,C)
+    else:
+        q_pos = n_past + jnp.arange(T)[:, None]                  # (T, 1)
+        mask = key_pos <= q_pos                                  # causal + past
+
+    if ragged and T != 1:
+        raise NotImplementedError("per-row n_past decode requires T == 1")
+
+    def _append(buf, new, scale_rank=False):
+        """Write ``new`` at position n_past (scalar: slice; vector: per-row
+        scatter — the serving engine's slots each carry their own past)."""
+        if not ragged:
+            offs = (layer, 0, 0, n_past) if scale_rank else (layer, 0, 0, 0, n_past)
+            return jax.lax.dynamic_update_slice(buf, new[None], offs)
+        rows = jnp.arange(B)
+        lidx = jnp.full((B,), layer)
+        if scale_rank:  # new (B, H, 1) -> scatter at (layer, b, :, n_past[b])
+            return buf.at[lidx, rows, :, n_past].set(new[..., 0])
+        # new (B, H, D, 1) -> scatter at (layer, b, :, :, n_past[b])
+        return buf.at[lidx, rows, :, :, n_past].set(new[..., 0])
 
     if isinstance(ck_all, QuantKV):
         # int8 cache: quantize the appended positions, update data + scale.
         k8 = _quantize_one(k_new)
         v8 = _quantize_one(v_new)
         ck_all = QuantKV(
-            jax.lax.dynamic_update_slice(ck_all.data, k8.data[None], (layer, 0, 0, 0, n_past)),
-            jax.lax.dynamic_update_slice(ck_all.scale, k8.scale[None], (layer, 0, 0, n_past)),
+            _append(ck_all.data, k8.data),
+            _append(ck_all.scale, k8.scale, scale_rank=True),
         )
         cv_all = QuantKV(
-            jax.lax.dynamic_update_slice(cv_all.data, v8.data[None], (layer, 0, 0, 0, n_past)),
-            jax.lax.dynamic_update_slice(cv_all.scale, v8.scale[None], (layer, 0, 0, n_past)),
+            _append(cv_all.data, v8.data),
+            _append(cv_all.scale, v8.scale, scale_rank=True),
         )
         ck = QuantKV(
             jax.lax.dynamic_index_in_dim(ck_all.data, layer, 0, keepdims=False),
@@ -141,12 +163,8 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
     else:
         # Append at n_past — the functional version of the reference's
         # view_1d(memory_k, ..., offset=il*n_ctx + n_past) + cpy pattern.
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k_new.astype(ck_all.dtype)[None], (layer, 0, 0, 0, n_past)
-        )
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v_new.astype(cv_all.dtype)[None], (layer, 0, 0, 0, n_past)
-        )
+        ck_all = _append(ck_all, k_new.astype(ck_all.dtype))
+        cv_all = _append(cv_all, v_new.astype(cv_all.dtype))
         ck = jax.lax.dynamic_index_in_dim(ck_all, layer, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv_all, layer, 0, keepdims=False)
         o = _kvmajor_sdpa(q, ck, cv, mask, d ** -0.5)
@@ -171,6 +189,11 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         )
     if isinstance(cross_k, QuantKV):
         # int8 serving mode: per-position scales fold into the products.
+        # XLA's fused einsum path measures 81% of the HBM roofline here; a
+        # hand-written Pallas kernel (kernels/cross_attention_int8.py) was
+        # 2.5-4x SLOWER (per-program overhead + VPU-side dequant that XLA
+        # instead folds into the MXU operand read) — kept as a tested
+        # negative result, not wired.
         logits = qk_logits(qc, cross_k)
         probs = jax.nn.softmax(logits, axis=-1)
         o = pv_out(probs, cross_v, x.dtype)
@@ -211,8 +234,12 @@ def decode_step(
     x = dec["te"][tokens].astype(dec["pe"].dtype)
     if te_scale is not None:
         x = x * te_scale[tokens][..., None].astype(x.dtype)
-    pe = jax.lax.dynamic_slice_in_dim(dec["pe"], n_past, T, axis=0)
-    x = x + pe[None]
+    if getattr(n_past, "ndim", 0) == 1:
+        # ragged serving slots: per-row positions -> (B, T, S) pe gather
+        x = x + dec["pe"][n_past[:, None] + jnp.arange(T)[None]]
+    else:
+        pe = jax.lax.dynamic_slice_in_dim(dec["pe"], n_past, T, axis=0)
+        x = x + pe[None]
 
     def body(carry, xs):
         x, ck_all, cv_all, layer = carry

@@ -119,14 +119,22 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
         v = linear(x, blk_cv_w, blk_cv_b)
         k, v = to_kv_major(k, h), to_kv_major(v, h)  # (B, H, D, Ta)
         if quantize_kv:
-            # int8 serving mode, fused per layer: the bf16 cross memory never
-            # materializes in full — peak extra HBM is one layer's worth.
             from .quant import _quantize_one
 
             return _quantize_one(k), _quantize_one(v)
         return k, v
 
-    cross_k, cross_v = jax.vmap(cross_kv)(
-        dec_blocks["cross_k_w"], dec_blocks["cross_v_w"], dec_blocks["cross_v_b"]
-    )
+    if quantize_kv:
+        # int8 serving mode: layers must be SEQUENTIAL (lax.map) so the bf16
+        # K/V temporaries stay at one layer's size — a vmap here batches all
+        # layers and materializes the full bf16 cross memory (5.9 GB at b24,
+        # 7.9 GB at b32) before quantizing, exhausting HBM at serving batch.
+        cross_k, cross_v = jax.lax.map(
+            lambda ws: cross_kv(*ws),
+            (dec_blocks["cross_k_w"], dec_blocks["cross_v_w"], dec_blocks["cross_v_b"]),
+        )
+    else:
+        cross_k, cross_v = jax.vmap(cross_kv)(
+            dec_blocks["cross_k_w"], dec_blocks["cross_v_w"], dec_blocks["cross_v_b"]
+        )
     return EncoderOutput(hidden=x, cross_k=cross_k, cross_v=cross_v)

@@ -1,0 +1,298 @@
+"""Continuous-batching serving engine with a paged per-slot KV pool.
+
+The lockstep ``BatchTranscriber`` (serving.py) drains a whole batch before
+admitting new work; real serving has streams arriving and finishing at
+different times. This engine keeps a FIXED device-resident pool of S slots —
+KV cache, cross memory, logits, rule state — and decodes all active slots
+together in compiled chunks of Q tokens while each slot carries its own
+position counter (``n_past`` is a vector; model/decoder.py's ragged path).
+When a slot finishes, its row is refilled from the request queue *between
+chunks* with one jitted ``_refill`` call — no recompilation, no waiting for
+the rest of the batch ("iteration-level scheduling" at chunk granularity).
+
+Paging design note: Whisper decode contexts are small and statically bounded
+(<= prefill + sample budget), so the pool page size is one slot-segment — the
+vLLM-style sub-segment block table would add gather indirection to every
+attention read and buy nothing here (no sequence ever grows past its page).
+The reference's KV arena (main.rs:1336-1354) is the single-stream ancestor of
+this pool.
+
+Each admitted stream is mel'd + encoded at batch 1 (one compiled shape) and
+prefilled with the shared initial-token sequence; results are token-identical
+to the fused single-segment device loop (tested in tests/test_engine.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperConfig
+from ..decoding.device_loop import LoopState, _apply_rules_device, build_masks
+from ..decoding.result import DecodingResult, compression_ratio
+from ..decoding.task import DecodingOptions, DecodingTask, _pad_to_bucket
+from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
+from ..model.decoder import KVCache, decode_step, init_cache
+from ..model.encoder import encode
+
+NEG = jnp.float32(-1e30)
+
+
+class EngineState(NamedTuple):
+    cache_k: jnp.ndarray      # (L, S, H, D, C) slot KV pool
+    cache_v: jnp.ndarray
+    logits: jnp.ndarray       # (S, V) f32 — next-token logits per slot
+    n_past: jnp.ndarray       # (S,) int32
+    step: jnp.ndarray         # (S,) int32 — sampled tokens so far
+    active: jnp.ndarray       # (S,) bool
+    tokens_out: jnp.ndarray   # (S, GMAX) int32 (eot-padded)
+    length: jnp.ndarray       # (S,) int32
+    sum_logprobs: jnp.ndarray  # (S,) f32
+    last_tok: jnp.ndarray     # (S,) rule state
+    prev_tok: jnp.ndarray
+    last_ts: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "steps", "use_timestamps", "max_initial_index",
+                     "max_new"),
+)
+def _decode_chunk(
+    params, state: EngineState, cross_k, cross_v, sup_mask, blank_mask,
+    cfg: WhisperConfig, steps: int, use_timestamps: bool,
+    max_initial_index: Optional[int], max_new: int,
+):
+    v = cfg.n_vocab
+    eot = 50256 if v == 51864 else 50257
+    beg = eot + 107 if v != 51866 else eot + 108
+    not_ = beg - 1
+    S = state.logits.shape[0]
+    rows = jnp.arange(S)
+
+    def body(st: EngineState, _):
+        rule_state = LoopState(
+            cache_k=None, cache_v=None, tokens_out=None,
+            last_tok=st.last_tok, prev_tok=st.prev_tok, last_ts=st.last_ts,
+            finished=None, length=None, sum_logprobs=None, key=None,
+        )
+        filt = _apply_rules_device(
+            st.logits, st.step, rule_state, sup_mask, blank_mask,
+            (eot, beg, not_, v), use_timestamps, max_initial_index,
+        )
+        logprobs = jax.nn.log_softmax(filt, axis=-1)
+        nxt = jnp.argmax(filt, axis=-1).astype(jnp.int32)
+        step_lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(st.active, nxt, eot)
+        hit_cap = st.step + 1 >= max_new
+        now_eot = st.active & ((nxt == eot) | hit_cap)
+        sum_lp = st.sum_logprobs + jnp.where(st.active, step_lp, 0.0)
+        # a non-EOT token counts toward the transcript even when it is the
+        # budget-capped last one (device_loop's sample_len semantics)
+        length = st.length + jnp.where(st.active & (nxt != eot), 1, 0)
+        pos = jnp.clip(st.step, 0, st.tokens_out.shape[1] - 1)
+        tokens_out = st.tokens_out.at[rows, pos].set(
+            jnp.where(st.active, nxt, st.tokens_out[rows, pos])
+        )
+        is_ts = st.active & ~now_eot & (nxt >= beg)
+
+        lg, cache = decode_step(
+            params, nxt[:, None], st.n_past,
+            KVCache(st.cache_k, st.cache_v), cross_k, cross_v, cfg,
+        )
+        new = EngineState(
+            cache_k=cache.k, cache_v=cache.v,
+            logits=lg[:, 0].astype(jnp.float32),
+            n_past=st.n_past + jnp.where(st.active, 1, 0),
+            step=st.step + jnp.where(st.active, 1, 0),
+            active=st.active & ~now_eot,
+            tokens_out=tokens_out, length=length, sum_logprobs=sum_lp,
+            last_tok=jnp.where(st.active, nxt, st.last_tok),
+            prev_tok=jnp.where(st.active, st.last_tok, st.prev_tok),
+            last_ts=jnp.where(is_ts, nxt, st.last_ts),
+        )
+        return new, None
+
+    state, _ = jax.lax.scan(body, state, None, length=steps)
+    return state
+
+
+@jax.jit
+def _refill(state: EngineState, slot, cache_k_row, cache_v_row, logits_row,
+            n_init):
+    """Install a freshly-prefilled stream into slot ``slot`` (one dispatch)."""
+    s = slot
+    return EngineState(
+        cache_k=jax.lax.dynamic_update_slice(
+            state.cache_k, cache_k_row, (0, s, 0, 0, 0)),
+        cache_v=jax.lax.dynamic_update_slice(
+            state.cache_v, cache_v_row, (0, s, 0, 0, 0)),
+        logits=state.logits.at[s].set(logits_row),
+        n_past=state.n_past.at[s].set(n_init),
+        step=state.step.at[s].set(0),
+        active=state.active.at[s].set(True),
+        tokens_out=state.tokens_out,  # rows are read out before refill
+        length=state.length.at[s].set(0),
+        sum_logprobs=state.sum_logprobs.at[s].set(0.0),
+        last_tok=state.last_tok.at[s].set(-1),
+        prev_tok=state.prev_tok.at[s].set(-1),
+        last_ts=state.last_ts.at[s].set(-1),
+    )
+
+
+class SlotEngine:
+    """Greedy continuous-batching transcription over a fixed slot pool."""
+
+    def __init__(
+        self,
+        model,
+        n_slots: int = 8,
+        options: Optional[DecodingOptions] = None,
+        chunk_steps: int = 8,
+        max_new_tokens: Optional[int] = None,
+        use_flash: Optional[bool] = None,
+    ):
+        if options is not None and (options.beam_size or (options.best_of or 1) != 1
+                                    or options.temperature != 0):
+            raise ValueError("SlotEngine is greedy-only; use decode_full for beams")
+        self.model = model
+        self.cfg = model.config
+        self.vocab = model.vocab
+        self.n_slots = n_slots
+        self.chunk_steps = chunk_steps
+        self.options = options or DecodingOptions()
+        self.use_flash = (jax.default_backend() == "tpu"
+                          if use_flash is None else use_flash)
+
+        task = DecodingTask(self.cfg, self.vocab, self.options)
+        self.initial_tokens = task.initial_tokens
+        self.sot_index = task.sot_index
+        self.max_new = max_new_tokens or task.sample_len
+        padded, self.init_len = _pad_to_bucket(
+            np.tile(np.array(self.initial_tokens, np.int32), (1, 1)))
+        self._padded_init = jnp.asarray(padded)
+        # slot-pool context: prefill + generation budget (+EOT slack)
+        self.pool_ctx = min(padded.shape[1] + self.max_new + 8,
+                            self.cfg.n_text_ctx)
+        self.max_new = min(self.max_new, self.pool_ctx - padded.shape[1])
+
+        self.sup_mask, self.blank_mask = build_masks(
+            self.vocab, suppress_tokens=self.options.suppress_tokens)
+        if not self.options.suppress_blank:
+            self.blank_mask = jnp.zeros_like(self.blank_mask)
+        self.max_initial_index = None
+        if (self.options.max_initial_timestamp is not None
+                and not self.options.without_timestamps):
+            self.max_initial_index = round(self.options.max_initial_timestamp / 0.02)
+
+        self._n_frames = 2 * self.cfg.n_audio_ctx
+        self._cross_pool_k = None  # lazily sized (L, S, H, D, Ta)
+        self._cross_pool_v = None
+        self._state: Optional[EngineState] = None
+
+    # -- per-stream admission --
+
+    def _encode_one(self, audio: np.ndarray):
+        mel = log_mel_spectrogram(
+            jnp.asarray(np.asarray(audio, np.float32)), self.model.filters,
+            frame_count(len(audio)))
+        win = mel_window(mel, 0, self._n_frames)[None]
+        enc = encode(self.model.params, win, self.cfg, use_flash=self.use_flash)
+        return enc.cross_k, enc.cross_v  # (L, 1, H, D, Ta)
+
+    def _prefill_one(self, cross_k, cross_v):
+        cache = init_cache(self.cfg, 1, dtype=cross_k.dtype, ctx=self.pool_ctx)
+        logits_all, cache = decode_step(
+            self.model.params, self._padded_init, jnp.int32(0), cache,
+            cross_k, cross_v, self.cfg)
+        first_logits = logits_all[0, self.init_len - 1].astype(jnp.float32)
+        return cache, first_logits
+
+    def _init_state(self, cache_dtype):
+        S, cfg = self.n_slots, self.cfg
+        cache = init_cache(cfg, S, dtype=cache_dtype, ctx=self.pool_ctx)
+        self._state = EngineState(
+            cache_k=cache.k, cache_v=cache.v,
+            logits=jnp.zeros((S, cfg.n_vocab), jnp.float32),
+            n_past=jnp.zeros((S,), jnp.int32),
+            step=jnp.zeros((S,), jnp.int32),
+            active=jnp.zeros((S,), bool),
+            tokens_out=jnp.full((S, self.max_new), -1, jnp.int32),
+            length=jnp.zeros((S,), jnp.int32),
+            sum_logprobs=jnp.zeros((S,), jnp.float32),
+            last_tok=jnp.full((S,), -1, jnp.int32),
+            prev_tok=jnp.full((S,), -1, jnp.int32),
+            last_ts=jnp.full((S,), -1, jnp.int32),
+        )
+
+    def _admit(self, slot: int, audio: np.ndarray):
+        ck, cv = self._encode_one(audio)
+        if self._state is None:
+            self._init_state(ck.dtype)
+        if self._cross_pool_k is None:
+            L, _, H, D, Ta = ck.shape
+            shape = (L, self.n_slots, H, D, Ta)
+            self._cross_pool_k = jnp.zeros(shape, ck.dtype)
+            self._cross_pool_v = jnp.zeros(shape, cv.dtype)
+        self._cross_pool_k = jax.lax.dynamic_update_slice(
+            self._cross_pool_k, ck, (0, slot, 0, 0, 0))
+        self._cross_pool_v = jax.lax.dynamic_update_slice(
+            self._cross_pool_v, cv, (0, slot, 0, 0, 0))
+        # prefill against the slot's own cross memory (batch 1)
+        cache, first_logits = self._prefill_one(ck, cv)
+        self._state = _refill(
+            self._state, jnp.int32(slot), cache.k, cache.v, first_logits,
+            jnp.int32(self.init_len))
+
+    def _harvest(self, slot: int) -> DecodingResult:
+        st = self._state
+        toks = np.asarray(st.tokens_out[slot])
+        length = int(st.length[slot])
+        seq = [int(t) for t in toks[:length]]
+        sum_lp = float(st.sum_logprobs[slot])
+        text = self.vocab.decode(seq).strip()
+        return DecodingResult(
+            tokens=seq, text=text,
+            avg_logprob=sum_lp / (len(seq) + 1),
+            no_speech_prob=0.0,  # engine skips the no-speech gate (serving)
+            temperature=0.0,
+            compression_ratio=compression_ratio(text),
+        )
+
+    # -- the scheduler loop --
+
+    def transcribe_many(self, audios: Sequence[np.ndarray]) -> List[DecodingResult]:
+        """Drain a queue of independent 30 s-or-shorter streams; results are
+        returned in submission order. Slots are refilled as they free up."""
+        queue = list(enumerate(audios))
+        results: List[Optional[DecodingResult]] = [None] * len(queue)
+        slot_req = [-1] * self.n_slots  # request index per slot
+        queue.reverse()  # pop() from the front
+
+        while queue or any(r >= 0 for r in slot_req):
+            # fill free slots
+            for s in range(self.n_slots):
+                if slot_req[s] < 0 and queue:
+                    idx, audio = queue.pop()
+                    self._admit(s, audio)
+                    slot_req[s] = idx
+            # decode one chunk for all active slots
+            self._state = _decode_chunk(
+                self.model.params, self._state,
+                self._cross_pool_k, self._cross_pool_v,
+                self.sup_mask, self.blank_mask, self.cfg,
+                steps=self.chunk_steps,
+                use_timestamps=not self.options.without_timestamps,
+                max_initial_index=self.max_initial_index,
+                max_new=self.max_new,
+            )
+            active = np.asarray(self._state.active)
+            for s in range(self.n_slots):
+                if slot_req[s] >= 0 and not active[s]:
+                    results[slot_req[s]] = self._harvest(s)
+                    slot_req[s] = -1
+        return results  # type: ignore[return-value]

@@ -2,25 +2,24 @@
 
 The reference has no evaluation tooling; BASELINE.json's metric is "WER parity
 with openai/whisper on LibriSpeech test-clean". This module provides the
-metric (Levenshtein over words) and a basic English text normalizer
-(lowercase, strip punctuation, collapse whitespace — the load-bearing subset
-of openai's EnglishTextNormalizer for read speech like LibriSpeech).
+metric (Levenshtein over words); text canonicalization is the full
+EnglishTextNormalizer stack (utils/normalizers.py — contractions, spelled
+numbers -> digits, British -> American spellings, symbol/diacritic removal),
+matching openai's evaluation methodology.
 """
 
 from __future__ import annotations
 
-import re
-import unicodedata
 from typing import Iterable, List, Tuple
+
+from .normalizers import EnglishTextNormalizer
+
+_normalizer = EnglishTextNormalizer()
 
 
 def normalize_text(text: str) -> str:
-    text = text.lower()
-    text = unicodedata.normalize("NFKD", text)
-    text = "".join(c for c in text if not unicodedata.combining(c))
-    text = re.sub(r"[^\w\s']", " ", text)   # drop punctuation except apostrophe
-    text = re.sub(r"\s+", " ", text)
-    return text.strip()
+    """openai's English normalization (see utils/normalizers.py)."""
+    return _normalizer(text)
 
 
 def edit_distance(ref: List[str], hyp: List[str]) -> Tuple[int, int, int, int]:
