@@ -29,6 +29,8 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-timestamps", action="store_true")
     p.add_argument("--token-timestamps", action="store_true",
                    help="compute per-token timestamps")
+    p.add_argument("--word-timestamps", action="store_true",
+                   help="word-level timestamps via cross-attention DTW")
     p.add_argument("--no-condition-on-previous-text", action="store_true")
     p.add_argument("--initial-prompt", default=None)
     p.add_argument("--mel-mode", choices=["openai", "reference"], default="openai")
@@ -67,6 +69,7 @@ def cmd_transcribe(args) -> int:
         best_of=args.best_of,
         without_timestamps=args.no_timestamps,
         token_timestamps=args.token_timestamps,
+        word_timestamps=args.word_timestamps,
         condition_on_previous_text=not args.no_condition_on_previous_text,
         initial_prompt=args.initial_prompt,
         mel_mode=args.mel_mode,

@@ -23,6 +23,7 @@ Verified token-exact against the host beam in tests/test_topk_beam.py.
 from __future__ import annotations
 
 import functools
+import os as _os  # TEMP: perf ablation hooks
 from typing import NamedTuple, Optional
 
 import jax
@@ -213,7 +214,11 @@ def beam_decode_device(
             (eot, beg, not_, v), use_timestamps, max_initial_index,
         )
         logprobs = jax.nn.log_softmax(filt, axis=-1)          # (GK, V)
-        top_lp, top_ids = jax.lax.top_k(logprobs, k + 1)       # (GK, k+1)
+        if "notopk" in _os.environ.get("BEAM_ABLATE", ""):  # TEMP ablation
+            top_lp, top_ids = logprobs[:, : k + 1], jnp.tile(
+                jnp.arange(k + 1, dtype=jnp.int32)[None], (GK, 1))
+        else:
+            top_lp, top_ids = jax.lax.top_k(logprobs, k + 1)   # (GK, k+1)
 
         (new_sum_lp, new_tok, new_src, tokens_new,
          fin_tokens, fin_scores, fin_len, fin_count) = beam_update(
@@ -223,6 +228,8 @@ def beam_decode_device(
         )
 
         src_rows = (new_src + jnp.arange(G)[:, None] * k).reshape(GK)
+        if "nogather" in _os.environ.get("BEAM_ABLATE", ""):  # TEMP ablation
+            src_rows = jnp.arange(GK)
 
         # Gather rule state by source beam.
         last_tok_g = state.last_tok[src_rows]

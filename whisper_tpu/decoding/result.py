@@ -49,6 +49,8 @@ class Segment:
     temperature: float
     compression_ratio: float
     token_data: Optional[List[TokenData]] = None
+    # word-level timestamps (cross-attention DTW, pipeline/word_timing.py)
+    words: Optional[List[dict]] = None
 
 
 def compression_ratio(text: str) -> float:

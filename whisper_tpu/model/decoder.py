@@ -95,7 +95,7 @@ def _plinear(y, blk, name, bias_name=None):
 
 
 def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
-                   cfg: WhisperConfig):
+                   cfg: WhisperConfig, return_cross_probs: bool = False):
     """One decoder block. The KV cache is the FULL (L,B,H,D,C) buffer, updated
     in place at (layer, ..., n_past) — threading one buffer through the
     layer scan's carry lets XLA keep every update in-place instead of copying
@@ -187,6 +187,7 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         qc = qc.reshape(Bc, kk, h, T, d).transpose(0, 2, 1, 3, 4).reshape(
             Bc, h, kk * T, d
         )
+    cross_probs = None
     if isinstance(cross_k, QuantKV):
         # int8 serving mode: per-position scales fold into the products.
         # XLA's fused einsum path measures 81% of the HBM roofline here; a
@@ -196,7 +197,22 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         # negative result, not wired.
         logits = qk_logits(qc, cross_k)
         probs = jax.nn.softmax(logits, axis=-1)
+        if return_cross_probs:
+            cross_probs = probs.astype(jnp.float32)
         o = pv_out(probs, cross_v, x.dtype)
+    elif return_cross_probs:
+        # word-timing path (pipeline/word_timing.py): expose the attention
+        # distribution over audio positions (the reference's WhisperTokenData
+        # t0/t1 intent, main.rs:317-331, realized via openai's DTW method).
+        logits = jnp.einsum(
+            "bhtd,bhdc->bhtc", qc, cross_k, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        cross_probs = probs
+        o = jnp.einsum(
+            "bhtc,bhdc->bhtd", probs.astype(cross_v.dtype), cross_v,
+            preferred_element_type=jnp.float32,
+        ).astype(qc.dtype)
     else:
         Ta = cross_k.shape[-1]
         full = jnp.ones((qc.shape[-2], Ta), dtype=bool)
@@ -209,6 +225,8 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
     y = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
     y = gelu(_plinear(y, blk, "mlp0_w", "mlp0_b"), cfg.gelu_impl)
     x = x + _plinear(y, blk, "mlp1_w", "mlp1_b")
+    if return_cross_probs:
+        return x, ck_all, cv_all, cross_probs
     return x, ck_all, cv_all
 
 
@@ -261,3 +279,41 @@ def decode_step(
     if te_scale is not None:
         logits = logits * te_scale[None, None, :]
     return logits, KVCache(k=new_k, v=new_v)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cross_attention_probs(
+    params: dict,
+    tokens: jnp.ndarray,   # (B, T) int32 — full teacher-forced sequence
+    cross_k: jnp.ndarray,  # (L, B, H, D, Ta) kv-major, bf16/f32
+    cross_v: jnp.ndarray,
+    cfg: WhisperConfig,
+) -> jnp.ndarray:
+    """One causal forward over ``tokens`` returning the cross-attention
+    distribution (L, B, H, T, Ta) f32 per layer — the alignment signal for
+    word-level timestamps (pipeline/word_timing.py). Not on the serving hot
+    path; runs once per finished segment."""
+    dec = params["decoder"]
+    B, T = tokens.shape
+    te_scale = dec.get("te_scale")
+    x = dec["te"][tokens].astype(dec["pe"].dtype)
+    if te_scale is not None:
+        x = x * te_scale[tokens][..., None].astype(x.dtype)
+    x = x + dec["pe"][:T][None]
+    cache = init_cache(cfg, B, dtype=x.dtype, ctx=T)
+
+    def body(carry, xs):
+        x, ck_all, cv_all, layer = carry
+        blk, xk, xv = xs
+        x, ck_all, cv_all, probs = _decoder_block(
+            x, blk, ck_all, cv_all, layer, xk, xv, jnp.int32(0), cfg,
+            return_cross_probs=True,
+        )
+        return (x, ck_all, cv_all, layer + 1), probs
+
+    (_, _, _, _), probs = jax.lax.scan(
+        body,
+        (x, cache.k, cache.v, jnp.int32(0)),
+        (dec["blocks"], cross_k, cross_v),
+    )
+    return probs  # (L, B, H, T, Ta)

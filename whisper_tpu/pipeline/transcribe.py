@@ -49,6 +49,7 @@ class TranscribeOptions:
     initial_prompt: Optional[str] = None
     without_timestamps: bool = False
     token_timestamps: bool = False  # per-token t0/t1 (whisper.cpp algorithm)
+    word_timestamps: bool = False   # word-level DTW (openai's timing method)
     # Audio-context override (reference exp_n_audio_ctx, main.rs:362,
     # 1803-1807): encode only the first audio_ctx positions — a large speedup
     # for audio much shorter than 30 s, at slight accuracy cost.
@@ -255,6 +256,37 @@ def transcribe(
             # Degenerate timestamps (e.g. all <|0.00|>) must not stall the loop.
             log.warning("seek did not advance at frame %d; forcing full-window step", previous_seek)
             seek = previous_seek + segment_size
+
+        if opts.word_timestamps:
+            from .word_timing import find_word_timestamps
+
+            window_segments = [s for s in all_segments if s.seek == previous_seek]
+            if window_segments:
+                sot_seq = [vocab.token_sot]
+                if cfg.is_multilingual:
+                    sot_seq.append(vocab.language_token(language))
+                    sot_seq.append(
+                        vocab.token_translate if opts.task == "translate"
+                        else vocab.token_transcribe
+                    )
+                with model.timers.stage("word_align"):
+                    words = find_word_timestamps(
+                        model.params, cfg, vocab, enc.cross_k, enc.cross_v,
+                        [t for s in window_segments for t in s.tokens],
+                        sot_seq, num_frames=segment_size // INPUT_STRIDE,
+                        time_offset=time_offset,
+                    )
+                # distribute words into segments in order by midpoint time
+                wi = 0
+                for s in window_segments:
+                    s.words = []
+                    while wi < len(words):
+                        w = words[wi]
+                        mid = (w.start + w.end) / 2
+                        if mid >= s.t1 and s is not window_segments[-1]:
+                            break
+                        s.words.append(dataclasses.asdict(w))
+                        wi += 1
 
         if opts.verbose:
             for seg in all_segments:
