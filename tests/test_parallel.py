@@ -105,3 +105,51 @@ def test_graft_entry_dryrun():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out[1].shape[-1] == 51864
+
+
+def test_tp_decode_matches_single_device(setup):
+    """Device greedy decode under a (dp, tp) mesh — with the KV/cross layout
+    constraints active in decode_step — is token-identical to unsharded."""
+    import dataclasses
+
+    from whisper_tpu.decoding.device_loop import build_masks, decode_segment_device
+    from whisper_tpu.io.vocab import make_vocab
+    from whisper_tpu.model.decoder import init_cache
+    from whisper_tpu.parallel.sharding import cache_pspec, cross_pspec
+
+    from fixtures import synthetic_tokens
+
+    cfg, params = setup
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(7)
+    B = 4
+    mel = rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    sup, blank = build_masks(vocab)
+    init_tokens = jnp.asarray(
+        np.tile(np.array([vocab.token_sot], np.int32), (B, 1)))
+    SL = 12
+
+    def run(p, mesh=None):
+        enc = encode(p, jnp.asarray(mel), cfg)
+        ck, cv = enc.cross_k, enc.cross_v
+        cache = init_cache(cfg, B, ctx=1 + SL + 4)
+        if mesh is not None:
+            ck = jax.device_put(ck, NamedSharding(mesh, cross_pspec()))
+            cv = jax.device_put(cv, NamedSharding(mesh, cross_pspec()))
+            cache = jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, cache_pspec())),
+                cache)
+        toks, lengths, sum_lp, _ = decode_segment_device(
+            p, init_tokens, 1, 0, cache, ck, cv, sup, blank, cfg,
+            sample_len=SL)
+        return np.asarray(toks), np.asarray(lengths)
+
+    ref_toks, ref_len = run(params)
+
+    mesh = make_mesh(8, tp=2)
+    sharded = shard_params(params, mesh)
+    with jax.set_mesh(mesh):
+        got_toks, got_len = run(sharded, mesh=mesh)
+
+    np.testing.assert_array_equal(got_toks, ref_toks)
+    np.testing.assert_array_equal(got_len, ref_len)

@@ -220,15 +220,24 @@ def beam_decode_device(
         else:
             top_lp, top_ids = jax.lax.top_k(logprobs, k + 1)   # (GK, k+1)
 
-        (new_sum_lp, new_tok, new_src, tokens_new,
-         fin_tokens, fin_scores, fin_len, fin_count) = beam_update(
-            top_lp, top_ids, state.sum_lp, state.tokens,
-            state.fin_tokens, state.fin_scores, state.fin_len, state.fin_count,
-            step, k, eot,
-        )
+        _ablate = _os.environ.get("BEAM_ABLATE", "")  # TEMP perf hooks
+        if "skipupdate" in _ablate:
+            new_sum_lp = state.sum_lp
+            new_tok = jnp.argmax(filt, -1).astype(jnp.int32).reshape(G, k)
+            new_src = jnp.tile(jnp.arange(k)[None], (G, 1))
+            tokens_new = state.tokens
+            fin_tokens, fin_scores = state.fin_tokens, state.fin_scores
+            fin_len, fin_count = state.fin_len, state.fin_count
+        else:
+            (new_sum_lp, new_tok, new_src, tokens_new,
+             fin_tokens, fin_scores, fin_len, fin_count) = beam_update(
+                top_lp, top_ids, state.sum_lp, state.tokens,
+                state.fin_tokens, state.fin_scores, state.fin_len, state.fin_count,
+                step, k, eot,
+            )
 
         src_rows = (new_src + jnp.arange(G)[:, None] * k).reshape(GK)
-        if "nogather" in _os.environ.get("BEAM_ABLATE", ""):  # TEMP ablation
+        if "nogather" in _ablate:  # TEMP ablation
             src_rows = jnp.arange(GK)
 
         # Gather rule state by source beam.
@@ -238,8 +247,11 @@ def beam_decode_device(
         new_last_ts = jnp.where(nt_flat >= beg, nt_flat, last_ts_g)
 
         # Cache reorder by source rows.
-        new_cache_k = jax.tree.map(lambda a: jnp.take(a, src_rows, axis=1), state.cache_k)
-        new_cache_v = jax.tree.map(lambda a: jnp.take(a, src_rows, axis=1), state.cache_v)
+        if "skipgather" in _ablate:  # TEMP ablation: no take at all
+            new_cache_k, new_cache_v = state.cache_k, state.cache_v
+        else:
+            new_cache_k = jax.tree.map(lambda a: jnp.take(a, src_rows, axis=1), state.cache_k)
+            new_cache_v = jax.tree.map(lambda a: jnp.take(a, src_rows, axis=1), state.cache_v)
 
         new_state = BeamState(
             cache_k=new_cache_k, cache_v=new_cache_v,

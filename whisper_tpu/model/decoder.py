@@ -246,6 +246,15 @@ def decode_step(
     callers advance ``n_past`` by the true length only, so the next call's
     dynamic_update_slice overwrites them — padding never corrupts the stream.
     """
+    from ..parallel.sharding import constrain_kv
+
+    # Pin the KV/cross layouts when tracing under a (dp, tp) mesh (no-op
+    # otherwise) — the multi-GB decode buffers must not depend on XLA's
+    # sharding propagation (SURVEY §2.2 distributed-backend contract).
+    cache = KVCache(constrain_kv(cache.k), constrain_kv(cache.v))
+    cross_k = constrain_kv(cross_k)
+    cross_v = constrain_kv(cross_v)
+
     dec = params["decoder"]
     B, T = tokens.shape
     te_scale = dec.get("te_scale")  # set when the embedding is int8-quantized

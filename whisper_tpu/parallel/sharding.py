@@ -101,3 +101,20 @@ def cache_pspec() -> P:
 def cross_pspec() -> P:
     """Cross K/V (L, B, H, D, Ta): batch over dp, heads over tp."""
     return P(None, "dp", "tp", None, None)
+
+
+def constrain_kv(x):
+    """Pin a (L, B, H, D, C)-or-(L, B, H, C) KV/cross buffer (or QuantKV) to
+    the dp/tp layout when tracing under a (dp, tp) mesh context; no-op
+    otherwise. Called from model/decoder.decode_step so sharded decode never
+    relies on XLA's layout propagation for the multi-GB buffers."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty or not {"dp", "tp"} <= set(mesh.axis_names):
+        return x
+
+    def one(arr):
+        spec = (P(None, "dp", "tp", None, None) if arr.ndim == 5
+                else P(None, "dp", "tp", None))
+        return jax.lax.with_sharding_constraint(arr, NamedSharding(mesh, spec))
+
+    return jax.tree.map(one, x)
