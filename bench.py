@@ -28,12 +28,17 @@ def main() -> int:
     _enable_compile_cache()
     from whisper_tpu.utils.benchmark import run_benchmark
 
+    # Default = the flagship serving config: int8 cross/KV/decoder weights at
+    # the largest batch that fits HBM (tests/test_quant.py checks int8-vs-bf16
+    # token agreement on worst-case random weights; bf16 remains the
+    # numerics-parity mode via BENCH_KV/WQ=bfloat16).
+    # Measured r2 (v5e): b24 bf16 426x -> b48 int8 605x.
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "24"))  # b24 = HBM sweet spot
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     seconds = int(os.environ.get("BENCH_SECONDS", "120"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    kv_dtype = os.environ.get("BENCH_KV", "bfloat16")
-    weight_dtype = os.environ.get("BENCH_WQ", "bfloat16")
+    kv_dtype = os.environ.get("BENCH_KV", "int8")
+    weight_dtype = os.environ.get("BENCH_WQ", "int8")
     beam = os.environ.get("BENCH_BEAM")
     result = run_benchmark(
         model_name=model_name, batch=batch, seconds=seconds, dtype=dtype,

@@ -129,3 +129,31 @@ def test_build_masks_forwards_custom_suppress_list():
     expect_def = np.zeros(cfg.n_vocab, bool)
     expect_def[build_suppress_list(vocab)] = True
     np.testing.assert_array_equal(np.asarray(sup_def), expect_def)
+
+
+def test_temperature_sampling_host_matches_device():
+    """t>0: the host loop now uses the device loop's PRNG schedule
+    (PRNGKey(seed), split per step, gumbel categorical) — same backend,
+    same seed => identical samples (round-1 review weak #4)."""
+    from fixtures import micro_config, random_tensors, synthetic_tokens
+    from whisper_tpu.decoding.task import DecodingOptions, decode_full
+    from whisper_tpu.io.vocab import make_vocab
+    from whisper_tpu.model.encoder import encode
+    from whisper_tpu.model.params import params_from_ggml
+
+    cfg = micro_config(n_vocab=51864)
+    params = jax.tree.map(
+        jnp.asarray, params_from_ggml(random_tensors(cfg, seed=21), cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    enc = encode(params, jnp.asarray(mel), cfg)
+
+    opts = DecodingOptions(temperature=0.8, sample_len=16, seed=7,
+                           without_timestamps=True)
+    host = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                       use_device_loop=False)
+    dev = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                      use_device_loop=True)
+    for h, d in zip(host, dev):
+        assert h.tokens == d.tokens

@@ -13,7 +13,7 @@ for load-time sanity asserts and the load banner.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
+from typing import Dict, Optional
 
 # Audio frontend constants (reference: main.rs:25-29).
 SAMPLE_RATE = 16_000
@@ -81,9 +81,38 @@ class WhisperConfig:
             raise ValueError(f"unsupported n_mels={self.n_mels}")
         return self
 
+    def serving_hbm_estimate(
+        self,
+        batch: int = 1,
+        ctx: Optional[int] = None,
+        dtype_bytes: int = 2,
+        kv_dtype_bytes: int = 2,
+    ) -> Dict[str, int]:
+        """Per-term HBM budget for a serving configuration — the full version
+        of the reference's MEM_REQ_* tables (main.rs:94-189): weights + cross
+        memory + self-KV cache + peak encoder activations, in bytes. Use to
+        sanity-check a (model, batch, dtype) combination against chip HBM
+        before compiling (e.g. large-v3 bf16 cross at b48 alone is 11.8 GB —
+        int8 or a smaller batch is required on a 16 GB chip)."""
+        c = min(ctx if ctx is not None else self.n_text_ctx, self.n_text_ctx)
+        t, a = self.n_text_state, self.n_audio_state
+        cross = 2 * self.n_text_layer * batch * a * self.n_audio_ctx * kv_dtype_bytes
+        if kv_dtype_bytes == 1:  # int8 adds per-position f32 scales
+            cross += 2 * self.n_text_layer * batch * self.n_text_head * self.n_audio_ctx * 4
+        kv = 2 * self.n_text_layer * batch * t * c * kv_dtype_bytes
+        if kv_dtype_bytes == 1:
+            kv += 2 * self.n_text_layer * batch * self.n_text_head * c * 4
+        # encoder peak: ~4 live (B, 1500, a) activations + one (B, 1500, 4a)
+        acts = batch * self.n_audio_ctx * a * (4 + 4) * dtype_bytes
+        weights = self.hbm_bytes_estimate()
+        total = weights + cross + kv + acts
+        return {"weights": weights, "cross": cross, "kv_cache": kv,
+                "activations": acts, "total": total}
+
     def hbm_bytes_estimate(self) -> int:
         """Analytic weight-size accounting; the TPU analogue of the reference's
-        ctx_size bookkeeping (main.rs:823-944). Used for the load banner only."""
+        ctx_size bookkeeping (main.rs:823-944). Used for the load banner;
+        see serving_hbm_estimate() for the full per-configuration budget."""
         ws = 2 if self.f16 == 1 else 4
         f32 = 4
         a, t, v, m = self.n_audio_state, self.n_text_state, self.n_vocab, self.n_mels

@@ -23,7 +23,6 @@ Verified token-exact against the host beam in tests/test_topk_beam.py.
 from __future__ import annotations
 
 import functools
-import os as _os  # TEMP: perf ablation hooks
 from typing import NamedTuple, Optional
 
 import jax
@@ -214,31 +213,16 @@ def beam_decode_device(
             (eot, beg, not_, v), use_timestamps, max_initial_index,
         )
         logprobs = jax.nn.log_softmax(filt, axis=-1)          # (GK, V)
-        if "notopk" in _os.environ.get("BEAM_ABLATE", ""):  # TEMP ablation
-            top_lp, top_ids = logprobs[:, : k + 1], jnp.tile(
-                jnp.arange(k + 1, dtype=jnp.int32)[None], (GK, 1))
-        else:
-            top_lp, top_ids = jax.lax.top_k(logprobs, k + 1)   # (GK, k+1)
+        top_lp, top_ids = jax.lax.top_k(logprobs, k + 1)       # (GK, k+1)
 
-        _ablate = _os.environ.get("BEAM_ABLATE", "")  # TEMP perf hooks
-        if "skipupdate" in _ablate:
-            new_sum_lp = state.sum_lp
-            new_tok = jnp.argmax(filt, -1).astype(jnp.int32).reshape(G, k)
-            new_src = jnp.tile(jnp.arange(k)[None], (G, 1))
-            tokens_new = state.tokens
-            fin_tokens, fin_scores = state.fin_tokens, state.fin_scores
-            fin_len, fin_count = state.fin_len, state.fin_count
-        else:
-            (new_sum_lp, new_tok, new_src, tokens_new,
-             fin_tokens, fin_scores, fin_len, fin_count) = beam_update(
-                top_lp, top_ids, state.sum_lp, state.tokens,
-                state.fin_tokens, state.fin_scores, state.fin_len, state.fin_count,
-                step, k, eot,
-            )
+        (new_sum_lp, new_tok, new_src, tokens_new,
+         fin_tokens, fin_scores, fin_len, fin_count) = beam_update(
+            top_lp, top_ids, state.sum_lp, state.tokens,
+            state.fin_tokens, state.fin_scores, state.fin_len, state.fin_count,
+            step, k, eot,
+        )
 
         src_rows = (new_src + jnp.arange(G)[:, None] * k).reshape(GK)
-        if "nogather" in _ablate:  # TEMP ablation
-            src_rows = jnp.arange(GK)
 
         # Gather rule state by source beam.
         last_tok_g = state.last_tok[src_rows]
@@ -246,12 +230,30 @@ def beam_decode_device(
         nt_flat = new_tok.reshape(GK)
         new_last_ts = jnp.where(nt_flat >= beg, nt_flat, last_ts_g)
 
-        # Cache reorder by source rows.
-        if "skipgather" in _ablate:  # TEMP ablation: no take at all
-            new_cache_k, new_cache_v = state.cache_k, state.cache_v
-        else:
-            new_cache_k = jax.tree.map(lambda a: jnp.take(a, src_rows, axis=1), state.cache_k)
-            new_cache_v = jax.tree.map(lambda a: jnp.take(a, src_rows, axis=1), state.cache_v)
+        # Cache reorder by source rows. Measured on v5e (large-v3, b8 k5,
+        # int8 cache, 64 steps): a plain axis-1 take costs 8.5 ms/step inside
+        # this loop (vs 1.8 ms isolated — in-loop carry aliasing hurts);
+        # folding (L, B) and gathering on the leading axis lowers better
+        # (-10%), and skipping entirely when every beam keeps its own row
+        # (identity permutation — the common case on confident real speech)
+        # removes the cost outright, so the gather runs under a cond.
+        def _permute_cache(args):
+            ck, cv, rows = args
+
+            def permute(a):
+                L_, B_ = a.shape[0], a.shape[1]
+                flat = a.reshape((L_ * B_,) + a.shape[2:])
+                idx = (jnp.arange(L_)[:, None] * B_ + rows[None, :]).reshape(-1)
+                return jnp.take(flat, idx, axis=0).reshape(a.shape)
+
+            return jax.tree.map(permute, ck), jax.tree.map(permute, cv)
+
+        new_cache_k, new_cache_v = jax.lax.cond(
+            jnp.all(src_rows == jnp.arange(GK)),
+            lambda args: (args[0], args[1]),
+            _permute_cache,
+            (state.cache_k, state.cache_v, src_rows),
+        )
 
         new_state = BeamState(
             cache_k=new_cache_k, cache_v=new_cache_v,

@@ -20,15 +20,29 @@ from .rules import log_softmax
 
 
 class GreedyDecoder:
-    """temperature == 0 -> argmax; else sample from softmax(logits / T)."""
+    """temperature == 0 -> argmax; else sample from softmax(logits / T).
 
-    def __init__(self, temperature: float, eot: int, rng: Optional[np.random.Generator] = None):
+    Sampling uses the SAME PRNG schedule as the fused device loop
+    (jax.random.PRNGKey(seed); split per step; categorical) so temperature>0
+    decoding takes the same draws on the host path as on the device path —
+    host/device divergence at t>0 is then limited to floating-point logit
+    differences between backends, not to a different sampler (review round-1
+    weak #4). Pass ``seed`` (or a legacy numpy Generator, still accepted for
+    the old behavior in tests)."""
+
+    def __init__(self, temperature: float, eot: int,
+                 seed: "int | np.random.Generator" = 0):
         self.temperature = temperature
         self.eot = eot
-        self.rng = rng or np.random.default_rng(0)
+        self._legacy_rng = seed if isinstance(seed, np.random.Generator) else None
+        self._seed = 0 if self._legacy_rng is not None else int(seed)
+        self.reset()
 
     def reset(self):
-        pass
+        if self._legacy_rng is None:
+            import jax
+
+            self._key = jax.random.PRNGKey(self._seed)
 
     def update(
         self, tokens: np.ndarray, logits: np.ndarray, sum_logprobs: np.ndarray
@@ -36,11 +50,22 @@ class GreedyDecoder:
         """tokens (n, T), logits (n, V) -> (tokens (n, T+1), all_completed)."""
         if self.temperature == 0:
             next_tokens = logits.argmax(axis=-1)
-        else:
+        elif self._legacy_rng is not None:
             scaled = logits / self.temperature
             probs = np.exp(log_softmax(scaled))
             next_tokens = np.array(
-                [self.rng.choice(len(p), p=p / p.sum()) for p in probs]
+                [self._legacy_rng.choice(len(p), p=p / p.sum()) for p in probs]
+            )
+        else:
+            import jax
+            import jax.numpy as jnp
+
+            self._key, sub = jax.random.split(self._key)
+            next_tokens = np.asarray(
+                jax.random.categorical(
+                    sub, jnp.asarray(logits, jnp.float32) / self.temperature,
+                    axis=-1,
+                )
             )
         logprobs = log_softmax(logits)
         current_logprobs = logprobs[np.arange(len(logits)), next_tokens]

@@ -105,8 +105,9 @@ class DecodingTask:
         if options.beam_size is not None:
             self.decoder = BeamSearchDecoder(options.beam_size, vocab.token_eot, options.patience)
         else:
+            # same PRNG schedule as the device loop (host/device t>0 parity)
             self.decoder = GreedyDecoder(
-                options.temperature, vocab.token_eot, np.random.default_rng(options.seed)
+                options.temperature, vocab.token_eot, options.seed
             )
         self.ranker = MaximumLikelihoodRanker(options.length_penalty)
 
