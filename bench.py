@@ -32,9 +32,9 @@ def main() -> int:
     # the largest batch that fits HBM (tests/test_quant.py checks int8-vs-bf16
     # token agreement on worst-case random weights; bf16 remains the
     # numerics-parity mode via BENCH_KV/WQ=bfloat16).
-    # Measured r2 (v5e): b24 bf16 426x -> b48 int8 605x.
+    # Measured r2 (v5e): b24 bf16 426x -> b48 int8 605x -> b64 int8 624x.
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "48"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     seconds = int(os.environ.get("BENCH_SECONDS", "120"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     kv_dtype = os.environ.get("BENCH_KV", "int8")

@@ -72,3 +72,39 @@ def test_batch_transcriber_on_mesh(model):
     single = BatchTranscriber(model, batch_size=2).transcribe_batch(audios)
     sharded = engine.transcribe_batch(audios)
     assert [r.tokens for r in sharded] == [r.tokens for r in single]
+
+
+def test_merge_window_segments_overlap_midpoint_rule():
+    """Each segment is kept by exactly one window; boundary fragments from a
+    window edge are replaced by the neighbor's full-view version."""
+    import dataclasses as dc
+
+    from whisper_tpu.decoding.result import Segment
+    from whisper_tpu.pipeline.chunked import merge_window_segments
+
+    def seg(t0, t1, text):
+        return Segment(id=0, seek=0, t0=t0, t1=t1, text=text, tokens=[],
+                       avg_logprob=0.0, no_speech_prob=0.0, temperature=0.0,
+                       compression_ratio=1.0)
+
+    # windows at frames 0 and 2500 (25 s) with 500-frame (5 s) overlap:
+    # cut at 25 + 2.5 = 27.5 s
+    w0 = [seg(0.0, 10.0, " a"), seg(10.0, 26.0, " b"), seg(26.5, 29.9, " clip")]
+    w1 = [seg(25.2, 27.0, " dup-b-tail"), seg(27.2, 31.0, " c"),
+          seg(31.0, 40.0, " d")]
+    merged = merge_window_segments([(0, w0), (2500, w1)], overlap_frames=500)
+    texts = [s.text for s in merged]
+    # " clip" (mid 28.2 >= 27.5) dropped from w0; " dup-b-tail" (mid 26.1
+    # < 27.5) dropped from w1; " c" (mid 29.1) kept by w1.
+    assert texts == [" a", " b", " c", " d"]
+    assert [s.id for s in merged] == [0, 1, 2, 3]
+
+
+def test_chunked_overlap_end_to_end(model):
+    """Overlap mode runs end-to-end and yields time-ordered segments."""
+    audio = synthetic_audio(SAMPLE_RATE * 70)
+    out = transcribe_chunked(model, audio, overlap_seconds=5.0,
+                             without_timestamps=False)
+    mids = [(s["t0"] + s["t1"]) / 2 for s in out["segments"]]
+    assert mids == sorted(mids)
+    assert out["duration"] > 0

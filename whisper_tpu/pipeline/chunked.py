@@ -10,8 +10,12 @@ the "chunk-parallel encoder across chips" scale-out path (BASELINE config 5);
 the reference's closest concept is its unused WHISPER_CHUNK_SIZE constant
 (/root/reference/src/main.rs:29).
 
-Accuracy note: disjoint windows can clip words at boundaries (same tradeoff
-as HF's chunked long-form); sequential mode remains the accuracy-first path.
+Boundary accuracy: with ``overlap_seconds > 0`` windows overlap and the
+merge keeps each segment from the window that sees it furthest from its
+edges (cut at the overlap midpoint, HF-style) — a word clipped by one
+window's edge lies fully inside its neighbor. ``overlap_seconds=0`` keeps
+the fastest disjoint behavior; sequential mode remains the accuracy-first
+path.
 """
 
 from __future__ import annotations
@@ -40,9 +44,14 @@ def transcribe_chunked(
     options: Optional[TranscribeOptions] = None,
     mesh=None,
     batch_windows: int = _MAX_BATCH,
+    overlap_seconds: float = 0.0,
     **kwargs,
 ) -> dict:
-    """Fixed-stride chunk-parallel transcription (no prompt conditioning)."""
+    """Fixed-stride chunk-parallel transcription (no prompt conditioning).
+
+    overlap_seconds > 0 overlaps adjacent windows and merges their segments
+    at the overlap midpoints (boundary-word fix; ~overlap/30 extra compute).
+    """
     opts = options or TranscribeOptions(**kwargs)
     cfg, vocab = model.config, model.vocab
 
@@ -66,10 +75,13 @@ def transcribe_chunked(
             center=center, fold=not center,
         )
     content_frames = mel.shape[-1] - N_FRAMES
-    offsets = list(range(0, max(content_frames, 1), N_FRAMES))
+    overlap_frames = int(overlap_seconds * SAMPLE_RATE / HOP_LENGTH)
+    overlap_frames = max(0, min(overlap_frames, N_FRAMES - 100))
+    stride = N_FRAMES - overlap_frames
+    offsets = list(range(0, max(content_frames, 1), stride))
 
     language = opts.language or ("en" if not cfg.is_multilingual else None)
-    all_segments: List[Segment] = []
+    window_results: List[tuple] = []  # (offset_frames, [Segment])
     for group_start in range(0, len(offsets), batch_windows):
         group = offsets[group_start : group_start + batch_windows]
         windows = jnp.stack([mel_window(mel, off, N_FRAMES) for off in group])
@@ -119,17 +131,17 @@ def transcribe_chunked(
                     or result.avg_logprob < opts.logprob_threshold
                 )
             ):
+                window_results.append((off, []))
                 continue
             time_offset = off * HOP_LENGTH / SAMPLE_RATE
             window_frames = min(N_FRAMES, content_frames - off)
-            all_segments.extend(
-                extract_segments(
-                    result, vocab, time_offset,
-                    window_frames * HOP_LENGTH / SAMPLE_RATE,
-                    seek=off, base_id=len(all_segments),
-                )
-            )
+            window_results.append((off, extract_segments(
+                result, vocab, time_offset,
+                window_frames * HOP_LENGTH / SAMPLE_RATE,
+                seek=off,
+            )))
 
+    all_segments = merge_window_segments(window_results, overlap_frames)
     text = "".join(seg.text for seg in all_segments)
     return {
         "text": text,
@@ -137,6 +149,33 @@ def transcribe_chunked(
         "language": language or "en",
         "duration": len(audio) / SAMPLE_RATE,
     }
+
+
+def merge_window_segments(
+    window_results: List[tuple], overlap_frames: int
+) -> List[Segment]:
+    """Merge per-window segment lists from (possibly overlapping) windows.
+
+    Each segment is kept by exactly one window — the one whose keep-range
+    [own_start + overlap/2, next_start + overlap/2) contains the segment's
+    midpoint — so boundary-clipped fragments from a window edge are replaced
+    by the neighbor's full-view version (HF chunked long-form semantics).
+    Disjoint windows (overlap 0) reduce to plain concatenation.
+    """
+    spf = HOP_LENGTH / SAMPLE_RATE  # seconds per mel frame
+    half = overlap_frames * spf / 2.0
+    out: List[Segment] = []
+    for i, (off, segments) in enumerate(window_results):
+        lo = -np.inf if i == 0 else off * spf + half
+        if i + 1 < len(window_results):
+            hi = window_results[i + 1][0] * spf + half
+        else:
+            hi = np.inf
+        for seg in segments:
+            mid = (seg.t0 + seg.t1) / 2.0
+            if lo <= mid < hi:
+                out.append(dataclasses.replace(seg, id=len(out)))
+    return out
 
 
 def extract_segments(result, vocab, time_offset: float, window_duration: float,
