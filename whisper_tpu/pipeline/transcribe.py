@@ -173,128 +173,17 @@ def transcribe(
         all_tokens.extend(initial_prompt_tokens)
 
     seek = 0
-    last_speech_timestamp = 0.0
     while seek < content_frames:
-        time_offset = seek * HOP_LENGTH / SAMPLE_RATE
-        segment_size = min(n_frames_window, content_frames - seek)
-        segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
-
-        with model.timers.stage("encode"):
-            window = mel_window(mel, seek, n_frames_window)[None]
-            enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
-
-        prompt = all_tokens[prompt_reset_since:] if opts.condition_on_previous_text else []
-        with model.timers.stage("decode"):
-            result = _decode_with_fallback(model, enc.cross_k, enc.cross_v, opts, prompt)
-
-        if opts.no_speech_threshold is not None:
-            should_skip = result.no_speech_prob > opts.no_speech_threshold
-            if (
-                opts.logprob_threshold is not None
-                and result.avg_logprob > opts.logprob_threshold
-            ):
-                should_skip = False  # confident despite no_speech: keep
-            if should_skip:
-                seek += segment_size
-                continue
-
-        previous_seek = seek
-        tokens = np.array(result.tokens)
-        timestamp_tokens = tokens >= vocab.token_beg
-        single_timestamp_ending = (
-            len(tokens) >= 2 and not timestamp_tokens[-2] and timestamp_tokens[-1]
+        segments, seek, new_tokens, reset_prompt = _window_step(
+            model, mel, seek, content_frames, n_frames_window, opts,
+            all_tokens, prompt_reset_since, len(all_segments), language,
         )
-        consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
-
-        def add_segment(start, end, seg_tokens):
-            text_tokens = [t for t in seg_tokens if t < vocab.token_eot]
-            all_segments.append(
-                Segment(
-                    id=len(all_segments),
-                    seek=previous_seek,
-                    t0=float(start),
-                    t1=float(end),
-                    text=vocab.decode(text_tokens),
-                    tokens=[int(t) for t in seg_tokens],
-                    avg_logprob=result.avg_logprob,
-                    no_speech_prob=result.no_speech_prob,
-                    temperature=result.temperature,
-                    compression_ratio=result.compression_ratio,
-                )
-            )
-
-        if len(consecutive) > 0:
-            # Segments delimited by paired timestamps inside the window.
-            slices = consecutive.tolist()
-            if single_timestamp_ending:
-                slices.append(len(tokens))
-            last_slice = 0
-            for current_slice in slices:
-                sliced = tokens[last_slice:current_slice]
-                start_pos = sliced[0].item() - vocab.token_beg
-                end_pos = sliced[-1].item() - vocab.token_beg
-                add_segment(
-                    time_offset + start_pos * 0.02,
-                    time_offset + end_pos * 0.02,
-                    sliced.tolist(),
-                )
-                last_slice = current_slice
-            if single_timestamp_ending:
-                seek += segment_size  # window fully consumed
-            else:
-                last_timestamp_pos = tokens[last_slice - 1].item() - vocab.token_beg
-                seek += last_timestamp_pos * INPUT_STRIDE
-        else:
-            duration = segment_duration
-            timestamps = tokens[timestamp_tokens]
-            if len(timestamps) > 0 and timestamps[-1].item() != vocab.token_beg:
-                duration = (timestamps[-1].item() - vocab.token_beg) * 0.02
-            add_segment(time_offset, time_offset + duration, tokens.tolist())
-            seek += segment_size
-
-        if seek <= previous_seek:
-            # Degenerate timestamps (e.g. all <|0.00|>) must not stall the loop.
-            log.warning("seek did not advance at frame %d; forcing full-window step", previous_seek)
-            seek = previous_seek + segment_size
-
-        if opts.word_timestamps:
-            from .word_timing import find_word_timestamps
-
-            window_segments = [s for s in all_segments if s.seek == previous_seek]
-            if window_segments:
-                sot_seq = [vocab.token_sot]
-                if cfg.is_multilingual:
-                    sot_seq.append(vocab.language_token(language))
-                    sot_seq.append(
-                        vocab.token_translate if opts.task == "translate"
-                        else vocab.token_transcribe
-                    )
-                with model.timers.stage("word_align"):
-                    words = find_word_timestamps(
-                        model.params, cfg, vocab, enc.cross_k, enc.cross_v,
-                        [t for s in window_segments for t in s.tokens],
-                        sot_seq, num_frames=segment_size // INPUT_STRIDE,
-                        time_offset=time_offset,
-                    )
-                # distribute words into segments in order by midpoint time
-                wi = 0
-                for s in window_segments:
-                    s.words = []
-                    while wi < len(words):
-                        w = words[wi]
-                        mid = (w.start + w.end) / 2
-                        if mid >= s.t1 and s is not window_segments[-1]:
-                            break
-                        s.words.append(dataclasses.asdict(w))
-                        wi += 1
-
+        all_segments.extend(segments)
         if opts.verbose:
-            for seg in all_segments:
-                if seg.seek == previous_seek:
-                    log.info("[%.2fs -> %.2fs] %s", seg.t0, seg.t1, seg.text)
-
-        all_tokens.extend(tokens.tolist())
-        if not opts.condition_on_previous_text or result.temperature > 0.5:
+            for seg in segments:
+                log.info("[%.2fs -> %.2fs] %s", seg.t0, seg.t1, seg.text)
+        all_tokens.extend(new_tokens)
+        if reset_prompt:
             prompt_reset_since = len(all_tokens)
 
     if opts.token_timestamps:
@@ -309,6 +198,144 @@ def transcribe(
         "language": language,
         "duration": len(audio) / SAMPLE_RATE,
     }
+
+
+def _window_step(
+    model: WhisperModel,
+    mel: jnp.ndarray,
+    seek: int,
+    content_frames: int,
+    n_frames_window: int,
+    opts: TranscribeOptions,
+    all_tokens: List[int],
+    prompt_reset_since: int,
+    segment_id_base: int,
+    language: Optional[str],
+):
+    """Process ONE window at ``seek``: encode, fallback decode, segment
+    extraction, seek advancement, prompt bookkeeping. Shared verbatim by the
+    offline loop (transcribe) and the streaming committer
+    (pipeline/streaming.py) so both produce identical output on identical
+    mel/prompt state.
+
+    Returns (segments, new_seek, new_tokens, reset_prompt).
+    """
+    cfg, vocab = model.config, model.vocab
+    time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+    segment_size = min(n_frames_window, content_frames - seek)
+    segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+
+    with model.timers.stage("encode"):
+        window = mel_window(mel, seek, n_frames_window)[None]
+        enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
+
+    prompt = all_tokens[prompt_reset_since:] if opts.condition_on_previous_text else []
+    with model.timers.stage("decode"):
+        result = _decode_with_fallback(model, enc.cross_k, enc.cross_v, opts, prompt)
+
+    if opts.no_speech_threshold is not None:
+        should_skip = result.no_speech_prob > opts.no_speech_threshold
+        if (
+            opts.logprob_threshold is not None
+            and result.avg_logprob > opts.logprob_threshold
+        ):
+            should_skip = False  # confident despite no_speech: keep
+        if should_skip:
+            return [], seek + segment_size, [], False
+
+    previous_seek = seek
+    segments: List[Segment] = []
+    tokens = np.array(result.tokens)
+    timestamp_tokens = tokens >= vocab.token_beg
+    single_timestamp_ending = (
+        len(tokens) >= 2 and not timestamp_tokens[-2] and timestamp_tokens[-1]
+    )
+    consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+
+    def add_segment(start, end, seg_tokens):
+        text_tokens = [t for t in seg_tokens if t < vocab.token_eot]
+        segments.append(
+            Segment(
+                id=segment_id_base + len(segments),
+                seek=previous_seek,
+                t0=float(start),
+                t1=float(end),
+                text=vocab.decode(text_tokens),
+                tokens=[int(t) for t in seg_tokens],
+                avg_logprob=result.avg_logprob,
+                no_speech_prob=result.no_speech_prob,
+                temperature=result.temperature,
+                compression_ratio=result.compression_ratio,
+            )
+        )
+
+    if len(consecutive) > 0:
+        # Segments delimited by paired timestamps inside the window.
+        slices = consecutive.tolist()
+        if single_timestamp_ending:
+            slices.append(len(tokens))
+        last_slice = 0
+        for current_slice in slices:
+            sliced = tokens[last_slice:current_slice]
+            start_pos = sliced[0].item() - vocab.token_beg
+            end_pos = sliced[-1].item() - vocab.token_beg
+            add_segment(
+                time_offset + start_pos * 0.02,
+                time_offset + end_pos * 0.02,
+                sliced.tolist(),
+            )
+            last_slice = current_slice
+        if single_timestamp_ending:
+            seek += segment_size  # window fully consumed
+        else:
+            last_timestamp_pos = tokens[last_slice - 1].item() - vocab.token_beg
+            seek += last_timestamp_pos * INPUT_STRIDE
+    else:
+        duration = segment_duration
+        timestamps = tokens[timestamp_tokens]
+        if len(timestamps) > 0 and timestamps[-1].item() != vocab.token_beg:
+            duration = (timestamps[-1].item() - vocab.token_beg) * 0.02
+        add_segment(time_offset, time_offset + duration, tokens.tolist())
+        seek += segment_size
+
+    if seek <= previous_seek:
+        # Degenerate timestamps (e.g. all <|0.00|>) must not stall the loop.
+        log.warning("seek did not advance at frame %d; forcing full-window step", previous_seek)
+        seek = previous_seek + segment_size
+
+    if opts.word_timestamps and segments:
+        from .word_timing import find_word_timestamps
+
+        sot_seq = [vocab.token_sot]
+        if cfg.is_multilingual:
+            sot_seq.append(vocab.language_token(language or "en"))
+            sot_seq.append(
+                vocab.token_translate if opts.task == "translate"
+                else vocab.token_transcribe
+            )
+        with model.timers.stage("word_align"):
+            words = find_word_timestamps(
+                model.params, cfg, vocab, enc.cross_k, enc.cross_v,
+                [t for s in segments for t in s.tokens],
+                sot_seq, num_frames=segment_size // INPUT_STRIDE,
+                time_offset=time_offset,
+            )
+        # distribute words into segments in order by midpoint time
+        wi = 0
+        for s in segments:
+            s.words = []
+            while wi < len(words):
+                w = words[wi]
+                mid = (w.start + w.end) / 2
+                if mid >= s.t1 and s is not segments[-1]:
+                    break
+                s.words.append(dataclasses.asdict(w))
+                wi += 1
+
+    reset_prompt = (
+        not opts.condition_on_previous_text or result.temperature > 0.5
+    )
+    return segments, seek, tokens.tolist(), reset_prompt
 
 
 def _tokenize_prompt(vocab, text: str) -> List[int]:
