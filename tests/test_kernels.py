@@ -91,3 +91,72 @@ def test_cross_attention_int8_kernel_multi_query():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=2e-2)
+
+
+def test_ggml_lut_gelu_parity():
+    """SURVEY hard part (b): measure ggml's fp16 LUT GELU (a 65536-entry
+    table of tanh-approx GELU, inputs and outputs rounded to fp16 — the
+    galois_gelu contract, main.rs:1775-1779) against our analytic tanh GELU
+    (gelu_impl='tanh'). The LUT's only error source is fp16 rounding, so the
+    bound is the fp16 ulp at each magnitude."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from whisper_tpu.kernels.ops import gelu
+
+    # build the LUT exactly as ggml does: for every fp16 bit pattern,
+    # gelu_f32(tanh approx) of the fp16 value, stored as fp16
+    bits = np.arange(65536, dtype=np.uint16)
+    xs = bits.view(np.float16).astype(np.float32)
+    finite = np.isfinite(xs) & (np.abs(xs) < 20)
+    x = xs[finite]
+    lut = (
+        0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+    ).astype(np.float16)
+
+    # our tanh-mode GELU at f32 on the same (fp16-representable) inputs
+    ours = np.asarray(gelu(jnp.asarray(x, jnp.float32), "tanh"))
+
+    err = np.abs(ours - lut.astype(np.float32))
+    # Measured bounds: max ABSOLUTE error 1.01e-3 at x=2.79 — exactly half
+    # the fp16 ulp there, i.e. the LUT's own output rounding. (In the
+    # 1+tanh cancellation tail, XLA's few-ulp tanh error inflates RELATIVE
+    # error on ~1e-2-magnitude outputs to ~0.3%, still absolutely tiny.)
+    assert err.max() < 2e-3, float(err.max())
+    big = np.abs(lut.astype(np.float32)) > 0.05
+    rel = err[big] / np.abs(lut.astype(np.float32))[big]
+    assert rel.max() < 1.2e-3, float(rel.max())
+
+
+def test_flash_sdpa_gradients_match_xla():
+    """flash_sdpa (Pallas forward + custom exact backward) must match XLA
+    autodiff of plain attention, causal and non-causal — this is the
+    training-path contract for the kernel."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.kernels.flash_attention import flash_sdpa
+    from whisper_tpu.kernels.ops import sdpa
+
+    rng = np.random.default_rng(11)
+    B, H, T, D = 2, 2, 24, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    causal_mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+
+    for causal in (False, True):
+        def loss_flash(q, k, v):
+            return (flash_sdpa(q, k, v, causal) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            mask = causal_mask if causal else None
+            return (sdpa(q, k, v, mask=mask) ** 2).sum()
+
+        val_f, grads_f = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        val_r, grads_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(val_f), float(val_r), rtol=1e-4)
+        for gf, gr in zip(grads_f, grads_r):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), atol=2e-4, rtol=1e-3)

@@ -129,3 +129,47 @@ def flash_attention(
     if tq_pad != tq:
         out = out[:, :tq, :]
     return out.reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, exact XLA backward.
+#
+# pallas_call has no automatic VJP, so training paths use this custom_vjp:
+# the forward runs the kernel (causal or not), the backward recomputes the
+# attention matrix with XLA einsums and applies the standard closed-form
+# attention gradients — exact (same math, f32 statistics), with the O(T^2)
+# probabilities materialized only inside the backward.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_sdpa(q, k, v, causal: bool = False):
+    """Differentiable flash attention (training decoder/encoder paths)."""
+    return flash_attention(q, k, v, causal=causal)
+
+
+def _flash_sdpa_fwd(q, k, v, causal):
+    return flash_attention(q, k, v, causal=causal), (q, k, v)
+
+
+def _flash_sdpa_bwd(causal, residuals, g):
+    q, k, v = residuals
+    d = q.shape[-1]
+    scale = d ** -0.5
+    s = jnp.einsum("...td,...cd->...tc", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        tq, tk = s.shape[-2], s.shape[-1]
+        mask = jnp.tril(jnp.ones((tq, tk), dtype=bool), k=tk - tq)
+        s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)                      # f32
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("...tc,...td->...cd", p, g32)
+    dp = jnp.einsum("...td,...cd->...tc", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("...tc,...cd->...td", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("...tc,...td->...cd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_sdpa.defvjp(_flash_sdpa_fwd, _flash_sdpa_bwd)

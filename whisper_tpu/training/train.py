@@ -31,6 +31,14 @@ def decoder_forward_train(params, tokens, cross_k, cross_v, cfg: WhisperConfig):
     h = cfg.n_text_head
     d = cfg.d_head_text
     causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+    # Causal flash kernel (custom VJP: Pallas forward, exact XLA backward)
+    # on single-chip TPU; XLA sdpa under meshes (pallas_call has no SPMD
+    # partitioning rules) and on CPU.
+    import jax.sharding as _js
+
+    use_flash = (
+        jax.default_backend() == "tpu" and _js.get_abstract_mesh().empty
+    )
 
     def body(carry, xs):
         x = carry
@@ -39,7 +47,12 @@ def decoder_forward_train(params, tokens, cross_k, cross_v, cfg: WhisperConfig):
         q = split_heads(linear(y, blk["q_w"], blk["q_b"]), h)
         k = split_heads(linear(y, blk["k_w"]), h)
         v = split_heads(linear(y, blk["v_w"], blk["v_b"]), h)
-        o = sdpa(q, k, v, mask=causal)
+        if use_flash:
+            from ..kernels.flash_attention import flash_sdpa
+
+            o = flash_sdpa(q, k, v, True)
+        else:
+            o = sdpa(q, k, v, mask=causal)
         x = x + linear(merge_heads(o), blk["out_w"], blk["out_b"])
         y = layer_norm(x, blk["cross_attn_ln_w"], blk["cross_attn_ln_b"])
         qc = split_heads(linear(y, blk["cross_q_w"], blk["cross_q_b"]), h)
