@@ -88,3 +88,20 @@ def test_engine_order_and_progress_independence(model):
         alone = SlotEngine(model, n_slots=2, options=opts, chunk_steps=2)
         ref = alone.transcribe_many([audio])[0]
         assert got.tokens == ref.tokens
+
+
+def test_engine_int8_serving_mode(model):
+    """quantize=True engine: int8 cross pool + int8 KV pool, slot reuse."""
+    opts = DecodingOptions(sample_len=16, without_timestamps=True)
+    audios = _audios(4, seed=3)
+    engine = SlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+                        quantize=True)
+    results = engine.transcribe_many(audios)
+    assert len(results) == 4
+    # int8 vs bf16: high token agreement (worst case: random weights)
+    ref_engine = SlotEngine(model, n_slots=2, options=opts, chunk_steps=4)
+    refs = ref_engine.transcribe_many(audios)
+    for got, ref in zip(results, refs):
+        n = max(min(len(got.tokens), len(ref.tokens)), 1)
+        agree = sum(a == b for a, b in zip(got.tokens, ref.tokens)) / n
+        assert agree > 0.5, (got.tokens, ref.tokens)

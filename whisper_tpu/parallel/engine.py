@@ -121,16 +121,24 @@ def _decode_chunk(
     return state
 
 
+def _slot_update(pool, row, slot):
+    """dynamic_update_slice a batch-1 row pytree into slot ``slot`` of a
+    (L, S, ...) pool pytree (works for plain arrays and QuantKV leaves)."""
+    return jax.tree.map(
+        lambda p, r: jax.lax.dynamic_update_slice(
+            p, r, (0, slot) + (0,) * (p.ndim - 2)),
+        pool, row,
+    )
+
+
 @jax.jit
 def _refill(state: EngineState, slot, cache_k_row, cache_v_row, logits_row,
             n_init):
     """Install a freshly-prefilled stream into slot ``slot`` (one dispatch)."""
     s = slot
     return EngineState(
-        cache_k=jax.lax.dynamic_update_slice(
-            state.cache_k, cache_k_row, (0, s, 0, 0, 0)),
-        cache_v=jax.lax.dynamic_update_slice(
-            state.cache_v, cache_v_row, (0, s, 0, 0, 0)),
+        cache_k=_slot_update(state.cache_k, cache_k_row, s),
+        cache_v=_slot_update(state.cache_v, cache_v_row, s),
         logits=state.logits.at[s].set(logits_row),
         n_past=state.n_past.at[s].set(n_init),
         step=state.step.at[s].set(0),
@@ -155,6 +163,7 @@ class SlotEngine:
         chunk_steps: int = 8,
         max_new_tokens: Optional[int] = None,
         use_flash: Optional[bool] = None,
+        quantize: bool = False,
     ):
         if options is not None and (options.beam_size or (options.best_of or 1) != 1
                                     or options.temperature != 0):
@@ -165,6 +174,7 @@ class SlotEngine:
         self.n_slots = n_slots
         self.chunk_steps = chunk_steps
         self.options = options or DecodingOptions()
+        self.quantize = quantize  # int8 cross pool + KV pool (serving mode)
         self.use_flash = (jax.default_backend() == "tpu"
                           if use_flash is None else use_flash)
 
@@ -201,11 +211,19 @@ class SlotEngine:
             jnp.asarray(np.asarray(audio, np.float32)), self.model.filters,
             frame_count(len(audio)))
         win = mel_window(mel, 0, self._n_frames)[None]
-        enc = encode(self.model.params, win, self.cfg, use_flash=self.use_flash)
+        enc = encode(self.model.params, win, self.cfg, use_flash=self.use_flash,
+                     quantize_kv=self.quantize)
         return enc.cross_k, enc.cross_v  # (L, 1, H, D, Ta)
 
+    def _fresh_cache(self, batch: int, dtype):
+        if self.quantize:
+            from ..model.quant import init_quant_cache
+
+            return KVCache(*init_quant_cache(self.cfg, batch, ctx=self.pool_ctx))
+        return init_cache(self.cfg, batch, dtype=dtype, ctx=self.pool_ctx)
+
     def _prefill_one(self, cross_k, cross_v):
-        cache = init_cache(self.cfg, 1, dtype=cross_k.dtype, ctx=self.pool_ctx)
+        cache = self._fresh_cache(1, getattr(cross_k, "data", cross_k).dtype)
         logits_all, cache = decode_step(
             self.model.params, self._padded_init, jnp.int32(0), cache,
             cross_k, cross_v, self.cfg)
@@ -214,7 +232,7 @@ class SlotEngine:
 
     def _init_state(self, cache_dtype):
         S, cfg = self.n_slots, self.cfg
-        cache = init_cache(cfg, S, dtype=cache_dtype, ctx=self.pool_ctx)
+        cache = self._fresh_cache(S, cache_dtype)
         self._state = EngineState(
             cache_k=cache.k, cache_v=cache.v,
             logits=jnp.zeros((S, cfg.n_vocab), jnp.float32),
@@ -232,16 +250,19 @@ class SlotEngine:
     def _admit(self, slot: int, audio: np.ndarray):
         ck, cv = self._encode_one(audio)
         if self._state is None:
-            self._init_state(ck.dtype)
+            self._init_state(getattr(ck, "data", ck).dtype)
         if self._cross_pool_k is None:
-            L, _, H, D, Ta = ck.shape
-            shape = (L, self.n_slots, H, D, Ta)
-            self._cross_pool_k = jnp.zeros(shape, ck.dtype)
-            self._cross_pool_v = jnp.zeros(shape, cv.dtype)
-        self._cross_pool_k = jax.lax.dynamic_update_slice(
-            self._cross_pool_k, ck, (0, slot, 0, 0, 0))
-        self._cross_pool_v = jax.lax.dynamic_update_slice(
-            self._cross_pool_v, cv, (0, slot, 0, 0, 0))
+            def pool_like(row):
+                return jax.tree.map(
+                    lambda a: jnp.zeros(
+                        (a.shape[0], self.n_slots) + a.shape[2:], a.dtype),
+                    row,
+                )
+
+            self._cross_pool_k = pool_like(ck)
+            self._cross_pool_v = pool_like(cv)
+        self._cross_pool_k = _slot_update(self._cross_pool_k, ck, jnp.int32(slot))
+        self._cross_pool_v = _slot_update(self._cross_pool_v, cv, jnp.int32(slot))
         # prefill against the slot's own cross memory (batch 1)
         cache, first_logits = self._prefill_one(ck, cv)
         self._state = _refill(
