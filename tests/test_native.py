@@ -84,3 +84,41 @@ def test_load_model_via_native(tmp_path):
         np.asarray(m_native.params["encoder"]["blocks"]["q_w"]),
         np.asarray(m_python.params["encoder"]["blocks"]["q_w"]),
     )
+
+
+def test_native_audio_loader_threads(tmp_path):
+    """Threaded prefetch loader: all files decoded, submission order, content
+    identical to the synchronous path."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from whisper_tpu.runtime.native import NativeAudioLoader, native_load_wav
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        audio = (rng.standard_normal(16000 + 1000 * i) * 8000).astype(np.int16)
+        p = str(tmp_path / f"a{i}.wav")
+        wavfile.write(p, 16000, audio)
+        paths.append(p)
+
+    loader = NativeAudioLoader(paths, n_threads=3)
+    got = list(loader)
+    loader.close()
+    assert [g[0] for g in got] == list(range(6))
+    for i, rate, audio in got:
+        ref = native_load_wav(paths[i])
+        if ref is None:  # sidecar unavailable: loader fell back to python
+            continue
+        assert rate == ref[0] == 16000
+        np.testing.assert_allclose(audio, ref[1], atol=0)
+
+
+def test_native_audio_loader_missing_file(tmp_path):
+    from whisper_tpu.runtime.native import NativeAudioLoader, available
+
+    if not available():
+        return
+    loader = NativeAudioLoader([str(tmp_path / "nope.wav")], n_threads=2)
+    assert loader.get(0) is None
+    loader.close()

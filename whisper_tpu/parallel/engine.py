@@ -204,16 +204,28 @@ class SlotEngine:
         self._cross_pool_v = None
         self._state: Optional[EngineState] = None
 
-    # -- per-stream admission --
+    # -- stream admission (bucketed: joiners encode/prefill together) --
 
-    def _encode_one(self, audio: np.ndarray):
-        mel = log_mel_spectrogram(
-            jnp.asarray(np.asarray(audio, np.float32)), self.model.filters,
-            frame_count(len(audio)))
-        win = mel_window(mel, 0, self._n_frames)[None]
-        enc = encode(self.model.params, win, self.cfg, use_flash=self.use_flash,
+    _ADMIT_BUCKETS = (8, 4, 2, 1)
+
+    def _encode_batch(self, audios: Sequence[np.ndarray], bucket: int):
+        """Encode up to ``bucket`` streams in one forward (padded; only the
+        first len(audios) rows are meaningful). Admission cost is dominated
+        by per-call dispatch on remote chips, so joiners share calls."""
+        mels = []
+        for audio in audios:
+            mel = log_mel_spectrogram(
+                jnp.asarray(np.asarray(audio, np.float32)), self.model.filters,
+                frame_count(len(audio)))
+            mels.append(mel_window(mel, 0, self._n_frames))
+        wins = jnp.stack(mels)
+        if len(audios) < bucket:
+            wins = jnp.concatenate(
+                [wins, jnp.zeros((bucket - len(audios),) + wins.shape[1:],
+                                 wins.dtype)])
+        enc = encode(self.model.params, wins, self.cfg, use_flash=self.use_flash,
                      quantize_kv=self.quantize)
-        return enc.cross_k, enc.cross_v  # (L, 1, H, D, Ta)
+        return enc.cross_k, enc.cross_v  # (L, bucket, H, D, Ta)
 
     def _fresh_cache(self, batch: int, dtype):
         if self.quantize:
@@ -222,12 +234,16 @@ class SlotEngine:
             return KVCache(*init_quant_cache(self.cfg, batch, ctx=self.pool_ctx))
         return init_cache(self.cfg, batch, dtype=dtype, ctx=self.pool_ctx)
 
-    def _prefill_one(self, cross_k, cross_v):
-        cache = self._fresh_cache(1, getattr(cross_k, "data", cross_k).dtype)
+    def _prefill_batch(self, cross_k, cross_v, bucket: int):
+        """Prefill the shared initial tokens for a whole admission bucket."""
+        dtype = getattr(cross_k, "data", cross_k).dtype
+        cache = self._fresh_cache(bucket, dtype)
+        tokens = jnp.broadcast_to(
+            self._padded_init, (bucket, self._padded_init.shape[1]))
         logits_all, cache = decode_step(
-            self.model.params, self._padded_init, jnp.int32(0), cache,
+            self.model.params, tokens, jnp.int32(0), cache,
             cross_k, cross_v, self.cfg)
-        first_logits = logits_all[0, self.init_len - 1].astype(jnp.float32)
+        first_logits = logits_all[:, self.init_len - 1].astype(jnp.float32)
         return cache, first_logits
 
     def _init_state(self, cache_dtype):
@@ -247,27 +263,40 @@ class SlotEngine:
             last_ts=jnp.full((S,), -1, jnp.int32),
         )
 
-    def _admit(self, slot: int, audio: np.ndarray):
-        ck, cv = self._encode_one(audio)
-        if self._state is None:
-            self._init_state(getattr(ck, "data", ck).dtype)
-        if self._cross_pool_k is None:
-            def pool_like(row):
-                return jax.tree.map(
-                    lambda a: jnp.zeros(
-                        (a.shape[0], self.n_slots) + a.shape[2:], a.dtype),
-                    row,
-                )
+    def _admit_many(self, slots: Sequence[int], audios: Sequence[np.ndarray]):
+        """Admit several streams with shared encode/prefill calls (one bucket
+        at a time, largest first), then install each into its slot."""
+        i = 0
+        while i < len(slots):
+            remaining = len(slots) - i
+            bucket = next(b for b in self._ADMIT_BUCKETS if b <= max(remaining, 1))
+            n = min(bucket, remaining)
+            ck, cv = self._encode_batch(audios[i : i + n], bucket)
+            if self._state is None:
+                self._init_state(getattr(ck, "data", ck).dtype)
+            if self._cross_pool_k is None:
+                def pool_like(row):
+                    return jax.tree.map(
+                        lambda a: jnp.zeros(
+                            (a.shape[0], self.n_slots) + a.shape[2:], a.dtype),
+                        row,
+                    )
 
-            self._cross_pool_k = pool_like(ck)
-            self._cross_pool_v = pool_like(cv)
-        self._cross_pool_k = _slot_update(self._cross_pool_k, ck, jnp.int32(slot))
-        self._cross_pool_v = _slot_update(self._cross_pool_v, cv, jnp.int32(slot))
-        # prefill against the slot's own cross memory (batch 1)
-        cache, first_logits = self._prefill_one(ck, cv)
-        self._state = _refill(
-            self._state, jnp.int32(slot), cache.k, cache.v, first_logits,
-            jnp.int32(self.init_len))
+                self._cross_pool_k = pool_like(ck)
+                self._cross_pool_v = pool_like(cv)
+            cache, first_logits = self._prefill_batch(ck, cv, bucket)
+            for j in range(n):
+                slot = jnp.int32(slots[i + j])
+                row = lambda a, jj=j: jax.lax.dynamic_slice_in_dim(a, jj, 1, axis=1)
+                self._cross_pool_k = _slot_update(
+                    self._cross_pool_k, jax.tree.map(row, ck), slot)
+                self._cross_pool_v = _slot_update(
+                    self._cross_pool_v, jax.tree.map(row, cv), slot)
+                self._state = _refill(
+                    self._state, slot,
+                    jax.tree.map(row, cache.k), jax.tree.map(row, cache.v),
+                    first_logits[j], jnp.int32(self.init_len))
+            i += n
 
     def _harvest(self, slot: int) -> DecodingResult:
         st = self._state
@@ -295,12 +324,16 @@ class SlotEngine:
         queue.reverse()  # pop() from the front
 
         while queue or any(r >= 0 for r in slot_req):
-            # fill free slots
+            # fill free slots (batched admission: joiners share encode/prefill)
+            join_slots, join_audios = [], []
             for s in range(self.n_slots):
                 if slot_req[s] < 0 and queue:
                     idx, audio = queue.pop()
-                    self._admit(s, audio)
+                    join_slots.append(s)
+                    join_audios.append(audio)
                     slot_req[s] = idx
+            if join_slots:
+                self._admit_many(join_slots, join_audios)
             # decode one chunk for all active slots
             self._state = _decode_chunk(
                 self.model.params, self._state,

@@ -102,6 +102,13 @@ def _configure(lib: ctypes.CDLL) -> None:
     ]
     lib.wrt_ggml_close.argtypes = [ctypes.c_void_p]
 
+    lib.wrt_loader_open.restype = ctypes.c_void_p
+    lib.wrt_loader_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int]
+    lib.wrt_loader_get.restype = ctypes.c_void_p
+    lib.wrt_loader_get.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.wrt_loader_close.argtypes = [ctypes.c_void_p]
+
 
 def available() -> bool:
     return _load() is not None
@@ -171,3 +178,63 @@ def native_open_ggml(path: str):
         return header, filters, tokens, tensors
     finally:
         lib.wrt_ggml_close(h)
+
+
+class NativeAudioLoader:
+    """Threaded WAV prefetcher over the C++ sidecar.
+
+    N worker threads decode (and downmix) files in the background while the
+    caller consumes them in submission order — the serving engine's admission
+    path overlaps disk/decode with device work. Falls back to synchronous
+    Python decode when the sidecar is unavailable.
+
+    >>> for idx, rate, audio in NativeAudioLoader(paths, n_threads=4):
+    ...     engine_submit(audio)
+    """
+
+    def __init__(self, paths, n_threads: int = 4):
+        self.paths = list(paths)
+        self._lib = _load()
+        self._h = None
+        if self._lib is not None and self.paths:
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths])
+            self._h = self._lib.wrt_loader_open(
+                arr, len(self.paths), int(n_threads))
+
+    def get(self, index: int) -> Optional[Tuple[int, np.ndarray]]:
+        """(rate, mono f32 PCM) for file ``index`` — blocks until decoded."""
+        if self._h is None:  # python fallback
+            return native_load_wav(self.paths[index]) or self._py_load(index)
+        w = self._lib.wrt_loader_get(self._h, index)
+        if not w:
+            return None
+        try:
+            rate = self._lib.wrt_wav_rate(w)
+            n = self._lib.wrt_wav_len(w)
+            ptr = self._lib.wrt_wav_data(w)
+            return rate, np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+        finally:
+            self._lib.wrt_wav_free(w)
+
+    def _py_load(self, index: int):
+        from ..io.wav import load_wav
+
+        return 16000, load_wav(self.paths[index])
+
+    def __iter__(self):
+        for i in range(len(self.paths)):
+            item = self.get(i)
+            if item is not None:
+                yield (i, item[0], item[1])
+
+    def close(self):
+        if self._h is not None:
+            self._lib.wrt_loader_close(self._h)
+            self._h = None
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass

@@ -11,10 +11,14 @@
 //
 // Exposed as a tiny C ABI consumed via ctypes (whisper_tpu/runtime/native.py).
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <fcntl.h>
@@ -29,6 +33,16 @@ constexpr uint32_t kGgmlMagic = 0x67676d6c;  // main.rs:46
 struct WavHandle {
   int rate = 0;
   std::vector<float> data;
+};
+
+struct LoaderHandle {
+  std::vector<std::string> paths;
+  std::vector<void*> results;
+  std::vector<uint8_t> done;
+  std::atomic<int> next_job{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<std::thread> threads;
 };
 
 struct TensorRec {
@@ -304,6 +318,60 @@ void wrt_ggml_close(void* hp) {
   auto* h = static_cast<GgmlHandle*>(hp);
   if (h->map) munmap(const_cast<uint8_t*>(h->map), h->size);
   if (h->fd >= 0) close(h->fd);
+  delete h;
+}
+
+// ---------------- Async audio loader ----------------
+//
+// Producer-consumer WAV prefetcher: N worker threads pull file indices from
+// an atomic counter and decode (8/16/24/32-bit + float, downmix) while the
+// Python side stages earlier items to the device — the serving engine's
+// admission pipeline never waits on disk or decode. The reference's only
+// threading (the mel worker pool, main.rs:1581-1644) moved on-device; this
+// is the host-side loader a production data path still needs.
+
+void* wrt_loader_open(const char** paths, int n, int n_threads) {
+  auto* h = new LoaderHandle;
+  h->paths.assign(paths, paths + n);
+  h->results.assign(n, nullptr);
+  h->done.assign(n, 0);
+  int t = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+  for (int i = 0; i < t; ++i) {
+    h->threads.emplace_back([h]() {
+      for (;;) {
+        int j = h->next_job.fetch_add(1);
+        if (j >= static_cast<int>(h->paths.size())) return;
+        void* w = wrt_load_wav(h->paths[j].c_str());
+        {
+          std::lock_guard<std::mutex> lk(h->mu);
+          h->results[j] = w;
+          h->done[j] = 1;
+        }
+        h->cv.notify_all();
+      }
+    });
+  }
+  return h;
+}
+
+// Blocks until item `index` is decoded; transfers ownership of the WavHandle
+// (free with wrt_wav_free). Returns nullptr if that file failed to decode.
+void* wrt_loader_get(void* hp, int index) {
+  auto* h = static_cast<LoaderHandle*>(hp);
+  if (index < 0 || index >= static_cast<int>(h->paths.size())) return nullptr;
+  std::unique_lock<std::mutex> lk(h->mu);
+  h->cv.wait(lk, [&] { return h->done[index] != 0; });
+  void* w = h->results[index];
+  h->results[index] = nullptr;
+  return w;
+}
+
+void wrt_loader_close(void* hp) {
+  auto* h = static_cast<LoaderHandle*>(hp);
+  for (auto& t : h->threads) t.join();
+  for (void* w : h->results) {
+    if (w) wrt_wav_free(w);
+  }
   delete h;
 }
 
