@@ -196,6 +196,79 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Continuous-batching transcription of many WAVs: the native threaded
+    loader prefetches/decodes while the SlotEngine refills finished slots
+    from the queue mid-decode."""
+    import jax.numpy as jnp
+
+    from .decoding.task import DecodingOptions
+    from .model.load import load_model
+    from .parallel.engine import SlotEngine
+    from .runtime.native import NativeAudioLoader
+
+    model = load_model(args.model, dtype=jnp.bfloat16)
+    if args.quantize:
+        import jax
+
+        from .model.quant import quantize_decoder_weights
+
+        model.params = jax.jit(quantize_decoder_weights)(model.params)
+    loader = NativeAudioLoader(args.audio, n_threads=args.io_threads)
+    audios = []
+    for _, rate, audio in loader:
+        if rate != 16000:
+            from .io.wav import resample_poly
+
+            audio = resample_poly(audio, 16000, rate)
+        audios.append(audio)
+    loader.close()
+    engine = SlotEngine(
+        model, n_slots=args.slots,
+        options=DecodingOptions(language=args.language,
+                                without_timestamps=True),
+        quantize=args.quantize,
+    )
+    t0 = time.perf_counter()
+    results = engine.transcribe_many(audios)
+    wall = time.perf_counter() - t0
+    total = sum(len(a) for a in audios) / 16000.0
+    for path, res in zip(args.audio, results):
+        print(f"== {path}: {res.text}")
+    print(f"{total:.1f}s audio in {wall:.2f}s "
+          f"({total / max(wall, 1e-9):.1f}x realtime, {args.slots} slots)")
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Simulated real-time transcription: feed a WAV in chunks, print
+    committed text as it stabilizes; final output == offline transcribe."""
+    import numpy as np
+
+    from .io.wav import load_wav
+    from .model.load import load_model
+    from .pipeline.streaming import StreamingTranscriber
+    from .pipeline.transcribe import TranscribeOptions
+
+    model = load_model(args.model)
+    audio = load_wav(args.audio)
+    st = StreamingTranscriber(
+        model, TranscribeOptions(language=args.language or "en"),
+        draft=not args.no_draft)
+    step = int(args.chunk_seconds * 16000)
+    for start in range(0, len(audio), step):
+        out = st.feed(np.asarray(audio[start : start + step]))
+        for seg in out["committed"]:
+            print(f"[{_fmt_ts(seg['t0'])} --> {_fmt_ts(seg['t1'])}] {seg['text']}")
+        if out["draft"] and args.verbose:
+            tail = "".join(s["text"] for s in out["draft"])
+            print(f"  (draft: {tail.strip()})")
+    final = st.finalize()
+    print("== final ==")
+    print(final["text"])
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .utils.benchmark import run_benchmark
 
@@ -238,6 +311,24 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--no-condition-on-previous-text", action="store_true")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("batch", help="continuous-batching engine over many WAVs")
+    p.add_argument("model")
+    p.add_argument("audio", nargs="+")
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--language", default=None)
+    p.add_argument("--quantize", action="store_true", help="int8 serving mode")
+    p.add_argument("--io-threads", type=int, default=4)
+    p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("stream", help="simulated real-time transcription")
+    p.add_argument("model")
+    p.add_argument("audio")
+    p.add_argument("--chunk-seconds", type=float, default=5.0)
+    p.add_argument("--language", default=None)
+    p.add_argument("--no-draft", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("model", nargs="?", default=None,

@@ -298,12 +298,14 @@ class SlotEngine:
                     first_logits[j], jnp.int32(self.init_len))
             i += n
 
-    def _harvest(self, slot: int) -> DecodingResult:
-        st = self._state
-        toks = np.asarray(st.tokens_out[slot])
-        length = int(st.length[slot])
-        seq = [int(t) for t in toks[:length]]
-        sum_lp = float(st.sum_logprobs[slot])
+    def _harvest(self, slot: int, tokens_out, length, sum_logprobs
+                 ) -> DecodingResult:
+        """Build a result from HOST copies of the state arrays — the caller
+        pulls them once per scheduler round (per-slot device reads cost a
+        full round-trip each on remote chips)."""
+        n = int(length[slot])
+        seq = [int(t) for t in tokens_out[slot, :n]]
+        sum_lp = float(sum_logprobs[slot])
         text = self.vocab.decode(seq).strip()
         return DecodingResult(
             tokens=seq, text=text,
@@ -344,9 +346,13 @@ class SlotEngine:
                 max_initial_index=self.max_initial_index,
                 max_new=self.max_new,
             )
-            active = np.asarray(self._state.active)
+            # ONE device->host pull per round (the arrays are KBs; per-slot
+            # reads would each pay the transfer round-trip)
+            active, length, sum_lp, toks = jax.device_get(
+                (self._state.active, self._state.length,
+                 self._state.sum_logprobs, self._state.tokens_out))
             for s in range(self.n_slots):
                 if slot_req[s] >= 0 and not active[s]:
-                    results[slot_req[s]] = self._harvest(s)
+                    results[slot_req[s]] = self._harvest(s, toks, length, sum_lp)
                     slot_req[s] = -1
         return results  # type: ignore[return-value]
