@@ -1,0 +1,53 @@
+"""AOT export/reload of serving programs (utils/aot.py)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fixtures import micro_config, random_tensors, synthetic_tokens
+from whisper_tpu.decoding.device_loop import build_masks, decode_segment_device
+from whisper_tpu.io.vocab import make_vocab
+from whisper_tpu.model.decoder import init_cache
+from whisper_tpu.model.encoder import encode
+from whisper_tpu.model.params import params_from_ggml
+from whisper_tpu.utils import aot
+
+
+def test_export_roundtrip_token_identity(tmp_path):
+    cfg = micro_config(n_vocab=51864)
+    params = jax.tree.map(
+        jnp.asarray, params_from_ggml(random_tensors(cfg, seed=31), cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    mel = np.random.default_rng(5).standard_normal(
+        (2, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    enc = encode(params, jnp.asarray(mel), cfg)
+    sup, blank = build_masks(vocab)
+    it = jnp.asarray(np.tile(np.array([vocab.token_sot], np.int32), (2, 1)))
+    cache = init_cache(cfg, 2, ctx=1 + 12 + 4)
+    fn = functools.partial(decode_segment_device, cfg=cfg, sample_len=12)
+    args = (params, it, 1, 0, cache, enc.cross_k, enc.cross_v, sup, blank)
+
+    path = str(tmp_path / "decode.jaxexport")
+    aot.save(path, fn, *args)
+    reloaded = aot.load(path)
+
+    ref = fn(*args)
+    got = reloaded(*args)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+def test_export_decode_segment_helper(tmp_path):
+    cfg = micro_config(n_vocab=51864)
+    params = jax.tree.map(
+        jnp.asarray, params_from_ggml(random_tensors(cfg, seed=8), cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    data = aot.export_decode_segment(params, cfg, vocab, batch=2,
+                                     sample_len=8, prefill=32)
+    assert len(data) > 1000
+    fn = aot.load_fn(data)
+    assert callable(fn)

@@ -232,11 +232,16 @@ def beam_decode_device(
 
         # Cache reorder by source rows. Measured on v5e (large-v3, b8 k5,
         # int8 cache, 64 steps): a plain axis-1 take costs 8.5 ms/step inside
-        # this loop (vs 1.8 ms isolated — in-loop carry aliasing hurts);
-        # folding (L, B) and gathering on the leading axis lowers better
-        # (-10%), and skipping entirely when every beam keeps its own row
-        # (identity permutation — the common case on confident real speech)
-        # removes the cost outright, so the gather runs under a cond.
+        # this loop vs 1.8 ms isolated. The compiled HLO shows why: the
+        # gather's natural result layout differs from the while-carry's
+        # ({3,2,1,4,0} vs {4,3,2,1,0}), so XLA inserts full-cache layout-
+        # transpose copies (~7.3M cycles EACH for the s8 buffers) around the
+        # reorder — the gather bytes themselves are cheap. JAX cannot pin
+        # layouts inside a loop body today, so the mitigation is to not run
+        # the reorder at all when every beam keeps its own row (identity
+        # permutation — the common case on confident real speech): the
+        # leading-axis fold (-10%) + identity-skip cond measured
+        # 0.997 -> 0.769 s per 64-step segment even on random weights.
         def _permute_cache(args):
             ck, cv, rows = args
 

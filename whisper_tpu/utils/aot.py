@@ -1,0 +1,86 @@
+"""Ahead-of-time compiled serving artifacts (cold-start story).
+
+First compilation of a large-v3 serving configuration takes minutes; the
+persistent `.jax_cache` amortizes reruns on one machine, but a serving fleet
+wants a *shippable artifact*. `jax.export` serializes the lowered StableHLO
+(+ calling convention) of a jitted function; this module registers the
+framework's pytree types and offers save/load helpers so a serving image can
+package pre-lowered decode/encode programs and skip tracing entirely.
+
+Note: the serialized artifact is platform-tagged (cpu/tpu); export on the
+target platform class. Compilation of StableHLO -> executable still happens
+at load (fast relative to tracing+optimization of the full program).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+from jax import export as _export
+
+_REGISTERED = False
+
+
+def _register_types() -> None:
+    """Register the framework's NamedTuple pytree nodes for serialization."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from ..model.decoder import KVCache
+    from ..model.quant import QuantKV
+
+    for t, name in ((KVCache, "whisper_tpu.KVCache"),
+                    (QuantKV, "whisper_tpu.QuantKV")):
+        try:
+            _export.register_namedtuple_serialization(t, serialized_name=name)
+        except ValueError:
+            pass  # already registered in this process
+    _REGISTERED = True
+
+
+def export_fn(fn: Callable, *example_args, **jit_kwargs) -> bytes:
+    """Trace + lower ``fn`` on example args and serialize the artifact."""
+    _register_types()
+    exp = _export.export(jax.jit(fn, **jit_kwargs))(*example_args)
+    return exp.serialize()
+
+
+def load_fn(data: bytes) -> Callable:
+    """Deserialize an exported artifact; returns a callable (same signature
+    as the original on matching shapes/dtypes)."""
+    _register_types()
+    exp = _export.deserialize(data)
+    return exp.call
+
+
+def save(path: str, fn: Callable, *example_args, **jit_kwargs) -> None:
+    with open(path, "wb") as f:
+        f.write(export_fn(fn, *example_args, **jit_kwargs))
+
+
+def load(path: str) -> Callable:
+    with open(path, "rb") as f:
+        return load_fn(f.read())
+
+
+def export_decode_segment(params, cfg, vocab, batch: int, sample_len: int,
+                          prefill: int = 32, **decode_kwargs) -> bytes:
+    """Convenience: serialize the fused greedy decode loop for one serving
+    shape (batch, prefill bucket, sample budget)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..decoding.device_loop import build_masks, decode_segment_device
+    from ..model.decoder import init_cache
+
+    sup, blank = build_masks(vocab)
+    tokens = jnp.zeros((batch, prefill), jnp.int32)
+    cache = init_cache(cfg, batch, ctx=prefill + sample_len + 8)
+    L, H, D = cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text
+    cross = jnp.zeros((L, batch, H, D, cfg.n_audio_ctx), jnp.float32)
+    fn = functools.partial(
+        decode_segment_device, cfg=cfg, sample_len=sample_len, **decode_kwargs)
+    return export_fn(
+        fn, params, tokens, prefill, 0, cache, cross, cross, sup, blank)
