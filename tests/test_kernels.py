@@ -160,3 +160,31 @@ def test_flash_sdpa_gradients_match_xla():
         for gf, gr in zip(grads_f, grads_r):
             np.testing.assert_allclose(
                 np.asarray(gf), np.asarray(gr), atol=2e-4, rtol=1e-3)
+
+
+def test_beam_gather_permute_rows_matches_take():
+    """Pallas layout-preserving row permute == jnp.take(axis=1), for the
+    int8 cache, the f32 scales, and bf16 buffers."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from whisper_tpu.kernels.beam_gather import permute_rows
+
+    rng = np.random.default_rng(5)
+    rows = jnp.asarray(rng.permutation(10).astype(np.int32))
+    for shape, dtype in (
+        ((4, 10, 6, 64, 75), jnp.int8),
+        ((4, 10, 6, 75), jnp.float32),
+        ((2, 10, 6, 64, 80), jnp.bfloat16),
+    ):
+        x = jnp.asarray(
+            rng.integers(-100, 100, shape).astype(np.float32), dtype=dtype)
+        got = permute_rows(x, rows, interpret=True)
+        ref = jnp.take(x, rows, axis=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # duplicate rows (beam forks) must also work
+    dup = jnp.asarray(np.array([0, 0, 3, 3, 9, 1, 1, 2, 2, 5], np.int32))
+    x = jnp.asarray(rng.integers(-100, 100, (4, 10, 6, 64, 75)), dtype=jnp.int8)
+    got = permute_rows(x, dup, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(jnp.take(x, dup, axis=1)))

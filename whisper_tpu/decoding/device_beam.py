@@ -241,9 +241,16 @@ def beam_decode_device(
         # the reorder at all when every beam keeps its own row (identity
         # permutation — the common case on confident real speech): the
         # leading-axis fold (-10%) + identity-skip cond measured
-        # 0.997 -> 0.769 s per 64-step segment even on random weights.
+        # 0.997 -> 0.769 s per 64-step segment even on random weights, and
+        # the Pallas row-permute (kernels/beam_gather.py), which emits the
+        # carry layout directly, takes the gather branch to 0.705 s.
         def _permute_cache(args):
             ck, cv, rows = args
+            if jax.default_backend() == "tpu":
+                # layout-preserving Pallas row-permute: no reconciliation copy
+                from ..kernels.beam_gather import permute_cache_rows
+
+                return permute_cache_rows(ck, rows), permute_cache_rows(cv, rows)
 
             def permute(a):
                 L_, B_ = a.shape[0], a.shape[1]
