@@ -26,7 +26,19 @@ def _enable_compile_cache():
 
 def main() -> int:
     _enable_compile_cache()
-    from whisper_tpu.utils.benchmark import run_benchmark
+    from whisper_tpu.utils.benchmark import run_benchmark, run_engine_benchmark
+
+    if os.environ.get("BENCH_MODE") == "engine":
+        # Continuous-batching serving engine (slot pool, staggered streams).
+        result = run_engine_benchmark(
+            model_name=os.environ.get("BENCH_MODEL", "large-v3"),
+            n_slots=int(os.environ.get("BENCH_BATCH", "48")),
+            n_streams=int(os.environ["BENCH_STREAMS"]) if os.environ.get("BENCH_STREAMS") else None,
+            chunk_steps=int(os.environ.get("BENCH_CHUNK", "8")),
+            quantize=os.environ.get("BENCH_KV", "int8") == "int8",
+        )
+        print(json.dumps(result))
+        return 0
 
     # Default = the flagship serving config: int8 cross/KV/decoder weights at
     # the largest batch that fits HBM (tests/test_quant.py checks int8-vs-bf16

@@ -163,8 +163,9 @@ def test_flash_sdpa_gradients_match_xla():
 
 
 def test_beam_gather_permute_rows_matches_take():
-    """Pallas layout-preserving row permute == jnp.take(axis=1), for the
-    int8 cache, the f32 scales, and bf16 buffers."""
+    """Pallas layout-preserving row permute == jnp.take(axis=0) on the
+    batch-leading (B, L, ...) cache, for the int8 cache, the f32 scales,
+    and bf16 buffers."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -173,18 +174,55 @@ def test_beam_gather_permute_rows_matches_take():
     rng = np.random.default_rng(5)
     rows = jnp.asarray(rng.permutation(10).astype(np.int32))
     for shape, dtype in (
-        ((4, 10, 6, 64, 75), jnp.int8),
-        ((4, 10, 6, 75), jnp.float32),
-        ((2, 10, 6, 64, 80), jnp.bfloat16),
+        ((10, 4, 6, 64, 75), jnp.int8),
+        ((10, 4, 6, 75), jnp.float32),
+        ((10, 2, 6, 64, 80), jnp.bfloat16),
     ):
         x = jnp.asarray(
             rng.integers(-100, 100, shape).astype(np.float32), dtype=dtype)
         got = permute_rows(x, rows, interpret=True)
-        ref = jnp.take(x, rows, axis=1)
+        ref = jnp.take(x, rows, axis=0)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     # duplicate rows (beam forks) must also work
     dup = jnp.asarray(np.array([0, 0, 3, 3, 9, 1, 1, 2, 2, 5], np.int32))
-    x = jnp.asarray(rng.integers(-100, 100, (4, 10, 6, 64, 75)), dtype=jnp.int8)
+    x = jnp.asarray(rng.integers(-100, 100, (10, 4, 6, 64, 75)), dtype=jnp.int8)
     got = permute_rows(x, dup, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(jnp.take(x, dup, axis=1)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(jnp.take(x, dup, axis=0)))
+
+def test_beam_gather_permute_rows_multi_fused():
+    """One fused pallas_call permutes every cache leaf (mixed dtypes/ranks)
+    identically to per-leaf jnp.take, including duplicate rows and the
+    QuantKV pytree entry point used by the beam loop."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from whisper_tpu.kernels.beam_gather import (
+        permute_cache_rows, permute_rows_multi)
+    from whisper_tpu.model.quant import QuantKV
+
+    rng = np.random.default_rng(7)
+    rows = jnp.asarray(np.array([3, 3, 0, 7, 7, 1, 4, 2], np.int32))
+    kd = jnp.asarray(rng.integers(-127, 127, (8, 4, 6, 64, 75)), dtype=jnp.int8)
+    ks = jnp.asarray(rng.random((8, 4, 6, 75)).astype(np.float32))
+    vd = jnp.asarray(rng.integers(-127, 127, (8, 4, 6, 64, 75)), dtype=jnp.int8)
+    vs = jnp.asarray(rng.random((8, 4, 6, 75)).astype(np.float32))
+
+    outs = permute_rows_multi([kd, ks, vd, vs], rows, interpret=True)
+    for got, src in zip(outs, (kd, ks, vd, vs)):
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(jnp.take(src, rows, axis=0)))
+
+    got_k, got_v = permute_cache_rows(
+        (QuantKV(kd, ks), QuantKV(vd, vs)), rows)
+    np.testing.assert_array_equal(
+        np.asarray(got_k.data), np.asarray(jnp.take(kd, rows, axis=0)))
+    np.testing.assert_array_equal(
+        np.asarray(got_v.scale), np.asarray(jnp.take(vs, rows, axis=0)))
+
+    # bf16 (parity-mode) plain-array cache pytree
+    kb = jnp.asarray(rng.standard_normal((8, 2, 6, 64, 80)), dtype=jnp.bfloat16)
+    vb = jnp.asarray(rng.standard_normal((8, 2, 6, 64, 80)), dtype=jnp.bfloat16)
+    gk, gv = permute_cache_rows((kb, vb), rows)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(jnp.take(kb, rows, axis=0)))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(jnp.take(vb, rows, axis=0)))

@@ -124,7 +124,7 @@ def beam_update(
 
 
 class BeamState(NamedTuple):
-    cache_k: jnp.ndarray      # (L, G*k, ...) pytree leaves ok
+    cache_k: jnp.ndarray      # (G*k, L, ...) batch-leading; pytree leaves ok
     cache_v: jnp.ndarray
     tokens: jnp.ndarray       # (G, k, sample_len) sampled tokens of ACTIVE beams
     sum_lp: jnp.ndarray       # (G, k)
@@ -230,33 +230,25 @@ def beam_decode_device(
         nt_flat = new_tok.reshape(GK)
         new_last_ts = jnp.where(nt_flat >= beg, nt_flat, last_ts_g)
 
-        # Cache reorder by source rows. Measured on v5e (large-v3, b8 k5,
-        # int8 cache, 64 steps): a plain axis-1 take costs 8.5 ms/step inside
-        # this loop vs 1.8 ms isolated. The compiled HLO shows why: the
-        # gather's natural result layout differs from the while-carry's
-        # ({3,2,1,4,0} vs {4,3,2,1,0}), so XLA inserts full-cache layout-
-        # transpose copies (~7.3M cycles EACH for the s8 buffers) around the
-        # reorder — the gather bytes themselves are cheap. JAX cannot pin
-        # layouts inside a loop body today, so the mitigation is to not run
-        # the reorder at all when every beam keeps its own row (identity
-        # permutation — the common case on confident real speech): the
-        # leading-axis fold (-10%) + identity-skip cond measured
-        # 0.997 -> 0.769 s per 64-step segment even on random weights, and
-        # the Pallas row-permute (kernels/beam_gather.py), which emits the
-        # carry layout directly, takes the gather branch to 0.705 s.
+        # Cache reorder by source rows. The cache is BATCH-LEADING
+        # (B, L, H, D, C — model/decoder.KVCache), so a row is one
+        # contiguous span and the Pallas row-permute
+        # (kernels/beam_gather.py) is a pure streaming DMA emitted in the
+        # while-carry's own layout. Both properties are load-bearing on
+        # TPU: a plain take() pays full-cache layout-reconciliation copies
+        # inside the loop (~8.5 ms/step measured), and with the old
+        # layer-leading layout even the Pallas copy paid ~5x wire in
+        # per-chunk DMA latency (kernel docstring has the ablation).
         def _permute_cache(args):
             ck, cv, rows = args
             if jax.default_backend() == "tpu":
                 # layout-preserving Pallas row-permute: no reconciliation copy
                 from ..kernels.beam_gather import permute_cache_rows
 
-                return permute_cache_rows(ck, rows), permute_cache_rows(cv, rows)
+                return permute_cache_rows((ck, cv), rows)
 
             def permute(a):
-                L_, B_ = a.shape[0], a.shape[1]
-                flat = a.reshape((L_ * B_,) + a.shape[2:])
-                idx = (jnp.arange(L_)[:, None] * B_ + rows[None, :]).reshape(-1)
-                return jnp.take(flat, idx, axis=0).reshape(a.shape)
+                return jnp.take(a, rows, axis=0)
 
             return jax.tree.map(permute, ck), jax.tree.map(permute, cv)
 

@@ -1,17 +1,24 @@
 """Pallas row-permute for the beam KV cache (layout-preserving gather).
 
-``jnp.take(cache, rows, axis=1)`` inside the beam while_loop costs ~8.5
-ms/step on v5e NOT because of the gathered bytes (1.8 ms isolated) but
-because XLA reconciles the gather's natural result layout with the loop
-carry's layout via full-cache transpose copies (~7.3M cycles each; seen in
-the compiled HLO). This kernel IS the fix the HLO asks for: a pure-DMA
-permute whose blocks cover the trailing dims entirely, so input and output
-use the standard (carry) layout and no reconciliation copy exists.
+``jnp.take(cache, rows, axis=0)`` inside the beam while_loop is slow for two
+distinct reasons, both measured on v5e (large-v3, b8 k5, int8 cache):
 
-Mechanics: scalar-prefetched ``rows`` feed the input BlockSpec's index_map —
-program (li, j) copies the block at logical row ``rows[j]`` into output row
-``j``. One (L_block, 1, ...) block is ~0.8 MB for the int8 cache, the grid
-is ~(4, B) programs, and the kernel body is a single assignment.
+  1. XLA reconciles the gather's natural result layout with the loop carry's
+     layout via full-cache transpose copies (~7.3M cycles each; seen in the
+     compiled HLO) — the gather bytes were never the problem (1.8 ms
+     isolated vs 8.5 ms in-loop).
+  2. With the original layer-leading (L, B, ...) cache layout, one row was L
+     strided ~96 KB chunks; the per-chunk DMA latency put even a Pallas copy
+     kernel at ~5x its wire cost (5.7-6.1 ms/step vs 1.2 ms wire,
+     regardless of call fusion or block size).
+
+The fix is both: the cache is stored BATCH-LEADING (B, L, H, D, C — see
+model/decoder.KVCache), so a row is one contiguous multi-MB span, and this
+kernel copies rows with blocks that keep the carry layout (no XLA
+reconciliation). Scalar-prefetched ``rows`` feed the input BlockSpecs'
+index maps — program (j, li) copies every leaf's layer-chunk of logical row
+``rows[j]`` into output row j. All leaves (k/v data + quant scales) ride
+ONE pallas_call.
 """
 
 from __future__ import annotations
@@ -21,50 +28,166 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# XLA's scoped-vmem stack limit for custom kernels is 16 MB (v5e default);
+# the pipeline double-buffers every in+out block, so the sum of padded block
+# bytes (one direction) must stay under ~1/4 of that.
+_VMEM_BLOCK_BUDGET = 3_500_000
 
-def _kernel(rows_ref, in_ref, out_ref):
-    del rows_ref  # consumed by the index_map
-    out_ref[...] = in_ref[...]
+
+def _padded_layer_bytes(a) -> int:
+    """Bytes of one (1, 1, trailing...) block padded to the TPU tile grid
+    (minor dim to 128; second-minor to the dtype's sublane multiple)."""
+    trailing = a.shape[2:]
+    if not trailing:
+        return a.dtype.itemsize
+    sub = {1: 32, 2: 16, 4: 8}.get(a.dtype.itemsize, 8)
+    dims = list(trailing)
+    dims[-1] = -(-dims[-1] // 128) * 128
+    if len(dims) >= 2:
+        dims[-2] = -(-dims[-2] // sub) * sub
+    n = 1
+    for d in dims:
+        n *= d
+    return n * a.dtype.itemsize
+
+
+def _choose_lb(arrays) -> int:
+    """Largest layer-chunk so all leaves' padded in+out blocks fit VMEM."""
+    L = arrays[0].shape[1]
+    layer_bytes = sum(_padded_layer_bytes(a) for a in arrays)
+    for lb in (L, 32, 16, 8, 4, 2, 1):
+        if lb <= L and L % lb == 0 and 2 * lb * layer_bytes <= _VMEM_BLOCK_BUDGET:
+            return lb
+    return 1
+
+
+def _kernel(n: int):
+    def kernel(rows_ref, *refs):
+        del rows_ref  # consumed by the index maps
+        for i in range(n):
+            refs[n + i][...] = refs[i][...]
+
+    return kernel
+
+
+# In-flight DMA window. Each copy is a multi-MB contiguous row, so a small
+# window already saturates the HBM channel; the window bounds live DMA
+# semaphores.
+_DMA_WINDOW = 8
+
+
+def _dma_kernel(n: int, B: int):
+    """Raw row-permute: ONE program issues every (leaf, row) copy straight
+    HBM->HBM through a rolling window of DMA semaphores — no VMEM staging,
+    no per-program pipeline cost, and copies overlap across the DMA
+    engines. Ablation (v5e, large-v3 seg-128 int8 cache, b8 k5, per step):
+    BlockSpec pipeline 5.6 ms (640 VMEM-staged block-copies x ~8 us fixed);
+    grid-(B,) raw DMA 3.2 ms (each program WAITS for its own copies — no
+    cross-row overlap); this windowed form ~wire. Wire is 1.1 ms."""
+
+    def kernel(rows_ref, *refs):
+        ins, outs, sems = refs[:n], refs[n : 2 * n], refs[2 * n]
+
+        def copy(i):
+            j, l = divmod(i, n)
+            return pltpu.make_async_copy(
+                ins[l].at[pl.ds(rows_ref[j], 1)],
+                outs[l].at[pl.ds(j, 1)],
+                sems.at[i % _DMA_WINDOW],
+            )
+
+        total = B * n
+        for i in range(total):
+            if i >= _DMA_WINDOW:
+                copy(i - _DMA_WINDOW).wait()
+            copy(i).start()
+        for i in range(max(0, total - _DMA_WINDOW), total):
+            copy(i).wait()
+
+    return kernel
+
+
+def permute_rows_multi(arrays, rows: jnp.ndarray, interpret: bool | None = None):
+    """[a[rows] for a in arrays] for (B, L, ...) arrays, one pallas_call.
+
+    Every array must share B (axis 0); trailing dims are free. Each row of
+    the batch-leading cache is one contiguous span, copied by a single
+    HBM->HBM DMA per (leaf, row) in the array's own (carry) layout — no XLA
+    layout reconciliation, no VMEM staging, no per-block pipeline overhead.
+    """
+    arrays = list(arrays)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret or any(a.shape[-1] % 128 for a in arrays):
+        # Interpret mode (CPU tests) or unaligned minor dims: the
+        # semantically-identical BlockSpec copy kernel. Raw HBM->HBM DMA
+        # requires tile-aligned slices (Mosaic: "slice shape along the
+        # minor dim must be aligned to tiling (128)"), so beam callers pad
+        # the cache ctx to a 128 multiple (init_cache(pad_ctx=True)).
+        return _permute_rows_blocked(arrays, rows, interpret)
+    n = len(arrays)
+    B = arrays[0].shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in arrays],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in arrays],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_DMA_WINDOW,))],
+    )
+    out = pl.pallas_call(
+        _dma_kernel(n, B),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
+    )(rows.astype(jnp.int32), *arrays)
+    return list(out)
+
+
+def _permute_rows_blocked(arrays, rows: jnp.ndarray, interpret: bool):
+    """BlockSpec (VMEM-staged) variant: interpret mode + unaligned shapes."""
+    B, L = arrays[0].shape[0], arrays[0].shape[1]
+    lb = _choose_lb(arrays)
+
+    def in_spec(a):
+        trailing = a.shape[2:]
+        zeros = (0,) * len(trailing)
+        return pl.BlockSpec(
+            (1, lb) + trailing,
+            lambda j, li, rows: (rows[j], li) + zeros,
+            memory_space=pltpu.VMEM,
+        )
+
+    def out_spec(a):
+        trailing = a.shape[2:]
+        zeros = (0,) * len(trailing)
+        return pl.BlockSpec(
+            (1, lb) + trailing,
+            lambda j, li, rows: (j, li) + zeros,
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, L // lb),
+        in_specs=[in_spec(a) for a in arrays],
+        out_specs=[out_spec(a) for a in arrays],
+    )
+    out = pl.pallas_call(
+        _kernel(len(arrays)),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
+        interpret=interpret,
+    )(rows.astype(jnp.int32), *arrays)
+    return list(out)
 
 
 def permute_rows(x: jnp.ndarray, rows: jnp.ndarray,
                  interpret: bool | None = None) -> jnp.ndarray:
-    """x[:, rows] for (L, B, ...) arrays, emitted in x's own layout."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    L, B = x.shape[0], x.shape[1]
-    lb = 1
-    for cand in (8, 4, 2):
-        if L % cand == 0:
-            lb = cand
-            break
-    trailing = x.shape[2:]
-    zeros = (0,) * len(trailing)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(L // lb, B),
-        in_specs=[
-            pl.BlockSpec(
-                (lb, 1) + trailing,
-                lambda li, j, rows: (li, rows[j]) + zeros,
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (lb, 1) + trailing,
-            lambda li, j, rows: (li, j) + zeros,
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    return pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        interpret=interpret,
-    )(rows.astype(jnp.int32), x)
+    """x[rows] for a single (B, L, ...) array (see permute_rows_multi)."""
+    return permute_rows_multi([x], rows, interpret=interpret)[0]
 
 
 def permute_cache_rows(tree, rows: jnp.ndarray):
-    """tree-map permute_rows over a KV cache pytree (plain or QuantKV)."""
-    return jax.tree.map(lambda a: permute_rows(a, rows), tree)
+    """Permute every leaf of a KV-cache pytree (plain or QuantKV) along the
+    leading batch axis in ONE fused pallas_call."""
+    leaves, treedef = jax.tree.flatten(tree)
+    return jax.tree.unflatten(treedef, permute_rows_multi(leaves, rows))

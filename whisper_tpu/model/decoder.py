@@ -5,9 +5,10 @@ The reference scaffolds the decoder (weights fully loaded at
 main.rs:1336-1354) but implements no forward pass. Semantics here follow the
 parent whisper.cpp-1.0.3 / openai-whisper decoder, built TPU-first:
 
-  * self-attention K/V cache as a functional (n_layer, B, H, n_text_ctx, d)
+  * self-attention K/V cache as a functional (B, n_layer, H, d, n_text_ctx)
     array pair updated with ``dynamic_update_slice`` at ``n_past`` — the XLA
-    equivalent of the reference's F16 arena views at layer offsets;
+    equivalent of the reference's F16 arena views at layer offsets (but
+    batch-leading and kv-major; see KVCache for the measured rationale);
   * cross-attention reads the encoder's precomputed memory (K pre-scaled by
     d^-0.25, matching main.rs:1994-1996; Q scaled by the same factor here so
     the product is the standard 1/sqrt(d));
@@ -27,16 +28,29 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..config import WhisperConfig
 from ..kernels.ops import gelu, layer_norm, linear, merge_heads, split_heads
 
+# Layer-scan unroll factor (experiment knob): unrolling lets XLA overlap one
+# layer's weight DMA with the previous layer's compute at decode shapes,
+# where each layer is latency- not bandwidth-bound. Default 1 (no unroll).
+_SCAN_UNROLL = int(os.environ.get("WHISPER_TPU_SCAN_UNROLL", "1"))
+
 
 class KVCache(NamedTuple):
-    # KV-MAJOR storage (n_layer, B, H, d_head, n_text_ctx): the context axis
-    # is minor, so (a) tile padding is 448->512 instead of the 2x a d_head=64
-    # minor dim costs, and (b) both attention contractions hit the stored
-    # layout directly (q@k contracts d with k already d-by-C; probs@v
-    # contracts C on the minor dim of both) — no per-step relayout copies.
+    # KV-MAJOR, BATCH-LEADING storage (B, n_layer, H, d_head, n_text_ctx):
+    #   * the context axis is minor, so (a) tile padding is 448->512 instead
+    #     of the 2x a d_head=64 minor dim costs, and (b) both attention
+    #     contractions hit the stored layout directly (q@k contracts d with
+    #     k already d-by-C; probs@v contracts C on the minor dim of both) —
+    #     no per-step relayout copies;
+    #   * the BATCH axis leads (not the layer axis) so one sequence's whole
+    #     cache is CONTIGUOUS: the beam-search row permute and the serving
+    #     engine's slot refills are then single-span DMAs. With layer
+    #     leading, a row is L strided ~96 KB chunks and the beam permute
+    #     measured 5x its wire cost in per-chunk DMA latency (v5e).
     # The reference's flat F16 arena (main.rs:1336-1354) is the same idea:
     # lay the memory out for the read pattern, not the producer.
     k: jnp.ndarray
@@ -55,7 +69,7 @@ def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
     c = min(c, cfg.n_text_ctx)
     if pad_ctx:
         c = -(-c // 128) * 128
-    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.d_head_text, c)
+    shape = (batch, cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text, c)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -96,8 +110,8 @@ def _plinear(y, blk, name, bias_name=None):
 
 def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
                    cfg: WhisperConfig, return_cross_probs: bool = False):
-    """One decoder block. The KV cache is the FULL (L,B,H,D,C) buffer, updated
-    in place at (layer, ..., n_past) — threading one buffer through the
+    """One decoder block. The KV cache is the FULL (B,L,H,D,C) buffer, updated
+    in place at (:, layer, ..., n_past) — threading one buffer through the
     layer scan's carry lets XLA keep every update in-place instead of copying
     the cache per layer (the copy variant OOMs large-v3 on a 16 GB chip)."""
     h = cfg.n_text_head
@@ -128,16 +142,17 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
 
     def _append(buf, new, scale_rank=False):
         """Write ``new`` at position n_past (scalar: slice; vector: per-row
-        scatter — the serving engine's slots each carry their own past)."""
+        scatter — the serving engine's slots each carry their own past).
+        The cache is batch-leading (B, L, ...); ``layer`` indexes axis 1."""
         if not ragged:
-            offs = (layer, 0, 0, n_past) if scale_rank else (layer, 0, 0, 0, n_past)
-            return jax.lax.dynamic_update_slice(buf, new[None], offs)
+            offs = (0, layer, 0, n_past) if scale_rank else (0, layer, 0, 0, n_past)
+            return jax.lax.dynamic_update_slice(buf, new[:, None], offs)
         rows = jnp.arange(B)
         lidx = jnp.full((B,), layer)
-        if scale_rank:  # new (B, H, 1) -> scatter at (layer, b, :, n_past[b])
-            return buf.at[lidx, rows, :, n_past].set(new[..., 0])
-        # new (B, H, D, 1) -> scatter at (layer, b, :, :, n_past[b])
-        return buf.at[lidx, rows, :, :, n_past].set(new[..., 0])
+        if scale_rank:  # new (B, H, 1) -> scatter at (b, layer, :, n_past[b])
+            return buf.at[rows, lidx, :, n_past].set(new[..., 0])
+        # new (B, H, D, 1) -> scatter at (b, layer, :, :, n_past[b])
+        return buf.at[rows, lidx, :, :, n_past].set(new[..., 0])
 
     if isinstance(ck_all, QuantKV):
         # int8 cache: quantize the appended positions, update data + scale.
@@ -152,12 +167,12 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
             _append(cv_all.scale, v8.scale, scale_rank=True),
         )
         ck = QuantKV(
-            jax.lax.dynamic_index_in_dim(ck_all.data, layer, 0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(ck_all.scale, layer, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(ck_all.data, layer, 1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(ck_all.scale, layer, 1, keepdims=False),
         )
         cv = QuantKV(
-            jax.lax.dynamic_index_in_dim(cv_all.data, layer, 0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(cv_all.scale, layer, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(cv_all.data, layer, 1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(cv_all.scale, layer, 1, keepdims=False),
         )
         o = quant_sdpa(q * (d ** -0.5), ck, cv, mask, x.dtype)
     else:
@@ -165,8 +180,8 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         # view_1d(memory_k, ..., offset=il*n_ctx + n_past) + cpy pattern.
         ck_all = _append(ck_all, k_new.astype(ck_all.dtype))
         cv_all = _append(cv_all, v_new.astype(cv_all.dtype))
-        ck = jax.lax.dynamic_index_in_dim(ck_all, layer, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cv_all, layer, 0, keepdims=False)
+        ck = jax.lax.dynamic_index_in_dim(ck_all, layer, 1, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cv_all, layer, 1, keepdims=False)
         o = _kvmajor_sdpa(q, ck, cv, mask, d ** -0.5)
     x = x + _plinear(merge_heads(o), blk, "out_w", "out_b")
 
@@ -246,14 +261,15 @@ def decode_step(
     callers advance ``n_past`` by the true length only, so the next call's
     dynamic_update_slice overwrites them — padding never corrupts the stream.
     """
-    from ..parallel.sharding import constrain_kv
+    from ..parallel.sharding import constrain_cache, constrain_cross
 
     # Pin the KV/cross layouts when tracing under a (dp, tp) mesh (no-op
     # otherwise) — the multi-GB decode buffers must not depend on XLA's
     # sharding propagation (SURVEY §2.2 distributed-backend contract).
-    cache = KVCache(constrain_kv(cache.k), constrain_kv(cache.v))
-    cross_k = constrain_kv(cross_k)
-    cross_v = constrain_kv(cross_v)
+    # The self cache is batch-leading (B, L, ...); cross is layer-leading.
+    cache = KVCache(constrain_cache(cache.k), constrain_cache(cache.v))
+    cross_k = constrain_cross(cross_k)
+    cross_v = constrain_cross(cross_v)
 
     dec = params["decoder"]
     B, T = tokens.shape
@@ -280,6 +296,7 @@ def decode_step(
         body,
         (x, cache.k, cache.v, jnp.int32(0)),
         (dec["blocks"], cross_k, cross_v),
+        unroll=_SCAN_UNROLL,
     )
     x = layer_norm(x, dec["ln_w"], dec["ln_b"])
     logits = jnp.einsum(

@@ -83,12 +83,18 @@ def quant_sdpa(q, kq: QuantKV, vq: QuantKV, mask, out_dtype):
     return pv_out(probs, vq, out_dtype)
 
 
-def init_quant_cache(cfg, batch: int, ctx: int | None = None):
-    """int8 KV cache: data (L,B,H,D,C) int8 + per-position scale (L,B,H,C)."""
+def init_quant_cache(cfg, batch: int, ctx: int | None = None,
+                     pad_ctx: bool = False):
+    """int8 KV cache: data (B,L,H,D,C) int8 + per-position scale (B,L,H,C)
+    (batch-leading so a sequence's cache is contiguous — see KVCache).
+    ``pad_ctx`` rounds C up to a 128 multiple — required by the beam loop's
+    raw-DMA row permute (kernels/beam_gather.py needs tile-aligned rows)."""
     L, H, D = cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text
     C = min(ctx or cfg.n_text_ctx, cfg.n_text_ctx)
-    data = jnp.zeros((L, batch, H, D, C), jnp.int8)
-    scale = jnp.zeros((L, batch, H, C), jnp.float32)
+    if pad_ctx:
+        C = -(-C // 128) * 128
+    data = jnp.zeros((batch, L, H, D, C), jnp.int8)
+    scale = jnp.zeros((batch, L, H, C), jnp.float32)
     return QuantKV(data, scale), QuantKV(data, scale)
 
 

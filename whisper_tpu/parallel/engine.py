@@ -43,7 +43,9 @@ NEG = jnp.float32(-1e30)
 
 
 class EngineState(NamedTuple):
-    cache_k: jnp.ndarray      # (L, S, H, D, C) slot KV pool
+    cache_k: jnp.ndarray      # (S, L, H, D, C) slot KV pool (batch-leading:
+                              # a slot's cache is contiguous, so refills are
+                              # single-span DMAs — see model/decoder.KVCache)
     cache_v: jnp.ndarray
     logits: jnp.ndarray       # (S, V) f32 — next-token logits per slot
     n_past: jnp.ndarray       # (S,) int32
@@ -121,14 +123,17 @@ def _decode_chunk(
     return state
 
 
-def _slot_update(pool, row, slot):
+def _slot_update(pool, row, slot, axis=1):
     """dynamic_update_slice a batch-1 row pytree into slot ``slot`` of a
-    (L, S, ...) pool pytree (works for plain arrays and QuantKV leaves)."""
-    return jax.tree.map(
-        lambda p, r: jax.lax.dynamic_update_slice(
-            p, r, (0, slot) + (0,) * (p.ndim - 2)),
-        pool, row,
-    )
+    pool pytree whose slot dimension is ``axis`` (cross pools are
+    (L, S, ...), the batch-leading KV pools are (S, L, ...)). Works for
+    plain arrays and QuantKV leaves."""
+    def upd(p, r):
+        offs = [0] * p.ndim
+        offs[axis] = slot
+        return jax.lax.dynamic_update_slice(p, r, tuple(offs))
+
+    return jax.tree.map(upd, pool, row)
 
 
 @jax.jit
@@ -137,8 +142,8 @@ def _refill(state: EngineState, slot, cache_k_row, cache_v_row, logits_row,
     """Install a freshly-prefilled stream into slot ``slot`` (one dispatch)."""
     s = slot
     return EngineState(
-        cache_k=_slot_update(state.cache_k, cache_k_row, s),
-        cache_v=_slot_update(state.cache_v, cache_v_row, s),
+        cache_k=_slot_update(state.cache_k, cache_k_row, s, axis=0),
+        cache_v=_slot_update(state.cache_v, cache_v_row, s, axis=0),
         logits=state.logits.at[s].set(logits_row),
         n_past=state.n_past.at[s].set(n_init),
         step=state.step.at[s].set(0),
@@ -287,14 +292,17 @@ class SlotEngine:
             cache, first_logits = self._prefill_batch(ck, cv, bucket)
             for j in range(n):
                 slot = jnp.int32(slots[i + j])
-                row = lambda a, jj=j: jax.lax.dynamic_slice_in_dim(a, jj, 1, axis=1)
+                # cross memory is layer-leading (L, B, ...); the KV cache is
+                # batch-leading (B, L, ...) so a slot row is contiguous
+                crow = lambda a, jj=j: jax.lax.dynamic_slice_in_dim(a, jj, 1, axis=1)
+                krow = lambda a, jj=j: jax.lax.dynamic_slice_in_dim(a, jj, 1, axis=0)
                 self._cross_pool_k = _slot_update(
-                    self._cross_pool_k, jax.tree.map(row, ck), slot)
+                    self._cross_pool_k, jax.tree.map(crow, ck), slot)
                 self._cross_pool_v = _slot_update(
-                    self._cross_pool_v, jax.tree.map(row, cv), slot)
+                    self._cross_pool_v, jax.tree.map(crow, cv), slot)
                 self._state = _refill(
                     self._state, slot,
-                    jax.tree.map(row, cache.k), jax.tree.map(row, cache.v),
+                    jax.tree.map(krow, cache.k), jax.tree.map(krow, cache.v),
                     first_logits[j], jnp.int32(self.init_len))
             i += n
 
@@ -319,11 +327,18 @@ class SlotEngine:
 
     def transcribe_many(self, audios: Sequence[np.ndarray]) -> List[DecodingResult]:
         """Drain a queue of independent 30 s-or-shorter streams; results are
-        returned in submission order. Slots are refilled as they free up."""
+        returned in submission order. Slots are refilled as they free up.
+
+        Phase wall-times accumulate in ``self.stats`` (admit / chunk / pull
+        seconds + round count) so serving deployments can see where the
+        scheduler spends its budget."""
+        import time as _time
+
         queue = list(enumerate(audios))
         results: List[Optional[DecodingResult]] = [None] * len(queue)
         slot_req = [-1] * self.n_slots  # request index per slot
         queue.reverse()  # pop() from the front
+        self.stats = {"admit_s": 0.0, "chunk_s": 0.0, "pull_s": 0.0, "rounds": 0}
 
         while queue or any(r >= 0 for r in slot_req):
             # fill free slots (batched admission: joiners share encode/prefill)
@@ -335,8 +350,11 @@ class SlotEngine:
                     join_audios.append(audio)
                     slot_req[s] = idx
             if join_slots:
+                t0 = _time.perf_counter()
                 self._admit_many(join_slots, join_audios)
+                self.stats["admit_s"] += _time.perf_counter() - t0
             # decode one chunk for all active slots
+            t0 = _time.perf_counter()
             self._state = _decode_chunk(
                 self.model.params, self._state,
                 self._cross_pool_k, self._cross_pool_v,
@@ -346,11 +364,15 @@ class SlotEngine:
                 max_initial_index=self.max_initial_index,
                 max_new=self.max_new,
             )
+            self.stats["chunk_s"] += _time.perf_counter() - t0
             # ONE device->host pull per round (the arrays are KBs; per-slot
             # reads would each pay the transfer round-trip)
+            t0 = _time.perf_counter()
             active, length, sum_lp, toks = jax.device_get(
                 (self._state.active, self._state.length,
                  self._state.sum_logprobs, self._state.tokens_out))
+            self.stats["pull_s"] += _time.perf_counter() - t0
+            self.stats["rounds"] += 1
             for s in range(self.n_slots):
                 if slot_req[s] >= 0 and not active[s]:
                     results[slot_req[s]] = self._harvest(s, toks, length, sum_lp)

@@ -94,8 +94,8 @@ def batch_pspec() -> P:
 
 
 def cache_pspec() -> P:
-    """KV cache (L, B, H, D, C): batch over dp, heads over tp."""
-    return P(None, "dp", "tp", None, None)
+    """Self-attn KV cache (B, L, H, D, C): batch over dp, heads over tp."""
+    return P("dp", None, "tp", None, None)
 
 
 def cross_pspec() -> P:
@@ -103,18 +103,28 @@ def cross_pspec() -> P:
     return P(None, "dp", "tp", None, None)
 
 
-def constrain_kv(x):
-    """Pin a (L, B, H, D, C)-or-(L, B, H, C) KV/cross buffer (or QuantKV) to
-    the dp/tp layout when tracing under a (dp, tp) mesh context; no-op
-    otherwise. Called from model/decoder.decode_step so sharded decode never
-    relies on XLA's layout propagation for the multi-GB buffers."""
+def _constrain(x, spec5: P, spec4: P):
     mesh = jax.sharding.get_abstract_mesh()
     if mesh.empty or not {"dp", "tp"} <= set(mesh.axis_names):
         return x
 
     def one(arr):
-        spec = (P(None, "dp", "tp", None, None) if arr.ndim == 5
-                else P(None, "dp", "tp", None))
+        spec = spec5 if arr.ndim == 5 else spec4
         return jax.lax.with_sharding_constraint(arr, NamedSharding(mesh, spec))
 
     return jax.tree.map(one, x)
+
+
+def constrain_cache(x):
+    """Pin a batch-leading (B, L, H, D, C)-or-(B, L, H, C) self-attn cache
+    (or QuantKV) to the dp/tp layout when tracing under a (dp, tp) mesh
+    context; no-op otherwise. Called from model/decoder.decode_step so
+    sharded decode never relies on XLA's propagation for multi-GB buffers."""
+    return _constrain(x, P("dp", None, "tp", None, None), P("dp", None, "tp", None))
+
+
+def constrain_cross(x):
+    """Pin a layer-leading (L, B, H, D, Ta)-or-(L, B, H, Ta) cross memory
+    (or QuantKV) to the dp/tp layout under a (dp, tp) mesh; see
+    constrain_cache."""
+    return _constrain(x, P(None, "dp", "tp", None, None), P(None, "dp", "tp", None))

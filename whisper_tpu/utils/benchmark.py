@@ -14,6 +14,70 @@ from typing import Optional
 import numpy as np
 
 
+def run_engine_benchmark(
+    model_name: str = "large-v3",
+    n_slots: int = 48,
+    n_streams: Optional[int] = None,
+    chunk_steps: int = 8,
+    quantize: bool = True,
+    max_new_tokens: int = 64,
+    seconds: int = 120,
+) -> dict:
+    """Continuous-batching serving throughput: a SlotEngine with ``n_slots``
+    draining ``n_streams`` independent 30 s streams of staggered lengths
+    (24/27/30 s — forces ragged finishes and mid-decode refills)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import PRESETS
+    from ..decoding.task import DecodingOptions
+    from ..model.load import random_model
+    from ..parallel.engine import SlotEngine
+
+    model = random_model(PRESETS[model_name], seed=0, dtype=jnp.bfloat16)
+    n_streams = n_streams or 2 * n_slots
+    rng = np.random.default_rng(0)
+    secs = [24.0, 27.0, 30.0]
+    audios = [
+        (rng.standard_normal(int(16000 * secs[i % 3])) * 0.1).astype(np.float32)
+        for i in range(n_streams)
+    ]
+    total_audio = sum(len(a) for a in audios) / 16000.0
+    engine = SlotEngine(
+        model, n_slots=n_slots, chunk_steps=chunk_steps,
+        options=DecodingOptions(without_timestamps=False),
+        max_new_tokens=max_new_tokens, quantize=quantize,
+    )
+    # Warmup: compile encode buckets + chunk + refill on a small queue.
+    engine.transcribe_many(audios[: min(n_slots, 8)])
+    engine._state = None
+    engine._cross_pool_k = engine._cross_pool_v = None
+
+    t0 = time.perf_counter()
+    results = engine.transcribe_many(audios)
+    wall = time.perf_counter() - t0
+    rtf = total_audio / wall
+    return {
+        "metric": f"rtf_{model.config.model_type}_engine_s{n_slots}_q{n_streams}"
+        + ("_int8" if quantize else ""),
+        "value": round(rtf, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(rtf / 100.0, 3),
+        "detail": {
+            "model": model.config.model_type,
+            "n_slots": n_slots,
+            "n_streams": n_streams,
+            "chunk_steps": chunk_steps,
+            "quantize": quantize,
+            "wall_s": round(wall, 2),
+            "n_results": sum(r is not None for r in results),
+            "stats": {k: round(v, 2) if isinstance(v, float) else v
+                      for k, v in engine.stats.items()},
+            "backend": jax.default_backend(),
+        },
+    }
+
+
 def run_benchmark(
     model_path: Optional[str] = None,
     model_name: str = "large-v3",
@@ -80,13 +144,16 @@ def run_benchmark(
             from ..decoding.device_beam import beam_decode_device
 
             k = beam_size
+            pad = jax.default_backend() == "tpu"  # raw-DMA beam permute
             if kv_dtype == "int8":
                 from ..model.decoder import KVCache
                 from ..model.quant import init_quant_cache
 
-                cache = KVCache(*init_quant_cache(cfg, batch * k, ctx=seg_ctx))
+                cache = KVCache(*init_quant_cache(cfg, batch * k, ctx=seg_ctx,
+                                                  pad_ctx=pad))
             else:
-                cache = init_cache(cfg, batch * k, dtype=jnp.bfloat16, ctx=seg_ctx)
+                cache = init_cache(cfg, batch * k, dtype=jnp.bfloat16,
+                                   ctx=seg_ctx, pad_ctx=pad)
             out = beam_decode_device(
                 model.params, jnp.repeat(init_tokens, k, axis=0), len(init), 0,
                 cache, cross_k, cross_v, sup_mask, blank_mask, cfg,
