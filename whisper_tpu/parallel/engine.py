@@ -211,7 +211,11 @@ class SlotEngine:
 
     # -- stream admission (bucketed: joiners encode/prefill together) --
 
-    _ADMIT_BUCKETS = (8, 4, 2, 1)
+    # Admission bucket sizes (largest first). Encoder MXU utilization climbs
+    # steeply with batch on large models, so joiners share as large an
+    # encode/prefill call as the queue allows; each bucket is one compiled
+    # shape (cached).
+    _ADMIT_BUCKETS = (32, 16, 8, 4, 2, 1)
 
     def _encode_batch(self, audios: Sequence[np.ndarray], bucket: int):
         """Encode up to ``bucket`` streams in one forward (padded; only the
