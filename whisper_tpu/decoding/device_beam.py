@@ -230,19 +230,26 @@ def beam_decode_device(
         nt_flat = new_tok.reshape(GK)
         new_last_ts = jnp.where(nt_flat >= beg, nt_flat, last_ts_g)
 
-        # Cache reorder by source rows. The cache is BATCH-LEADING
-        # (B, L, H, D, C — model/decoder.KVCache), so a row is one
-        # contiguous span and the Pallas row-permute
-        # (kernels/beam_gather.py) is a pure streaming DMA emitted in the
-        # while-carry's own layout. Both properties are load-bearing on
-        # TPU: a plain take() pays full-cache layout-reconciliation copies
-        # inside the loop (~8.5 ms/step measured), and with the old
-        # layer-leading layout even the Pallas copy paid ~5x wire in
-        # per-chunk DMA latency (kernel docstring has the ablation).
+        # Cache reorder by source rows (skipped entirely when every beam
+        # keeps its own row — the common case on confident real speech).
+        # Measured tradeoffs on v5e (large-v3, k5, int8 cache, ms/step
+        # ABOVE the permute-free loop; note the chip's PRACTICAL
+        # read+write bandwidth is ~310 GB/s — a plain int8 x+1 streams at
+        # 311, so the oft-quoted 819 GB/s is a read-only number):
+        #   rows=40/80 (b8/b16), seg ctx 75:
+        #     Pallas blocked copy (kernels/beam_gather)   +5.7 / +15.7
+        #     jnp.take(axis=0)                            +7.8 / +19.9
+        #     raw HBM->HBM DMA kernel (needs ctx%128==0) +11.1 / +13.2
+        #     reorder fused into the layer scan          +15.7 / +36.4
+        # Every loop-level variant lands at ~2x the practical wire (XLA
+        # copies the while-carry around any reorder op), and fusing the
+        # gather into the layer scan breaks the carry's in-place aliasing
+        # (decode_step's permute_rows path is kept for CPU/tests and as a
+        # documented negative result, not the TPU production route).
         def _permute_cache(args):
             ck, cv, rows = args
             if jax.default_backend() == "tpu":
-                # layout-preserving Pallas row-permute: no reconciliation copy
+                # layout-preserving Pallas copy: no reconciliation copies
                 from ..kernels.beam_gather import permute_cache_rows
 
                 return permute_cache_rows((ck, cv), rows)

@@ -421,9 +421,6 @@ def _decode_full_device_beam(
     cache = init_cache(
         config, n_audio * k, dtype=_cache_dtype(ck),
         ctx=padded.shape[1] + sample_len + 8,
-        # tile-aligned ctx lets the beam permute run as raw HBM->HBM DMA
-        # (kernels/beam_gather.py); CPU tests keep the exact-sized cache
-        pad_ctx=jax.default_backend() == "tpu",
     )
     (act_toks, act_lp, fin_toks, fin_scores, fin_len, fin_count, steps, nosp) = (
         beam_decode_device(

@@ -109,11 +109,22 @@ def _plinear(y, blk, name, bias_name=None):
 
 
 def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
-                   cfg: WhisperConfig, return_cross_probs: bool = False):
+                   cfg: WhisperConfig, return_cross_probs: bool = False,
+                   permute_rows=None):
     """One decoder block. The KV cache is the FULL (B,L,H,D,C) buffer, updated
     in place at (:, layer, ..., n_past) — threading one buffer through the
     layer scan's carry lets XLA keep every update in-place instead of copying
-    the cache per layer (the copy variant OOMs large-v3 on a 16 GB chip)."""
+    the cache per layer (the copy variant OOMs large-v3 on a 16 GB chip).
+
+    ``permute_rows`` ((B,) int32 or None) fuses the beam-search cache reorder
+    into the layer visit: the layer's slice is gathered by source row exactly
+    where attention reads it anyway, the new K/V appends into the gathered
+    slice, and the whole slice writes back in place. A loop-level reorder of
+    the full cache costs ~3 full-cache passes on TPU (XLA copies the carry
+    in and out of any reorder op — measured identically for jnp.take, a
+    BlockSpec Pallas permute, and a raw-DMA Pallas permute); in here the
+    gather rides the scan's existing in-place carry and the read feeds the
+    attention that was already due."""
     h = cfg.n_text_head
     d = cfg.d_head_text
     B, T, _ = x.shape
@@ -154,34 +165,66 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         # new (B, H, D, 1) -> scatter at (b, layer, :, :, n_past[b])
         return buf.at[rows, lidx, :, :, n_past].set(new[..., 0])
 
+    def _slice_l(buf):
+        return jax.lax.dynamic_index_in_dim(buf, layer, 1, keepdims=False)
+
+    def _append_in_slice(sl, new, scale_rank=False):
+        """Write ``new`` at column n_past of a gathered layer slice."""
+        offs = (0, 0, n_past) if scale_rank else (0, 0, 0, n_past)
+        return jax.lax.dynamic_update_slice(sl, new, offs)
+
+    def _writeback(buf, sl):
+        offs = (0, layer) + (0,) * (buf.ndim - 2)
+        return jax.lax.dynamic_update_slice(buf, sl[:, None], offs)
+
     if isinstance(ck_all, QuantKV):
         # int8 cache: quantize the appended positions, update data + scale.
         k8 = _quantize_one(k_new)
         v8 = _quantize_one(v_new)
-        ck_all = QuantKV(
-            _append(ck_all.data, k8.data),
-            _append(ck_all.scale, k8.scale, scale_rank=True),
-        )
-        cv_all = QuantKV(
-            _append(cv_all.data, v8.data),
-            _append(cv_all.scale, v8.scale, scale_rank=True),
-        )
-        ck = QuantKV(
-            jax.lax.dynamic_index_in_dim(ck_all.data, layer, 1, keepdims=False),
-            jax.lax.dynamic_index_in_dim(ck_all.scale, layer, 1, keepdims=False),
-        )
-        cv = QuantKV(
-            jax.lax.dynamic_index_in_dim(cv_all.data, layer, 1, keepdims=False),
-            jax.lax.dynamic_index_in_dim(cv_all.scale, layer, 1, keepdims=False),
-        )
+        if permute_rows is not None:
+            gather = lambda a: jnp.take(a, permute_rows, axis=0)
+            ck = QuantKV(
+                _append_in_slice(gather(_slice_l(ck_all.data)), k8.data),
+                _append_in_slice(gather(_slice_l(ck_all.scale)), k8.scale,
+                                 scale_rank=True),
+            )
+            cv = QuantKV(
+                _append_in_slice(gather(_slice_l(cv_all.data)), v8.data),
+                _append_in_slice(gather(_slice_l(cv_all.scale)), v8.scale,
+                                 scale_rank=True),
+            )
+            ck_all = QuantKV(_writeback(ck_all.data, ck.data),
+                             _writeback(ck_all.scale, ck.scale))
+            cv_all = QuantKV(_writeback(cv_all.data, cv.data),
+                             _writeback(cv_all.scale, cv.scale))
+        else:
+            ck_all = QuantKV(
+                _append(ck_all.data, k8.data),
+                _append(ck_all.scale, k8.scale, scale_rank=True),
+            )
+            cv_all = QuantKV(
+                _append(cv_all.data, v8.data),
+                _append(cv_all.scale, v8.scale, scale_rank=True),
+            )
+            ck = QuantKV(_slice_l(ck_all.data), _slice_l(ck_all.scale))
+            cv = QuantKV(_slice_l(cv_all.data), _slice_l(cv_all.scale))
         o = quant_sdpa(q * (d ** -0.5), ck, cv, mask, x.dtype)
     else:
         # Append at n_past — the functional version of the reference's
         # view_1d(memory_k, ..., offset=il*n_ctx + n_past) + cpy pattern.
-        ck_all = _append(ck_all, k_new.astype(ck_all.dtype))
-        cv_all = _append(cv_all, v_new.astype(cv_all.dtype))
-        ck = jax.lax.dynamic_index_in_dim(ck_all, layer, 1, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cv_all, layer, 1, keepdims=False)
+        if permute_rows is not None:
+            gather = lambda a: jnp.take(a, permute_rows, axis=0)
+            ck = _append_in_slice(gather(_slice_l(ck_all)),
+                                  k_new.astype(ck_all.dtype))
+            cv = _append_in_slice(gather(_slice_l(cv_all)),
+                                  v_new.astype(cv_all.dtype))
+            ck_all = _writeback(ck_all, ck)
+            cv_all = _writeback(cv_all, cv)
+        else:
+            ck_all = _append(ck_all, k_new.astype(ck_all.dtype))
+            cv_all = _append(cv_all, v_new.astype(cv_all.dtype))
+            ck = _slice_l(ck_all)
+            cv = _slice_l(cv_all)
         o = _kvmajor_sdpa(q, ck, cv, mask, d ** -0.5)
     x = x + _plinear(merge_heads(o), blk, "out_w", "out_b")
 
@@ -254,12 +297,17 @@ def decode_step(
     cross_k: jnp.ndarray,  # (L, B, H, D, Ta) kv-major
     cross_v: jnp.ndarray,
     cfg: WhisperConfig,
+    permute_rows=None,     # (B,) int32: fused beam cache reorder (see block)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Forward ``T`` new tokens; returns (logits (B, T, n_vocab) f32, cache').
 
     Padded tail positions write garbage K/V *beyond* ``n_past + true_len``;
     callers advance ``n_past`` by the true length only, so the next call's
     dynamic_update_slice overwrites them — padding never corrupts the stream.
+
+    ``permute_rows`` reorders the cache by source row (cache' row i derives
+    from cache row permute_rows[i]) fused into the per-layer visit — the
+    beam loop's alternative to a loop-level full-cache permute.
     """
     from ..parallel.sharding import constrain_cache, constrain_cross
 
@@ -288,7 +336,8 @@ def decode_step(
         x, ck_all, cv_all, layer = carry
         blk, xk, xv = xs
         x, ck_all, cv_all = _decoder_block(
-            x, blk, ck_all, cv_all, layer, xk, xv, n_past, cfg
+            x, blk, ck_all, cv_all, layer, xk, xv, n_past, cfg,
+            permute_rows=permute_rows,
         )
         return (x, ck_all, cv_all, layer + 1), None
 
