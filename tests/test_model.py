@@ -135,3 +135,46 @@ def test_decoder_padded_prefill(setup):
     lg2, _ = decode_step(params, jnp.asarray(nxt), jnp.int32(T), cache_pad,
                          out.cross_k, out.cross_v, cfg)
     np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1), atol=2e-4)
+
+
+def test_decode_step_fused_permute_rows_matches_take():
+    """decode_step(permute_rows=rows) == jnp.take the cache rows first, then
+    decode (the fused beam-reorder path; kept as a CPU/test route and a
+    documented negative result for TPU — see device_beam.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fixtures import micro_config
+    from whisper_tpu.model.decoder import KVCache, decode_step, init_cache
+    from whisper_tpu.model.encoder import encode
+    from whisper_tpu.model.load import random_model
+
+    cfg = micro_config()
+    model = random_model(cfg, seed=11, on_device=False)
+    B = 6
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    enc = encode(model.params, mel, cfg)
+    cache = init_cache(cfg, B, ctx=12)
+    # prefill two positions to give the permute real history to move
+    toks = jnp.asarray(rng.integers(0, 1000, (B, 2)), jnp.int32)
+    _, cache = decode_step(model.params, toks, jnp.int32(0), cache,
+                           enc.cross_k, enc.cross_v, cfg)
+    rows = jnp.asarray(np.array([3, 3, 0, 5, 1, 1], np.int32))
+    nxt = jnp.asarray(rng.integers(0, 1000, (B, 1)), jnp.int32)
+
+    lg_f, cache_f = decode_step(model.params, nxt, jnp.int32(2), cache,
+                                enc.cross_k, enc.cross_v, cfg,
+                                permute_rows=rows)
+    taken = KVCache(jnp.take(cache.k, rows, axis=0),
+                    jnp.take(cache.v, rows, axis=0))
+    lg_r, cache_r = decode_step(model.params, nxt, jnp.int32(2), taken,
+                                enc.cross_k, enc.cross_v, cfg)
+    np.testing.assert_allclose(np.asarray(lg_f), np.asarray(lg_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache_f.k), np.asarray(cache_r.k),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache_f.v), np.asarray(cache_r.v),
+                               rtol=1e-5, atol=1e-5)
