@@ -98,3 +98,16 @@ def test_cached_load(tmp_path):
     )
     assert m1.config == m2.config
     assert m2.vocab.id_to_token[0] == m1.vocab.id_to_token[0]
+
+
+def test_presets_cover_all_released_families():
+    from whisper_tpu.config import PRESETS
+
+    assert {"tiny", "tiny.en", "base", "base.en", "small", "small.en",
+            "medium", "medium.en", "large", "large-v2", "large-v3",
+            "large-v3-turbo"} <= set(PRESETS)
+    turbo = PRESETS["large-v3-turbo"]
+    assert turbo.n_text_layer == 4 and turbo.n_mels == 128
+    assert turbo.model_type == "large-v3-turbo"
+    assert PRESETS["large-v3"].model_type == "large-v3"
+    assert PRESETS["large"].model_type == "large"

@@ -55,7 +55,9 @@ class WhisperConfig:
     def model_type(self) -> str:
         name = _AUDIO_LAYER_TO_NAME.get(self.n_audio_layer, "unknown")
         if name == "large" and self.n_mels == 128:
-            name = "large-v3"
+            # v3 family; turbo prunes the decoder to 4 layers
+            name = ("large-v3-turbo" if self.n_text_layer == 4
+                    else "large-v3")
         return name
 
     @property
@@ -142,6 +144,12 @@ PRESETS: Dict[str, WhisperConfig] = {
     "small": WhisperConfig(51865, 1500, 768, 12, 12, 448, 768, 12, 12, 80, 1),
     "medium.en": WhisperConfig(51864, 1500, 1024, 16, 24, 448, 1024, 16, 24, 80, 1),
     "medium": WhisperConfig(51865, 1500, 1024, 16, 24, 448, 1024, 16, 24, 80, 1),
+    # "large" (v1) and v2 share every header field; GGML cannot distinguish
+    # them (EModel keys on n_audio_layer alone, main.rs:104-115).
+    "large": WhisperConfig(51865, 1500, 1280, 20, 32, 448, 1280, 20, 32, 80, 1),
     "large-v2": WhisperConfig(51865, 1500, 1280, 20, 32, 448, 1280, 20, 32, 80, 1),
     "large-v3": WhisperConfig(51866, 1500, 1280, 20, 32, 448, 1280, 20, 32, 128, 1),
+    # v3 with the decoder pruned to 4 layers (openai's distilled release);
+    # the serving sweet spot — the decoder dominates per-token cost.
+    "large-v3-turbo": WhisperConfig(51866, 1500, 1280, 20, 32, 448, 1280, 20, 4, 128, 1),
 }

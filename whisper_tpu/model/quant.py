@@ -93,9 +93,15 @@ def init_quant_cache(cfg, batch: int, ctx: int | None = None,
     C = min(ctx or cfg.n_text_ctx, cfg.n_text_ctx)
     if pad_ctx:
         C = -(-C // 128) * 128
-    data = jnp.zeros((batch, L, H, D, C), jnp.int8)
-    scale = jnp.zeros((batch, L, H, C), jnp.float32)
-    return QuantKV(data, scale), QuantKV(data, scale)
+
+    # K and V must be DISTINCT buffers: sharing one zeros array breaks
+    # donation ("attempt to donate the same buffer twice") in the serving
+    # engine's in-place pool updates.
+    def one():
+        return QuantKV(jnp.zeros((batch, L, H, D, C), jnp.int8),
+                       jnp.zeros((batch, L, H, C), jnp.float32))
+
+    return one(), one()
 
 
 # ---- weight-only int8 (decoder) ----

@@ -17,9 +17,11 @@ attention read and buy nothing here (no sequence ever grows past its page).
 The reference's KV arena (main.rs:1336-1354) is the single-stream ancestor of
 this pool.
 
-Each admitted stream is mel'd + encoded at batch 1 (one compiled shape) and
-prefilled with the shared initial-token sequence; results are token-identical
-to the fused single-segment device loop (tested in tests/test_engine.py).
+Admissions are bucketed (16/8/4/2/1): joiners share one stacked host->device
+audio transfer, per-length vmapped mels, one encode/prefill forward, and one
+fixed-size scatter install per bucket (partial buckets pad into a trash row,
+so each bucket size is exactly one compiled program). Results are
+token-identical to the fused single-segment device loop (tests/test_engine.py).
 """
 
 from __future__ import annotations
@@ -63,6 +65,7 @@ class EngineState(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "steps", "use_timestamps", "max_initial_index",
                      "max_new"),
+    donate_argnames=("state",),  # multi-GB pools update in place
 )
 def _decode_chunk(
     params, state: EngineState, cross_k, cross_v, sup_mask, blank_mask,
@@ -123,38 +126,41 @@ def _decode_chunk(
     return state
 
 
-def _slot_update(pool, row, slot, axis=1):
-    """dynamic_update_slice a batch-1 row pytree into slot ``slot`` of a
-    pool pytree whose slot dimension is ``axis`` (cross pools are
-    (L, S, ...), the batch-leading KV pools are (S, L, ...)). Works for
-    plain arrays and QuantKV leaves."""
-    def upd(p, r):
-        offs = [0] * p.ndim
-        offs[axis] = slot
-        return jax.lax.dynamic_update_slice(p, r, tuple(offs))
-
-    return jax.tree.map(upd, pool, row)
-
-
-@jax.jit
-def _refill(state: EngineState, slot, cache_k_row, cache_v_row, logits_row,
-            n_init):
-    """Install a freshly-prefilled stream into slot ``slot`` (one dispatch)."""
-    s = slot
-    return EngineState(
-        cache_k=_slot_update(state.cache_k, cache_k_row, s, axis=0),
-        cache_v=_slot_update(state.cache_v, cache_v_row, s, axis=0),
-        logits=state.logits.at[s].set(logits_row),
-        n_past=state.n_past.at[s].set(n_init),
-        step=state.step.at[s].set(0),
-        active=state.active.at[s].set(True),
+@functools.partial(
+    jax.jit, donate_argnames=("state", "cross_k_pool", "cross_v_pool"))
+def _refill_many(state: EngineState, cross_k_pool, cross_v_pool,
+                 slots, ck_rows, cv_rows, cache_k_rows, cache_v_rows,
+                 logits_rows, n_init):
+    """Install a whole admission bucket in ONE dispatch: scatter the
+    prefilled KV rows, the encoder cross rows, and the per-slot state for
+    every slot in ``slots`` ((n,) int32). On a tunneled chip, the per-slot
+    _refill chain (3 dispatches x n streams) dominated admission wall time;
+    this is the n-row scatter version of the same update. The pools are
+    DONATED — without donation the scatter double-buffers the multi-GB
+    cross pools and OOMs a 48-slot large-v3 engine."""
+    scat0 = lambda p, r: jax.tree.map(lambda pp, rr: pp.at[slots].set(rr), p, r)
+    scat1 = lambda p, r: jax.tree.map(
+        lambda pp, rr: pp.at[:, slots].set(rr), p, r)
+    n = logits_rows.shape[0]
+    ones = jnp.ones((n,), jnp.int32)
+    S = state.active.shape[0]  # includes the trash row at index S-1
+    trash = S - 1
+    new_state = EngineState(
+        cache_k=scat0(state.cache_k, cache_k_rows),
+        cache_v=scat0(state.cache_v, cache_v_rows),
+        logits=state.logits.at[slots].set(logits_rows),
+        n_past=state.n_past.at[slots].set(n_init * ones),
+        step=state.step.at[slots].set(0),
+        active=state.active.at[slots].set(True).at[trash].set(False),
         tokens_out=state.tokens_out,  # rows are read out before refill
-        length=state.length.at[s].set(0),
-        sum_logprobs=state.sum_logprobs.at[s].set(0.0),
-        last_tok=state.last_tok.at[s].set(-1),
-        prev_tok=state.prev_tok.at[s].set(-1),
-        last_ts=state.last_ts.at[s].set(-1),
+        length=state.length.at[slots].set(0),
+        sum_logprobs=state.sum_logprobs.at[slots].set(0.0),
+        last_tok=state.last_tok.at[slots].set(-1),
+        prev_tok=state.prev_tok.at[slots].set(-1),
+        last_ts=state.last_ts.at[slots].set(-1),
     )
+    return (new_state, scat1(cross_k_pool, ck_rows),
+            scat1(cross_v_pool, cv_rows))
 
 
 class SlotEngine:
@@ -214,20 +220,42 @@ class SlotEngine:
     # Admission bucket sizes (largest first). Encoder MXU utilization climbs
     # steeply with batch on large models, so joiners share as large an
     # encode/prefill call as the queue allows; each bucket is one compiled
-    # shape (cached).
-    _ADMIT_BUCKETS = (32, 16, 8, 4, 2, 1)
+    # shape (cached). 16 is the largest that leaves the encoder's 1500-ctx
+    # activations room next to a 48-slot int8 pool on a 16 GB chip.
+    _ADMIT_BUCKETS = (16, 8, 4, 2, 1)
 
     def _encode_batch(self, audios: Sequence[np.ndarray], bucket: int):
         """Encode up to ``bucket`` streams in one forward (padded; only the
-        first len(audios) rows are meaningful). Admission cost is dominated
-        by per-call dispatch on remote chips, so joiners share calls."""
-        mels = []
-        for audio in audios:
-            mel = log_mel_spectrogram(
-                jnp.asarray(np.asarray(audio, np.float32)), self.model.filters,
-                frame_count(len(audio)))
-            mels.append(mel_window(mel, 0, self._n_frames))
-        wins = jnp.stack(mels)
+        first len(audios) rows are meaningful). Admission cost on remote
+        chips is dominated by host->device transfers and dispatches, so the
+        bucket's audio ships as ONE stacked transfer; mel stays per-stream
+        (on device slices of the stack) because its reflect-padding and
+        global max-normalization are per-stream exact — tested
+        token-identical to the offline pipeline."""
+        arrs = [np.asarray(a, np.float32) for a in audios]
+        max_len = max(len(a) for a in arrs)
+        stacked = np.zeros((len(arrs), max_len), np.float32)
+        for i, a in enumerate(arrs):
+            stacked[i, : len(a)] = a
+        audio_dev = jnp.asarray(stacked)  # one transfer for the bucket
+        # One vmapped mel per distinct length (vmap preserves the
+        # per-stream reflect padding and global max-normalization exactly;
+        # same-length streams share a single dispatch).
+        by_len: dict = {}
+        for i, a in enumerate(arrs):
+            by_len.setdefault(len(a), []).append(i)
+        win_rows: List[Optional[jnp.ndarray]] = [None] * len(arrs)
+        for ln, idxs in by_len.items():
+            group = audio_dev[jnp.asarray(idxs, jnp.int32), :ln]
+            mels = jax.vmap(
+                lambda a: log_mel_spectrogram(
+                    a, self.model.filters, frame_count(ln))
+            )(group)
+            wins_g = jax.vmap(
+                lambda m: mel_window(m, 0, self._n_frames))(mels)
+            for j, i in enumerate(idxs):
+                win_rows[i] = wins_g[j]
+        wins = jnp.stack(win_rows)
         if len(audios) < bucket:
             wins = jnp.concatenate(
                 [wins, jnp.zeros((bucket - len(audios),) + wins.shape[1:],
@@ -256,7 +284,11 @@ class SlotEngine:
         return cache, first_logits
 
     def _init_state(self, cache_dtype):
-        S, cfg = self.n_slots, self.cfg
+        # One extra TRASH row (index n_slots): bucket installs are always
+        # full fixed-size scatters — unused entries land in the trash row,
+        # so every admission compiles exactly one program per bucket size
+        # instead of one per (bucket, fill-count) pair.
+        S, cfg = self.n_slots + 1, self.cfg
         cache = self._fresh_cache(S, cache_dtype)
         self._state = EngineState(
             cache_k=cache.k, cache_v=cache.v,
@@ -287,28 +319,32 @@ class SlotEngine:
                 def pool_like(row):
                     return jax.tree.map(
                         lambda a: jnp.zeros(
-                            (a.shape[0], self.n_slots) + a.shape[2:], a.dtype),
+                            (a.shape[0], self.n_slots + 1) + a.shape[2:],
+                            a.dtype),
                         row,
                     )
 
                 self._cross_pool_k = pool_like(ck)
                 self._cross_pool_v = pool_like(cv)
             cache, first_logits = self._prefill_batch(ck, cv, bucket)
-            for j in range(n):
-                slot = jnp.int32(slots[i + j])
-                # cross memory is layer-leading (L, B, ...); the KV cache is
-                # batch-leading (B, L, ...) so a slot row is contiguous
-                crow = lambda a, jj=j: jax.lax.dynamic_slice_in_dim(a, jj, 1, axis=1)
-                krow = lambda a, jj=j: jax.lax.dynamic_slice_in_dim(a, jj, 1, axis=0)
-                self._cross_pool_k = _slot_update(
-                    self._cross_pool_k, jax.tree.map(crow, ck), slot)
-                self._cross_pool_v = _slot_update(
-                    self._cross_pool_v, jax.tree.map(crow, cv), slot)
-                self._state = _refill(
-                    self._state, slot,
-                    jax.tree.map(krow, cache.k), jax.tree.map(krow, cache.v),
-                    first_logits[j], jnp.int32(self.init_len))
+            # Install the whole bucket in one FIXED-SIZE dispatch (cross
+            # memory is layer-leading (L, B, ...); the KV cache is
+            # batch-leading (B, L, ...) so a slot row is contiguous).
+            # Partially-filled buckets pad their slot vector with the trash
+            # row, so each bucket size is exactly one compiled program.
+            pad = [self.n_slots] * (bucket - n)
+            slot_vec = jnp.asarray(
+                np.array(list(slots[i : i + n]) + pad, np.int32))
+            self._state, self._cross_pool_k, self._cross_pool_v = _refill_many(
+                self._state, self._cross_pool_k, self._cross_pool_v,
+                slot_vec, ck, cv, cache.k, cache.v,
+                first_logits, jnp.int32(self.init_len))
             i += n
+            if i < len(slots):
+                # Bound in-flight admissions to ONE bucket: each holds ~2 GB
+                # of encoder cross rows on large-v3, and letting several
+                # queue asynchronously OOMs next to the resident pools.
+                jax.device_get(self._state.n_past[:1])
 
     def _harvest(self, slot: int, tokens_out, length, sum_logprobs
                  ) -> DecodingResult:

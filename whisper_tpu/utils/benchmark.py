@@ -35,6 +35,12 @@ def run_engine_benchmark(
     from ..parallel.engine import SlotEngine
 
     model = random_model(PRESETS[model_name], seed=0, dtype=jnp.bfloat16)
+    if quantize:
+        # serving mode: int8 decoder weights alongside the int8 pools
+        # (also frees ~1.6 GB of HBM for the slot pools on large-v3)
+        from ..model.quant import quantize_decoder_weights
+
+        model.params = jax.jit(quantize_decoder_weights)(model.params)
     n_streams = n_streams or 2 * n_slots
     rng = np.random.default_rng(0)
     secs = [24.0, 27.0, 30.0]
@@ -48,8 +54,10 @@ def run_engine_benchmark(
         options=DecodingOptions(without_timestamps=False),
         max_new_tokens=max_new_tokens, quantize=quantize,
     )
-    # Warmup: compile encode buckets + chunk + refill on a small queue.
-    engine.transcribe_many(audios[: min(n_slots, 8)])
+    # Warmup: compile every admission-bucket shape + chunk + refill by
+    # draining a full first wave plus a refill wave (compiles are minutes
+    # on a remote chip and must not land in the timed run).
+    engine.transcribe_many(audios[: min(len(audios), n_slots + 16)])
     engine._state = None
     engine._cross_pool_k = engine._cross_pool_v = None
 
