@@ -51,3 +51,21 @@ def test_export_decode_segment_helper(tmp_path):
     assert len(data) > 1000
     fn = aot.load_fn(data)
     assert callable(fn)
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """`cli export` writes a deserializable jax.export artifact."""
+    import sys
+
+    from fixtures import tiny_config, write_synthetic_ggml
+    from whisper_tpu import cli
+    from whisper_tpu.utils import aot
+
+    ckpt = tmp_path / "m.bin"
+    write_synthetic_ggml(str(ckpt), tiny_config(), seed=3)
+    out = tmp_path / "decode.aot"
+    rc = cli.main(["export", str(ckpt), str(out),
+                   "--batch", "2", "--prefill", "8", "--sample-len", "8"])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0
+    fn = aot.load(str(out))
+    assert callable(fn)

@@ -278,6 +278,29 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize an AOT-lowered greedy decode program (jax.export) for one
+    serving shape — the shippable cold-start artifact (utils/aot.py); a
+    serving image loads it with aot.load() and skips tracing entirely."""
+    import jax.numpy as jnp
+
+    from .model.load import load_model
+    from .utils import aot
+
+    model = load_model(args.model, dtype=jnp.bfloat16
+                       if args.dtype == "bfloat16" else jnp.float32)
+    data = aot.export_decode_segment(
+        model.params, model.config, model.vocab,
+        batch=args.batch, sample_len=args.sample_len, prefill=args.prefill,
+    )
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(f"wrote {args.out}: {len(data) / 1e6:.1f} MB "
+          f"(batch={args.batch}, prefill={args.prefill}, "
+          f"sample_len={args.sample_len}, platform-tagged)")
+    return 0
+
+
 def main(argv=None) -> int:
     from . import enable_compile_cache
 
@@ -329,6 +352,17 @@ def main(argv=None) -> int:
     p.add_argument("--no-draft", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser(
+        "export", help="serialize an AOT-lowered decode program (jax.export)")
+    p.add_argument("model", help="GGML checkpoint path")
+    p.add_argument("out", help="output artifact path")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--prefill", type=int, default=32)
+    p.add_argument("--sample-len", type=int, default=64)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("model", nargs="?", default=None,
