@@ -33,9 +33,10 @@ import os
 from ..config import WhisperConfig
 from ..kernels.ops import gelu, layer_norm, linear, merge_heads, split_heads
 
-# Layer-scan unroll factor (experiment knob): unrolling lets XLA overlap one
-# layer's weight DMA with the previous layer's compute at decode shapes,
-# where each layer is latency- not bandwidth-bound. Default 1 (no unroll).
+# Layer-scan unroll factor (experiment knob). MEASURED NEGATIVE on v5e:
+# greedy large-v3 b24 int8 RTF 542x (unroll=1) -> 433x (2) -> 315x (4) —
+# unrolling defeats XLA's per-iteration weight prefetch pipelining instead
+# of helping it. Keep 1.
 _SCAN_UNROLL = int(os.environ.get("WHISPER_TPU_SCAN_UNROLL", "1"))
 
 
