@@ -46,12 +46,15 @@ def main() -> int:
     # numerics-parity mode via BENCH_KV/WQ=bfloat16).
     # Measured r2 (v5e): b24 bf16 426x -> b48 int8 605x -> b64 int8 624x.
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    beam_env = os.environ.get("BENCH_BEAM")
+    # Greedy throughput peaks at b64 (cross-read bound); beam at b32
+    # (320 decode rows; larger OOMs next to the 15.75 GB HBM budget).
+    batch = int(os.environ.get("BENCH_BATCH", "32" if beam_env else "64"))
     seconds = int(os.environ.get("BENCH_SECONDS", "120"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     kv_dtype = os.environ.get("BENCH_KV", "int8")
     weight_dtype = os.environ.get("BENCH_WQ", "int8")
-    beam = os.environ.get("BENCH_BEAM")
+    beam = beam_env
     result = run_benchmark(
         model_name=model_name, batch=batch, seconds=seconds, dtype=dtype,
         kv_dtype=kv_dtype, weight_dtype=weight_dtype,
