@@ -105,3 +105,36 @@ def test_engine_int8_serving_mode(model):
         n = max(min(len(got.tokens), len(ref.tokens)), 1)
         agree = sum(a == b for a, b in zip(got.tokens, ref.tokens)) / n
         assert agree > 0.5, (got.tokens, ref.tokens)
+
+
+def test_engine_partial_bucket_trash_slot(model):
+    """A queue that never fills a whole admission bucket (5 streams, 4
+    slots) exercises the trash-row padding: results must still be
+    token-identical to the per-stream device loop and the trash row must
+    never surface in any result."""
+    from whisper_tpu.frontend.mel import frame_count, log_mel_spectrogram, mel_window
+    from whisper_tpu.decoding.device_loop import build_masks, decode_segment_device
+    from whisper_tpu.model.decoder import init_cache
+    from whisper_tpu.model.encoder import encode as enc_fn
+
+    cfg, vocab = model.config, model.vocab
+    audios = _audios(5, seed=9)
+    opts = DecodingOptions(sample_len=16)
+    engine = SlotEngine(model, n_slots=4, options=opts, chunk_steps=4)
+    results = engine.transcribe_many(audios)
+    assert len(results) == 5 and all(r is not None for r in results)
+
+    # reference: the fused single-segment loop, one stream at a time
+    sup, blank = build_masks(vocab)
+    init = jnp.asarray([[vocab.token_sot]], jnp.int32)
+    for audio, res in zip(audios, results):
+        mel = log_mel_spectrogram(jnp.asarray(audio), model.filters,
+                                  frame_count(len(audio)))
+        win = mel_window(mel, 0, 2 * cfg.n_audio_ctx)[None]
+        enc = enc_fn(model.params, win, cfg)
+        cache = init_cache(cfg, 1, ctx=1 + engine.max_new + 8)
+        toks, lengths, _, _ = decode_segment_device(
+            model.params, init, 1, 0, cache, enc.cross_k, enc.cross_v,
+            sup, blank, cfg, sample_len=engine.max_new, use_timestamps=True)
+        want = [int(t) for t in np.asarray(toks)[0, : int(lengths[0])]]
+        assert res.tokens == want
