@@ -1,24 +1,30 @@
 """Pallas row-permute for the beam KV cache (layout-preserving gather).
 
-``jnp.take(cache, rows, axis=0)`` inside the beam while_loop is slow for two
-distinct reasons, both measured on v5e (large-v3, b8 k5, int8 cache):
+The beam loop must reorder cache rows by source beam every mixing step.
+Constraints, all measured on v5e (large-v3, k5, int8 cache; full table in
+decoding/device_beam.py):
 
-  1. XLA reconciles the gather's natural result layout with the loop carry's
-     layout via full-cache transpose copies (~7.3M cycles each; seen in the
-     compiled HLO) — the gather bytes were never the problem (1.8 ms
-     isolated vs 8.5 ms in-loop).
-  2. With the original layer-leading (L, B, ...) cache layout, one row was L
-     strided ~96 KB chunks; the per-chunk DMA latency put even a Pallas copy
-     kernel at ~5x its wire cost (5.7-6.1 ms/step vs 1.2 ms wire,
-     regardless of call fusion or block size).
+  * ``jnp.take`` inside the while_loop pays XLA layout-reconciliation
+    copies against the loop carry (the gather bytes were never the
+    problem: 1.8 ms isolated vs 8.5 ms in-loop at b8);
+  * the cache must be BATCH-LEADING (B, L, H, D, C — model/decoder.KVCache)
+    so one row is a contiguous multi-MB span; with the layer-leading
+    layout a row is L strided ~96 KB chunks and every copy strategy paid
+    ~5x wire in per-chunk DMA latency;
+  * the practical ceiling for ANY copy is the chip's ~311 GB/s read+write
+    rate (not the 819 GB/s read-only figure), and XLA adds ~1 extra
+    full-cache pass copying the carry around the custom call.
 
-The fix is both: the cache is stored BATCH-LEADING (B, L, H, D, C — see
-model/decoder.KVCache), so a row is one contiguous multi-MB span, and this
-kernel copies rows with blocks that keep the carry layout (no XLA
-reconciliation). Scalar-prefetched ``rows`` feed the input BlockSpecs'
-index maps — program (j, li) copies every leaf's layer-chunk of logical row
-``rows[j]`` into output row j. All leaves (k/v data + quant scales) ride
-ONE pallas_call.
+Two kernels, routed by shape in ``permute_rows_multi``:
+
+  * raw HBM->HBM DMA (``_dma_kernel``): one program issues every
+    (leaf, row) copy through a rolling semaphore window — no VMEM staging.
+    Needs tile-aligned rows (minor dim % 128 == 0); wins at >=80 rows.
+  * BlockSpec copy (``_permute_rows_blocked``): scalar-prefetched ``rows``
+    feed the input index maps; program (j, li) moves every leaf's
+    layer-chunk of logical row ``rows[j]`` into output row j, all leaves
+    in ONE pallas_call. Handles unaligned (exact-sized) caches and
+    interpret mode; wins at small row counts.
 """
 
 from __future__ import annotations

@@ -27,7 +27,7 @@ token-identical to the fused single-segment device loop (tests/test_engine.py).
 from __future__ import annotations
 
 import functools
-from typing import Iterable, List, NamedTuple, Optional, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
