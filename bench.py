@@ -36,6 +36,7 @@ def main() -> int:
             n_streams=int(os.environ["BENCH_STREAMS"]) if os.environ.get("BENCH_STREAMS") else None,
             chunk_steps=int(os.environ.get("BENCH_CHUNK", "8")),
             quantize=os.environ.get("BENCH_KV", "int8") == "int8",
+            seconds=int(os.environ.get("BENCH_SECONDS", "120")),
         )
         print(json.dumps(result))
         return 0

@@ -108,10 +108,11 @@ def test_engine_int8_serving_mode(model):
 
 
 def test_engine_partial_bucket_trash_slot(model):
-    """A queue that never fills a whole admission bucket (5 streams, 4
-    slots) exercises the trash-row padding: results must still be
-    token-identical to the per-stream device loop and the trash row must
-    never surface in any result."""
+    """A queue that never fills a whole admission bucket (5 streams, 3
+    slots: the first admission is 3 streams into a 4-bucket, padding one
+    entry into the trash row) exercises the trash-row padding: results must
+    still be token-identical to the per-stream device loop and the trash
+    row must never surface in any result."""
     from whisper_tpu.frontend.mel import frame_count, log_mel_spectrogram, mel_window
     from whisper_tpu.decoding.device_loop import build_masks, decode_segment_device
     from whisper_tpu.model.decoder import init_cache
@@ -120,7 +121,7 @@ def test_engine_partial_bucket_trash_slot(model):
     cfg, vocab = model.config, model.vocab
     audios = _audios(5, seed=9)
     opts = DecodingOptions(sample_len=16)
-    engine = SlotEngine(model, n_slots=4, options=opts, chunk_steps=4)
+    engine = SlotEngine(model, n_slots=3, options=opts, chunk_steps=4)
     results = engine.transcribe_many(audios)
     assert len(results) == 5 and all(r is not None for r in results)
 

@@ -310,7 +310,15 @@ class SlotEngine:
         i = 0
         while i < len(slots):
             remaining = len(slots) - i
-            bucket = next(b for b in self._ADMIT_BUCKETS if b <= max(remaining, 1))
+            # Smallest bucket that covers the remainder: a partial bucket
+            # shares ONE encode/prefill (padded rows land in the trash row)
+            # instead of cascading into ever-smaller dispatch chains — on a
+            # tunneled chip the extra dispatch latency costs more than the
+            # padded encoder rows. Remainders past the largest bucket take
+            # the largest and loop.
+            bucket = next(
+                (b for b in reversed(self._ADMIT_BUCKETS) if b >= remaining),
+                self._ADMIT_BUCKETS[0])
             n = min(bucket, remaining)
             ck, cv = self._encode_batch(audios[i : i + n], bucket)
             if self._state is None:

@@ -61,10 +61,20 @@ def run_engine_benchmark(
     engine._state = None
     engine._cross_pool_k = engine._cross_pool_v = None
 
+    # Timed waves until the budget is spent (engine runs drain a whole
+    # queue, so ``seconds`` bounds the number of waves — at least one).
+    waves = 0
+    audio_done = 0.0
     t0 = time.perf_counter()
-    results = engine.transcribe_many(audios)
+    deadline = t0 + seconds
+    while True:
+        results = engine.transcribe_many(audios)
+        waves += 1
+        audio_done += total_audio
+        if time.perf_counter() >= deadline:
+            break
     wall = time.perf_counter() - t0
-    rtf = total_audio / wall
+    rtf = audio_done / wall
     return {
         "metric": f"rtf_{model.config.model_type}_engine_s{n_slots}_q{n_streams}"
         + ("_int8" if quantize else ""),
@@ -78,6 +88,7 @@ def run_engine_benchmark(
             "chunk_steps": chunk_steps,
             "quantize": quantize,
             "wall_s": round(wall, 2),
+            "waves": waves,
             "n_results": sum(r is not None for r in results),
             "stats": {k: round(v, 2) if isinstance(v, float) else v
                       for k, v in engine.stats.items()},
