@@ -153,3 +153,46 @@ def test_tp_decode_matches_single_device(setup):
 
     np.testing.assert_array_equal(got_toks, ref_toks)
     np.testing.assert_array_equal(got_len, ref_len)
+
+
+def test_multiprocess_distributed_dryrun():
+    """SURVEY §2.2/§5 distributed-backend row, multi-HOST half: a 2-process
+    x 4-virtual-CPU-device local cluster (jax.distributed over loopback
+    gRPC — the stand-in for DCN) joins one 8-device global mesh and runs
+    the full sharded train step; each process materializes only its
+    addressable shards (parallel/distributed.put_global + shard_params'
+    callback path)."""
+    import socket
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from whisper_tpu.parallel.distributed import initialize; "
+        f"initialize('127.0.0.1:{port}', num_processes=2, process_id=PID); "
+        "assert jax.process_count() == 2, jax.process_count(); "
+        "assert jax.device_count() == 8, jax.device_count(); "
+        "assert jax.local_device_count() == 4; "
+        "from __graft_entry__ import _dryrun_body; _dryrun_body(8)"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker.replace("PID", str(pid))],
+            cwd=repo, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+    assert "processes=2" in outs[0][0]

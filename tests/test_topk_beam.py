@@ -174,3 +174,74 @@ def test_beam_update_matches_host_fuzz():
                 break
 
     assert rejected_eot_events > 0, "fuzz never exercised the rejected-EOT branch"
+
+
+def test_cow_assign_invariants_and_history_fuzz():
+    """Copy-on-write row assignment: over many random mixing steps,
+    (a) new_phys is a bijection per group, (b) copy_src sources are never
+    destinations (the in-place kernel's safety invariant), (c) a pure
+    permutation of distinct parents moves no data, and (d) replaying the
+    COW moves on a materialized cache reproduces exactly the histories a
+    material beam reorder would produce."""
+    from whisper_tpu.decoding.device_beam import cow_assign
+
+    rng = np.random.default_rng(0)
+    G, k, steps = 3, 5, 40
+    GK = G * k
+    base = (np.arange(G) * k)[:, None]
+
+    phys = np.tile(np.arange(k), (G, 1)).astype(np.int32)
+    # material reference: cache row per beam is just its token history
+    hist = [[[] for _ in range(k)] for _ in range(G)]       # beam-order
+    rows = [[[] for _ in range(k)] for _ in range(G)]       # physical rows
+    pure_perm_checked = False
+    for t in range(steps):
+        if t % 7 == 3:
+            # force a pure permutation of distinct parents sometimes
+            src = np.stack([rng.permutation(k) for _ in range(G)]).astype(np.int32)
+        else:
+            src = rng.integers(0, k, size=(G, k)).astype(np.int32)
+        tok = rng.integers(0, 1000, size=(G, k))
+        new_phys, copy_src = jax.device_get(
+            cow_assign(jnp.asarray(phys), jnp.asarray(src), k))
+        for g in range(G):
+            # (a) bijection
+            assert sorted(new_phys[g]) == list(range(k))
+            dsts = {r for r in range(k) if copy_src[g][r] != r}
+            srcs = {int(copy_src[g][r]) for r in dsts}
+            # (b) sources never destinations
+            assert not (dsts & srcs)
+            if len(set(src[g])) == k:
+                # (c) permutation of distinct parents: no copies
+                assert not dsts
+                pure_perm_checked = True
+            # (d) replay: copy rows, then append tokens at assigned rows
+            old_rows = [list(r) for r in rows[g]]
+            for r in range(k):
+                rows[g][r] = list(old_rows[copy_src[g][r]])
+            new_hist = [list(hist[g][src[g][j]]) + [int(tok[g, j])]
+                        for j in range(k)]
+            for j in range(k):
+                rows[g][new_phys[g][j]].append(int(tok[g, j]))
+            hist[g] = new_hist
+            for j in range(k):
+                assert rows[g][new_phys[g][j]] == hist[g][j], (t, g, j)
+        phys = new_phys
+    assert pure_perm_checked
+
+
+def test_cow_copy_rows_fallback_matches_take():
+    """cow_copy_rows (CPU fallback) == jnp.take for a COW-valid src map."""
+    from whisper_tpu.kernels.beam_gather import cow_copy_rows
+
+    rng = np.random.default_rng(1)
+    B = 10
+    a = rng.standard_normal((B, 2, 3, 4)).astype(np.float32)
+    b = rng.integers(-128, 127, size=(B, 2, 5)).astype(np.int8)
+    src = np.arange(B)
+    src[3] = 0  # fork: row 3 <- row 0
+    src[7] = 4
+    out_a, out_b = cow_copy_rows((jnp.asarray(a), jnp.asarray(b)),
+                                 jnp.asarray(src, np.int32))
+    np.testing.assert_array_equal(np.asarray(out_a), a[src])
+    np.testing.assert_array_equal(np.asarray(out_b), b[src])

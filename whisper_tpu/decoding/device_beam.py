@@ -14,8 +14,14 @@ top-k step (decoding.topk_step). Here the whole beam decode runs as ONE jitted
   * EOT candidates are routed to a finished set in score order, capped at
     ``beam_size`` in INSERTION order (openai's max_candidates semantics:
     later, better candidates do NOT evict earlier ones);
-  * the KV cache, rule state, and token history are gathered by the source
-    indices each step (openai's host-side cache reorder).
+  * the KV cache is reordered COPY-ON-WRITE: each beam carries a pointer to
+    the physical cache row holding its history (``BeamState.phys``), a pure
+    permutation of parents updates pointers only, and only genuinely forked
+    parents copy a row — into rows freed by dropped beams, via an in-place
+    aliased DMA kernel (kernels/beam_gather.cow_copy_rows). This replaces
+    openai's host-side materialized cache reorder, whose loop-level
+    equivalent measured ~2x the chip's read+write ceiling per step (XLA
+    copies the while-carry around any reorder op — table in step_fn).
 
 Verified token-exact against the host beam in tests/test_topk_beam.py.
 """
@@ -123,12 +129,60 @@ def beam_update(
             fin_tokens, fin_scores, fin_len, fin_count)
 
 
+def cow_assign(phys: jnp.ndarray, new_src: jnp.ndarray, k: int):
+    """Copy-on-write physical-row assignment for the beam KV cache.
+
+    Instead of materially permuting cache rows every mixing step (measured at
+    ~2x the chip's read+write ceiling — XLA copies the while-carry around any
+    loop-level reorder, table below in ``beam_decode_device``), each beam
+    carries a pointer to the physical row holding its history. A mixing step
+    then only MOVES data when a parent beam forks (is selected by several
+    children): one child inherits the parent's row for free, the others copy
+    it into rows freed by dropped beams. A pure permutation of parents (the
+    common confident-speech case) updates pointers only — zero cache traffic.
+
+    phys:    (G, k) int32 — current group-local physical row per beam.
+    new_src: (G, k) int32 — group-local source beam per new beam.
+
+    Returns ``(new_phys, copy_src)``, both (G, k) int32: ``new_phys[j]`` is
+    the physical row assigned to new beam j (a bijection per group), and
+    ``copy_src`` is in PHYSICAL-row order — ``copy_src[r]`` is the row whose
+    contents row r must hold. It equals r except on freshly forked rows, and
+    its sources are never themselves destinations (kept rows are never freed
+    rows), so the copies are conflict-free in any order — the invariant the
+    in-place aliased kernel (kernels/beam_gather.cow_copy_rows) relies on.
+    """
+    G = phys.shape[0]
+    rr = jnp.arange(k)
+    parent = jnp.take_along_axis(phys, new_src, axis=1)              # (G, k)
+    # dup[j]: some j' < j selected the same source beam (first child keeps).
+    tri = jnp.tril(jnp.ones((k, k), bool), -1)
+    dup = jnp.any(
+        (new_src[:, :, None] == new_src[:, None, :]) & tri[None], axis=2)
+    keep = ~dup
+    # Rows still referenced by a keeper; the rest are free for fork copies.
+    used = jnp.any(
+        (parent[:, :, None] == rr[None, None, :]) & keep[:, :, None], axis=1)
+    free_rank = jnp.cumsum(~used, axis=1) - 1                        # per row
+    # rank t -> row index: the t-th free row in ascending order.
+    match = (~used)[:, None, :] & (free_rank[:, None, :] == rr[None, :, None])
+    free_row = jnp.argmax(match, axis=2)                             # (G, k)
+    dup_rank = jnp.cumsum(dup, axis=1) - 1
+    assigned = jnp.take_along_axis(
+        free_row, jnp.clip(dup_rank, 0, k - 1), axis=1)
+    new_phys = jnp.where(keep, parent, assigned).astype(jnp.int32)
+    garr = jnp.arange(G)[:, None]
+    copy_src = jnp.zeros((G, k), jnp.int32).at[garr, new_phys].set(parent)
+    return new_phys, copy_src
+
+
 class BeamState(NamedTuple):
-    cache_k: jnp.ndarray      # (G*k, L, ...) batch-leading; pytree leaves ok
+    cache_k: jnp.ndarray      # (G*k, L, ...) batch-leading, PHYSICAL row order
     cache_v: jnp.ndarray
+    phys: jnp.ndarray         # (G*k,) int32 — physical cache row per beam
     tokens: jnp.ndarray       # (G, k, sample_len) sampled tokens of ACTIVE beams
     sum_lp: jnp.ndarray       # (G, k)
-    last_tok: jnp.ndarray     # (G*k,)
+    last_tok: jnp.ndarray     # (G*k,) rule state, PHYSICAL row order
     prev_tok: jnp.ndarray
     last_ts: jnp.ndarray
     fin_tokens: jnp.ndarray   # (G, k, sample_len) finished sequences (incl. no EOT)
@@ -184,6 +238,7 @@ def beam_decode_device(
 
     state = BeamState(
         cache_k=cache.k, cache_v=cache.v,
+        phys=jnp.arange(GK, dtype=jnp.int32),
         tokens=jnp.full((G, k, sample_len), eot, jnp.int32),
         sum_lp=sum_lp0,
         last_tok=jnp.full((GK,), -1, jnp.int32),
@@ -199,9 +254,14 @@ def beam_decode_device(
         state, logits, n_past, step = carry
         return (step < sample_len) & ~jnp.all(state.fin_count >= k)
 
+    base = (jnp.arange(G, dtype=jnp.int32) * k)[:, None]  # group row offsets
+
     def step_fn(carry):
         state, logits, n_past, step = carry
 
+        # Logits and rule state live in PHYSICAL row order (each physical
+        # row is one sequence history); the rules are row-local, so they
+        # apply before any beam<->row mapping.
         rule_state = LoopState(
             cache_k=None, cache_v=None, tokens_out=None,
             last_tok=state.last_tok, prev_tok=state.prev_tok,
@@ -212,8 +272,12 @@ def beam_decode_device(
             logits, step, rule_state, suppress_mask, blank_mask,
             (eot, beg, not_, v), use_timestamps, max_initial_index,
         )
-        logprobs = jax.nn.log_softmax(filt, axis=-1)          # (GK, V)
-        top_lp, top_ids = jax.lax.top_k(logprobs, k + 1)       # (GK, k+1)
+        logprobs = jax.nn.log_softmax(filt, axis=-1)          # (GK, V) phys
+        top_lp_p, top_ids_p = jax.lax.top_k(logprobs, k + 1)  # (GK, k+1) phys
+        # Tiny gather to beam order for the bookkeeping (k+1 floats/row —
+        # NOT the (GK, V) logits and NOT the cache).
+        top_lp = top_lp_p[state.phys]
+        top_ids = top_ids_p[state.phys]
 
         (new_sum_lp, new_tok, new_src, tokens_new,
          fin_tokens, fin_scores, fin_len, fin_count) = beam_update(
@@ -222,59 +286,56 @@ def beam_decode_device(
             step, k, eot,
         )
 
-        src_rows = (new_src + jnp.arange(G)[:, None] * k).reshape(GK)
-
-        # Gather rule state by source beam.
-        last_tok_g = state.last_tok[src_rows]
-        last_ts_g = state.last_ts[src_rows]
-        nt_flat = new_tok.reshape(GK)
-        new_last_ts = jnp.where(nt_flat >= beg, nt_flat, last_ts_g)
-
-        # Cache reorder by source rows (skipped entirely when every beam
-        # keeps its own row — the common case on confident real speech).
-        # Measured tradeoffs on v5e (large-v3, k5, int8 cache, ms/step
-        # ABOVE the permute-free loop; note the chip's PRACTICAL
-        # read+write bandwidth is ~310 GB/s — a plain int8 x+1 streams at
-        # 311, so the oft-quoted 819 GB/s is a read-only number):
-        #   rows=40/80 (b8/b16), seg ctx 75:
+        # Copy-on-write row assignment: pointer update for permutations,
+        # physical copies only where a parent beam forked. Measured history
+        # (v5e, large-v3, k5, int8 cache, ms/step ABOVE the permute-free
+        # loop at rows=40/80, seg ctx 75) for the MATERIAL full-row
+        # reorder this replaces:
         #     Pallas blocked copy (kernels/beam_gather)   +5.7 / +15.7
         #     jnp.take(axis=0)                            +7.8 / +19.9
         #     raw HBM->HBM DMA kernel (needs ctx%128==0) +11.1 / +13.2
         #     reorder fused into the layer scan          +15.7 / +36.4
-        # Every loop-level variant lands at ~2x the practical wire (XLA
-        # copies the while-carry around any reorder op), and fusing the
-        # gather into the layer scan breaks the carry's in-place aliasing
-        # (decode_step's permute_rows path is kept for CPU/tests and as a
-        # documented negative result, not the TPU production route).
-        def _permute_cache(args):
-            ck, cv, rows = args
-            if jax.default_backend() == "tpu":
-                # layout-preserving Pallas copy: no reconciliation copies
-                from ..kernels.beam_gather import permute_cache_rows
+        # Every loop-level materialized variant lands at ~2x the practical
+        # ~311 GB/s read+write wire because XLA copies the while-carry
+        # around any reorder op. cow_copy_rows dodges the carry copy via
+        # input/output aliasing (legal because COW sources are never
+        # destinations) and moves only the forked rows.
+        phys_l = state.phys.reshape(G, k) - base
+        new_phys_l, copy_src_l = cow_assign(phys_l, new_src, k)
+        new_phys = (new_phys_l + base).reshape(GK)
+        copy_src = (copy_src_l + base).reshape(GK)
 
-                return permute_cache_rows((ck, cv), rows)
+        # Rule state per PHYSICAL row: scatter each new beam's token to its
+        # row; the parent row's state is at copy_src (== own row when kept).
+        nt_flat = new_tok.reshape(GK)
+        nt_phys = jnp.zeros((GK,), jnp.int32).at[new_phys].set(nt_flat)
+        par_last_tok = state.last_tok[copy_src]
+        par_last_ts = state.last_ts[copy_src]
+        new_last_ts = jnp.where(nt_phys >= beg, nt_phys, par_last_ts)
 
-            def permute(a):
-                return jnp.take(a, rows, axis=0)
+        def _cow(args):
+            ck, cv, src = args
+            from ..kernels.beam_gather import cow_copy_rows
 
-            return jax.tree.map(permute, ck), jax.tree.map(permute, cv)
+            return cow_copy_rows((ck, cv), src)
 
         new_cache_k, new_cache_v = jax.lax.cond(
-            jnp.all(src_rows == jnp.arange(GK)),
+            jnp.all(copy_src == jnp.arange(GK)),
             lambda args: (args[0], args[1]),
-            _permute_cache,
-            (state.cache_k, state.cache_v, src_rows),
+            _cow,
+            (state.cache_k, state.cache_v, copy_src),
         )
 
         new_state = BeamState(
             cache_k=new_cache_k, cache_v=new_cache_v,
+            phys=new_phys,
             tokens=tokens_new, sum_lp=new_sum_lp,
-            last_tok=nt_flat, prev_tok=last_tok_g, last_ts=new_last_ts,
+            last_tok=nt_phys, prev_tok=par_last_tok, last_ts=new_last_ts,
             fin_tokens=fin_tokens, fin_scores=fin_scores, fin_len=fin_len,
             fin_count=fin_count,
         )
         lg, new_cache = decode_step(
-            params, nt_flat[:, None], n_past,
+            params, nt_phys[:, None], n_past,
             KVCache(new_cache_k, new_cache_v), cross_k, cross_v, cfg,
         )
         new_state = new_state._replace(cache_k=new_cache.k, cache_v=new_cache.v)

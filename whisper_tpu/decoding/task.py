@@ -418,9 +418,13 @@ def _decode_full_device_beam(
     padded, true_len = _pad_to_bucket(init)
     # Same n_text_ctx clamp as _decode_full_device (silent-KV-corruption guard).
     sample_len = max(0, min(task.sample_len, config.n_text_ctx - padded.shape[1]))
+    # pad_ctx on TPU: the beam loop's copy-on-write row copies run through
+    # the raw-DMA kernel, which needs tile-aligned (128) rows; the padded
+    # tail is masked and costs ~9% extra cache read vs the passes it saves.
     cache = init_cache(
         config, n_audio * k, dtype=_cache_dtype(ck),
         ctx=padded.shape[1] + sample_len + 8,
+        pad_ctx=jax.default_backend() == "tpu",
     )
     (act_toks, act_lp, fin_toks, fin_scores, fin_len, fin_count, steps, nosp) = (
         beam_decode_device(

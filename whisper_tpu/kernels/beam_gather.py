@@ -186,6 +186,93 @@ def _permute_rows_blocked(arrays, rows: jnp.ndarray, interpret: bool):
     return list(out)
 
 
+def _cow_kernel(n: int, B: int):
+    """In-place sparse row copy: for each row i with ``src[i] != i``, DMA row
+    ``src[i]`` over row ``i`` WITHIN the same buffers (inputs are aliased to
+    the outputs). The copy-on-write beam reorder guarantees no source row is
+    ever a destination row (sources are kept rows, destinations are freed
+    rows), so the copies are conflict-free in any order and can overlap
+    through a rolling semaphore window. Identity rows cost nothing — the
+    whole call moves only the genuinely forked rows instead of the full
+    cache, and the aliasing means XLA allocates no second buffer and copies
+    no while-carry around the op."""
+
+    def kernel(src_ref, *refs):
+        ins, outs, sems = refs[:n], refs[n : 2 * n], refs[2 * n]
+
+        def copy(i, l):
+            return pltpu.make_async_copy(
+                ins[l].at[pl.ds(src_ref[i], 1)],
+                outs[l].at[pl.ds(i, 1)],
+                sems.at[i % _DMA_WINDOW, l],
+            )
+
+        def start(i):
+            @pl.when(src_ref[i] != i)
+            def _():
+                for l in range(n):
+                    copy(i, l).start()
+
+        def wait(i):
+            @pl.when(src_ref[i] != i)
+            def _():
+                for l in range(n):
+                    copy(i, l).wait()
+
+        def body(i, carry):
+            @pl.when(i >= _DMA_WINDOW)
+            def _():
+                wait(i - _DMA_WINDOW)
+
+            start(i)
+            return carry
+
+        jax.lax.fori_loop(0, B, body, 0)
+
+        def drain(i, carry):
+            wait(i)
+            return carry
+
+        jax.lax.fori_loop(max(B - _DMA_WINDOW, 0), B, drain, 0)
+
+    return kernel
+
+
+def cow_rows_aligned(arrays) -> bool:
+    """True when every leaf's minor dim meets the raw-DMA tile alignment
+    (128 elements) — the condition for the in-place COW kernel."""
+    return all(a.shape[-1] % 128 == 0 for a in arrays)
+
+
+def cow_copy_rows(tree, src: jnp.ndarray):
+    """Sparse in-place row copy over every leaf of a KV-cache pytree:
+    leaf[i] <- leaf[src[i]] wherever ``src[i] != i``, identity elsewhere.
+
+    ``src`` must satisfy the copy-on-write invariant (no value of ``src``
+    may equal an index i where ``src[i] != i`` — i.e. sources are never
+    destinations); the beam loop's ``cow_assign`` produces exactly this.
+    On TPU with tile-aligned rows this is a single aliased pallas_call that
+    moves only the forked rows; elsewhere it falls back to a full gather
+    (``jnp.take``), which is semantically identical.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    if jax.default_backend() != "tpu" or not cow_rows_aligned(leaves):
+        return jax.tree.unflatten(
+            treedef, [jnp.take(a, src, axis=0) for a in leaves])
+    n = len(leaves)
+    B = leaves[0].shape[0]
+    out = pl.pallas_call(
+        _cow_kernel(n, B),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in leaves],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in leaves],
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in leaves],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_DMA_WINDOW, n))],
+        input_output_aliases={1 + i: i for i in range(n)},
+    )(src.astype(jnp.int32), *leaves)
+    return jax.tree.unflatten(treedef, out)
+
+
 def permute_rows(x: jnp.ndarray, rows: jnp.ndarray,
                  interpret: bool | None = None) -> jnp.ndarray:
     """x[rows] for a single (B, L, ...) array (see permute_rows_multi)."""

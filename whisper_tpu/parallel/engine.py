@@ -163,6 +163,15 @@ def _refill_many(state: EngineState, cross_k_pool, cross_v_pool,
             scat1(cross_v_pool, cv_rows))
 
 
+@jax.jit
+def _snapshot(active, length, sum_logprobs, tokens_out):
+    """Fresh-buffer copies of the per-round harvest arrays (~KBs). The
+    decode chunk DONATES the engine state, so these must not alias it —
+    without donation on this jit, XLA materializes genuine copies."""
+    return (jnp.copy(active), jnp.copy(length),
+            jnp.copy(sum_logprobs), jnp.copy(tokens_out))
+
+
 class SlotEngine:
     """Greedy continuous-batching transcription over a fixed slot pool."""
 
@@ -377,6 +386,16 @@ class SlotEngine:
         """Drain a queue of independent 30 s-or-shorter streams; results are
         returned in submission order. Slots are refilled as they free up.
 
+        The loop is PIPELINED one round deep: after dispatching chunk N the
+        host harvests the (already computed) snapshot of chunk N-1, admits
+        into the slots it freed, and only then blocks on N's snapshot next
+        round. JAX dispatch is asynchronous, so the admission's host work
+        (audio stacking, transfers, dispatch latency — ~25 ms RTT per
+        dispatch on a tunneled chip) overlaps chunk N's device time instead
+        of serializing with it; a finished stream is detected one chunk
+        late, which costs nothing on-device (inactive rows decode anyway)
+        and one chunk of slot idleness off the freed slot.
+
         Phase wall-times accumulate in ``self.stats`` (admit / chunk / pull
         seconds + round count) so serving deployments can see where the
         scheduler spends its budget."""
@@ -387,9 +406,11 @@ class SlotEngine:
         slot_req = [-1] * self.n_slots  # request index per slot
         queue.reverse()  # pop() from the front
         self.stats = {"admit_s": 0.0, "chunk_s": 0.0, "pull_s": 0.0, "rounds": 0}
+        snap = None  # (req_map, device snapshot) of the previous round
 
-        while queue or any(r >= 0 for r in slot_req):
-            # fill free slots (batched admission: joiners share encode/prefill)
+        while queue or any(r >= 0 for r in slot_req) or snap is not None:
+            # fill slots freed as of the last harvested snapshot (batched
+            # admission: joiners share encode/prefill)
             join_slots, join_audios = [], []
             for s in range(self.n_slots):
                 if slot_req[s] < 0 and queue:
@@ -401,28 +422,41 @@ class SlotEngine:
                 t0 = _time.perf_counter()
                 self._admit_many(join_slots, join_audios)
                 self.stats["admit_s"] += _time.perf_counter() - t0
-            # decode one chunk for all active slots
-            t0 = _time.perf_counter()
-            self._state = _decode_chunk(
-                self.model.params, self._state,
-                self._cross_pool_k, self._cross_pool_v,
-                self.sup_mask, self.blank_mask, self.cfg,
-                steps=self.chunk_steps,
-                use_timestamps=not self.options.without_timestamps,
-                max_initial_index=self.max_initial_index,
-                max_new=self.max_new,
-            )
-            self.stats["chunk_s"] += _time.perf_counter() - t0
-            # ONE device->host pull per round (the arrays are KBs; per-slot
-            # reads would each pay the transfer round-trip)
-            t0 = _time.perf_counter()
-            active, length, sum_lp, toks = jax.device_get(
-                (self._state.active, self._state.length,
-                 self._state.sum_logprobs, self._state.tokens_out))
-            self.stats["pull_s"] += _time.perf_counter() - t0
+            # dispatch one decode chunk for all slots (async)
+            if any(r >= 0 for r in slot_req):
+                t0 = _time.perf_counter()
+                self._state = _decode_chunk(
+                    self.model.params, self._state,
+                    self._cross_pool_k, self._cross_pool_v,
+                    self.sup_mask, self.blank_mask, self.cfg,
+                    steps=self.chunk_steps,
+                    use_timestamps=not self.options.without_timestamps,
+                    max_initial_index=self.max_initial_index,
+                    max_new=self.max_new,
+                )
+                # Small COPIES of the harvest arrays (_decode_chunk donates
+                # the state, so next round's chunk invalidates these buffers
+                # — the snapshot must own fresh ones).
+                new_snap = (list(slot_req), _snapshot(
+                    self._state.active, self._state.length,
+                    self._state.sum_logprobs, self._state.tokens_out))
+                self.stats["chunk_s"] += _time.perf_counter() - t0
+            else:
+                new_snap = None
+            # harvest the PREVIOUS round's snapshot — its device work
+            # finished before this round's chunk started, so the pull
+            # does not wait on the in-flight chunk.
+            if snap is not None:
+                req_map, arrs = snap
+                t0 = _time.perf_counter()
+                active, length, sum_lp, toks = jax.device_get(arrs)
+                self.stats["pull_s"] += _time.perf_counter() - t0
+                for s in range(self.n_slots):
+                    if (req_map[s] >= 0 and not active[s]
+                            and slot_req[s] == req_map[s]):
+                        results[req_map[s]] = self._harvest(
+                            s, toks, length, sum_lp)
+                        slot_req[s] = -1
+            snap = new_snap
             self.stats["rounds"] += 1
-            for s in range(self.n_slots):
-                if slot_req[s] >= 0 and not active[s]:
-                    results[slot_req[s]] = self._harvest(s, toks, length, sum_lp)
-                    slot_req[s] = -1
         return results  # type: ignore[return-value]

@@ -78,14 +78,24 @@ def param_pspecs(config=None) -> Dict[str, Any]:
 
 
 def shard_params(params, mesh: Mesh):
-    """device_put the params pytree with tensor-parallel shardings."""
+    """Place the params pytree with tensor-parallel shardings. Works under a
+    multi-process (multi-host) mesh too: there each process materializes
+    only its addressable shards via the callback constructor — plain
+    device_put cannot target non-addressable devices."""
+    import numpy as np
+
     specs = param_pspecs()
-    return jax.tree.map(
-        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
-        params,
-        specs,
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    multi = jax.process_count() > 1
+
+    def put(arr, spec):
+        sharding = NamedSharding(mesh, spec)
+        if not multi:
+            return jax.device_put(arr, sharding)
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx, a=a: a[idx])
+
+    return jax.tree.map(put, params, specs, is_leaf=lambda x: isinstance(x, P))
 
 
 def batch_pspec() -> P:

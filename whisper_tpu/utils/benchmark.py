@@ -163,14 +163,16 @@ def run_benchmark(
             from ..decoding.device_beam import beam_decode_device
 
             k = beam_size
+            pad = jax.default_backend() == "tpu"  # COW kernel needs 128-aligned rows
             if kv_dtype == "int8":
                 from ..model.decoder import KVCache
                 from ..model.quant import init_quant_cache
 
-                cache = KVCache(*init_quant_cache(cfg, batch * k, ctx=seg_ctx))
+                cache = KVCache(*init_quant_cache(cfg, batch * k, ctx=seg_ctx,
+                                                  pad_ctx=pad))
             else:
                 cache = init_cache(cfg, batch * k, dtype=jnp.bfloat16,
-                                   ctx=seg_ctx)
+                                   ctx=seg_ctx, pad_ctx=pad)
             out = beam_decode_device(
                 model.params, jnp.repeat(init_tokens, k, axis=0), len(init), 0,
                 cache, cross_k, cross_v, sup_mask, blank_mask, cfg,
