@@ -123,3 +123,43 @@ def test_transcribe_word_timestamps_integration():
             prev = w["start"]
             assert w["word"]
     assert saw_words
+
+
+def test_model_alignment_heads_selection():
+    """Published head masks drive head selection for released models; the
+    upper-half fallback covers unknown headers and the ambiguous
+    large-v1/v2 pair (identical GGML headers)."""
+    import numpy as np
+    from whisper_tpu.config import ALIGNMENT_HEADS, PRESETS
+    from whisper_tpu.pipeline.word_timing import (
+        default_alignment_heads, model_alignment_heads)
+
+    cfg = PRESETS["large-v3"]
+    m = model_alignment_heads(cfg, cfg.n_text_layer, cfg.n_text_head)
+    assert m.sum() == len(ALIGNMENT_HEADS["large-v3"])
+    for l, h in ALIGNMENT_HEADS["large-v3"]:
+        assert m[l, h]
+
+    # turbo resolves via its 4-layer decoder
+    cfg = PRESETS["large-v3-turbo"]
+    m = model_alignment_heads(cfg, cfg.n_text_layer, cfg.n_text_head)
+    assert m.sum() == len(ALIGNMENT_HEADS["large-v3-turbo"])
+
+    # large v1/v2 are header-identical: fall back, don't guess
+    cfg = PRESETS["large-v2"]
+    m = model_alignment_heads(cfg, cfg.n_text_layer, cfg.n_text_head)
+    np.testing.assert_array_equal(
+        m, default_alignment_heads(cfg.n_text_layer, cfg.n_text_head))
+
+    # unknown (synthetic) config: fallback
+    from fixtures import micro_config
+    cfg = micro_config()
+    m = model_alignment_heads(cfg, cfg.n_text_layer, cfg.n_text_head)
+    np.testing.assert_array_equal(
+        m, default_alignment_heads(cfg.n_text_layer, cfg.n_text_head))
+
+    # every table entry is in range for its preset
+    for name, pairs in ALIGNMENT_HEADS.items():
+        p = PRESETS[name]
+        for l, h in pairs:
+            assert 0 <= l < p.n_text_layer and 0 <= h < p.n_text_head, name

@@ -10,8 +10,11 @@ median-filter and z-normalize the alignment-head average, dynamic-time-warp
 the (token, audio-frame) cost matrix, and read word boundaries off the
 monotone path.
 
-Alignment heads: real releases publish a per-model head mask; without one we
-use openai's fallback — every head of the upper half of the decoder layers.
+Alignment heads: the published per-release head sets ship with the presets
+(config.ALIGNMENT_HEADS) and are selected automatically from the GGML header
+(model_alignment_heads); unknown models — and large-v1/v2, whose headers are
+identical — use openai's fallback: every head of the upper half of the
+decoder layers.
 """
 
 from __future__ import annotations
@@ -100,6 +103,25 @@ def default_alignment_heads(n_layer: int, n_head: int) -> np.ndarray:
     return mask
 
 
+def model_alignment_heads(cfg, n_layer: int, n_head: int) -> np.ndarray:
+    """(L, H) bool mask for the model ``cfg`` describes: the published
+    per-release head set (config.ALIGNMENT_HEADS) when the GGML header
+    resolves a released model unambiguously, else the upper-half fallback
+    (unknown models, and large-v1/v2 whose headers are identical)."""
+    from ..config import lookup_alignment_heads
+
+    pairs = lookup_alignment_heads(cfg)
+    if not pairs:
+        return default_alignment_heads(n_layer, n_head)
+    mask = np.zeros((n_layer, n_head), dtype=bool)
+    for l, h in pairs:
+        if l < n_layer and h < n_head:
+            mask[l, h] = True
+    if not mask.any():  # defensive: malformed table entry
+        return default_alignment_heads(n_layer, n_head)
+    return mask
+
+
 def split_tokens_on_spaces(vocab, tokens: Sequence[int]):
     """Group tokens into words: a token whose text begins with a space (or
     follows punctuation rules) starts a new word (openai's spaced-language
@@ -163,7 +185,7 @@ def find_word_timestamps(
     )[:, 0]
     L, H, T, Ta = probs.shape
     if alignment_heads is None:
-        alignment_heads = default_alignment_heads(L, H)
+        alignment_heads = model_alignment_heads(cfg, L, H)
     w = probs[alignment_heads]                      # (N_heads, T, Ta)
     if num_frames is not None:
         w = w[..., : max(1, min(num_frames, Ta))]
