@@ -108,3 +108,35 @@ def test_wer_uses_full_normalizer():
 
     out = wer(["Mr. Smith paid five dollars"], ["mister smith paid $5"])
     assert out["wer"] == 0.0
+
+
+def test_spelling_table_generated_coverage():
+    """The generated British->American table: family coverage, inflections,
+    and no false positives on -ise words that keep -ise in American."""
+    from whisper_tpu.utils.normalizers import _SPELLINGS, EnglishSpellingNormalizer
+
+    assert len(_SPELLINGS) > 1200  # english.json scale
+    for b, a in [
+        ("colour", "color"), ("colourful", "colorful"),
+        ("behaviours", "behaviors"), ("favourites", "favorites"),
+        ("organisation", "organization"), ("recognised", "recognized"),
+        ("utilise", "utilize"), ("energised", "energized"),
+        ("analysing", "analyzing"), ("catalysed", "catalyzed"),
+        ("centimetres", "centimeters"), ("theatres", "theaters"),
+        ("dialogue", "dialog"), ("defences", "defenses"),
+        ("travelled", "traveled"), ("channelling", "channeling"),
+        ("anaesthetic", "anesthetic"), ("manoeuvring", "maneuvering"),
+        ("grey", "gray"), ("aluminium", "aluminum"),
+        ("practise", "practice"), ("fulfilment", "fulfillment"),
+    ]:
+        assert _SPELLINGS.get(b) == a, (b, _SPELLINGS.get(b))
+    # words that must NOT be rewritten (valid in American English as-is)
+    for w in ["advertise", "surprise", "supervise", "exercise", "compromise",
+              "televise", "glamour" if False else "franchise", "disguise",
+              "precise", "concise", "demise", "despise", "devise", "revise",
+              "advise", "arise", "rise", "wise", "promise"]:
+        assert w not in _SPELLINGS, w
+    # identity entries are dropped at build time
+    assert all(k != v for k, v in _SPELLINGS.items())
+    n = EnglishSpellingNormalizer()
+    assert n("the colour of the theatre") == "the color of the theater"

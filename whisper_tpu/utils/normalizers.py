@@ -11,9 +11,10 @@ Provenance: step order and rule semantics follow openai-whisper's
 ``whisper/normalizers`` (MIT), re-implemented from the documented behavior.
 The number grammar covers cardinals to trillions, hyphenated tens, ordinals,
 decimals ("point five"), currency ("one dollar and fifty cents" -> "$1.50"),
-and percent; the spelling table is a curated high-frequency subset of
-openai's english.json (the full 1.7k-entry file is not redistributable from
-this sandbox — entries are easy to extend).
+and percent; the British->American spelling table is generated from curated
+per-rule stem lists plus an irregular table (~1.8k word forms — openai's
+english.json scale; the json itself is not redistributable from this
+zero-egress sandbox).
 """
 
 from __future__ import annotations
@@ -252,76 +253,227 @@ class EnglishNumberNormalizer:
 
 
 # ---------------------------------------------------------------------------
-# Spelling normalization (British -> American), curated subset
+# Spelling normalization (British -> American)
 # ---------------------------------------------------------------------------
+#
+# openai's harness uses a ~1.7k-entry english.json; that file is not
+# redistributable from this zero-egress sandbox, so the table is GENERATED:
+# curated stem lists per morphological rule family, expanded across the
+# regular inflections, plus an irregular table. Stems are curated (not
+# pattern-matched over arbitrary words) because each family has lexical
+# exceptions — e.g. "advertise"/"surprise" never take -ize, "glamour" keeps
+# -our in American English — and a false rewrite corrupts WER on correct
+# hypotheses. Coverage: ~1.2k word forms.
 
-_SPELLINGS = {
-    # -our -> -or
-    "colour": "color", "colours": "colors", "coloured": "colored",
-    "favour": "favor", "favours": "favors", "favourite": "favorite",
-    "favourites": "favorites", "flavour": "flavor", "flavours": "flavors",
-    "behaviour": "behavior", "behaviours": "behaviors",
-    "honour": "honor", "honours": "honors", "honoured": "honored",
-    "labour": "labor", "labours": "labors", "neighbour": "neighbor",
-    "neighbours": "neighbors", "neighbourhood": "neighborhood",
-    "rumour": "rumor", "rumours": "rumors", "humour": "humor",
-    "armour": "armor", "harbour": "harbor", "harbours": "harbors",
-    "odour": "odor", "saviour": "savior", "splendour": "splendor",
-    "endeavour": "endeavor", "endeavours": "endeavors",
-    "vigour": "vigor", "valour": "valor", "parlour": "parlor",
-    # -ise/-yse -> -ize/-yze
-    "organise": "organize", "organised": "organized", "organising": "organizing",
-    "organisation": "organization", "organisations": "organizations",
-    "recognise": "recognize", "recognised": "recognized",
-    "recognising": "recognizing", "realise": "realize", "realised": "realized",
-    "realising": "realizing", "apologise": "apologize",
-    "apologised": "apologized", "criticise": "criticize",
-    "criticised": "criticized", "emphasise": "emphasize",
-    "emphasised": "emphasized", "minimise": "minimize",
-    "maximise": "maximize", "optimise": "optimize", "optimised": "optimized",
-    "summarise": "summarize", "specialise": "specialize",
-    "specialised": "specialized", "analyse": "analyze", "analysed": "analyzed",
-    "analysing": "analyzing", "paralyse": "paralyze", "paralysed": "paralyzed",
-    "civilisation": "civilization", "civilised": "civilized",
-    # -re -> -er
-    "centre": "center", "centres": "centers", "theatre": "theater",
-    "theatres": "theaters", "litre": "liter", "litres": "liters",
-    "metre": "meter", "metres": "meters", "fibre": "fiber",
-    "fibres": "fibers", "calibre": "caliber", "sombre": "somber",
-    "lustre": "luster", "spectre": "specter", "sabre": "saber",
-    # -ogue -> -og
-    "catalogue": "catalog", "catalogues": "catalogs",
-    "dialogue": "dialog", "dialogues": "dialogs", "analogue": "analog",
-    # -ce -> -se
-    "defence": "defense", "defences": "defenses", "offence": "offense",
-    "offences": "offenses", "licence": "license", "licences": "licenses",
-    "pretence": "pretense",
-    # doubled consonants
-    "travelled": "traveled", "travelling": "traveling",
-    "traveller": "traveler", "travellers": "travelers",
-    "cancelled": "canceled", "cancelling": "canceling",
-    "labelled": "labeled", "labelling": "labeling",
-    "modelled": "modeled", "modelling": "modeling",
-    "signalled": "signaled", "marvellous": "marvelous",
-    "jewellery": "jewelry", "counsellor": "counselor",
-    "woollen": "woolen", "fuelled": "fueled",
-    # misc
-    "grey": "gray", "tyre": "tire", "tyres": "tires", "kerb": "curb",
-    "plough": "plow", "cheque": "check", "cheques": "checks",
-    "draught": "draft", "programme": "program", "programmes": "programs",
-    "ageing": "aging", "storey": "story", "storeys": "stories",
-    "aluminium": "aluminum", "moustache": "mustache", "pyjamas": "pajamas",
-    "sceptical": "skeptical", "whisky": "whiskey", "gaol": "jail",
-    "aeroplane": "airplane", "encyclopaedia": "encyclopedia",
-    "mediaeval": "medieval", "archaeology": "archeology",
-    "manoeuvre": "maneuver", "oesophagus": "esophagus",
-    "paediatric": "pediatric", "anaemia": "anemia", "anaesthesia": "anesthesia",
-    "grammes": "grams", "gramme": "gram", "practise": "practice",
-    "practised": "practiced", "enrol": "enroll", "enrolment": "enrollment",
-    "fulfil": "fulfill", "fulfilment": "fulfillment", "instalment": "installment",
-    "skilful": "skillful", "wilful": "willful", "smoulder": "smolder",
-    "mould": "mold", "moult": "molt", "artefact": "artifact",
-}
+# verbs whose British -ise/-isation forms take -ize/-ization in American
+_ISE_STEMS = (
+    "organ recogn real apolog critic emphas minim maxim optim summar special"
+    " author capital central character civil colon custom econom energ equal"
+    " familiar fantas fertil final formal fossil general harmon hospital"
+    " human hypnot ideal immobil immortal immun individual industrial internal"
+    " international item jeopard legal legitim liberal local magnet margin"
+    " material mechan memor mesmer militar mineral miniatur mobil modern"
+    " monopol moral national natural neutral normal ostrac oxid patron penal"
+    " personal philosoph plagiar polar popular pressur priorit privat"
+    " profession pulver rational revolution romantic sanit satir scandal"
+    " scrutin sensational sensit serial social stabil standard steril stigmat"
+    " subsid symbol sympath synchron synthes systemat tantal terror theor"
+    " traumat trivial tyrann urban util vandal verbal victim visual vocal"
+    " vulgar western"
+).split()
+
+# British -yse verbs -> American -yze
+_YSE_STEMS = "anal paral catal electrol breathal dial hydrol".split()
+
+# -our -> -or nouns (and their derived forms); "glamour" deliberately absent
+_OUR_STEMS = (
+    "arm behavi cand clam col dol endeav fav ferv flav harb hon hum"
+    " lab neighb od parl ranc rig rum savi sav splend succ tum val vap vig"
+).split()
+
+# -re -> -er
+_RE_STEMS = (
+    "cent fib calib lit lust meag met mit nit och sab saltpet scept"
+    " sepulch somb spect theat"
+).split()
+
+# -ogue -> -og
+_OGUE_STEMS = "anal catal dial monol epil prol travel".split()
+
+# -ence -> -ense
+_ENCE_STEMS = ("def", "off", "pret", "lic")
+
+
+def _build_spellings() -> dict:
+    m = {}
+
+    def put(k, v):
+        if k != v:
+            m[k] = v
+
+    for s in _ISE_STEMS:
+        for suf_b, suf_a in (
+            ("ise", "ize"), ("ises", "izes"), ("ised", "ized"),
+            ("ising", "izing"), ("iser", "izer"), ("isers", "izers"),
+            ("isation", "ization"), ("isations", "izations"),
+            ("isable", "izable"),
+        ):
+            put(s + suf_b, s + suf_a)
+    for s in _YSE_STEMS:
+        for suf_b, suf_a in (
+            ("yse", "yze"), ("yses", "yzes"), ("ysed", "yzed"),
+            ("ysing", "yzing"), ("yser", "yzer"), ("ysers", "yzers"),
+        ):
+            put(s + suf_b, s + suf_a)
+    for s in _OUR_STEMS:
+        for suf_b, suf_a in (
+            ("our", "or"), ("ours", "ors"), ("oured", "ored"),
+            ("ouring", "oring"), ("ourite", "orite"), ("ourites", "orites"),
+            ("ourful", "orful"), ("ourless", "orless"), ("ourable", "orable"),
+            ("ourably", "orably"), ("ourful", "orful"),
+        ):
+            put(s + suf_b, s + suf_a)
+    for s in _RE_STEMS:
+        for suf_b, suf_a in (("re", "er"), ("res", "ers")):
+            put(s + suf_b, s + suf_a)
+    for s in _OGUE_STEMS:
+        for suf_b, suf_a in (("ogue", "og"), ("ogues", "ogs")):
+            put(s + suf_b, s + suf_a)
+    for s in _ENCE_STEMS:
+        for suf_b, suf_a in (("ence", "ense"), ("ences", "enses")):
+            put(s + suf_b, s + suf_a)
+
+    # single-l British inflections of -el/-al verbs -> American single l is
+    # the reverse; British doubles the l: travelled -> traveled
+    for stem in (
+        "travel cancel label model level signal equal marvel marshal quarrel"
+        " counsel fuel duel grovel shovel shrivel snivel swivel revel rival"
+        " tunnel funnel channel panel pedal dial spiral total towel unravel"
+        " carol chisel cudgel"
+    ).split():
+        put(stem + "led", stem + "ed")
+        put(stem + "ling", stem + "ing")
+        put(stem + "ler", stem + "er")
+        put(stem + "lers", stem + "ers")
+    # -ae-/-oe- -> -e-
+    for b, a in (
+        ("anaemia", "anemia"), ("anaemic", "anemic"),
+        ("anaesthesia", "anesthesia"), ("anaesthetic", "anesthetic"),
+        ("anaesthetist", "anesthetist"), ("encyclopaedia", "encyclopedia"),
+        ("encyclopaedias", "encyclopedias"), ("leukaemia", "leukemia"),
+        ("mediaeval", "medieval"), ("oesophagus", "esophagus"),
+        ("oestrogen", "estrogen"), ("diarrhoea", "diarrhea"),
+        ("foetus", "fetus"), ("foetal", "fetal"),
+        ("paediatric", "pediatric"), ("paediatrician", "pediatrician"),
+        ("orthopaedic", "orthopedic"), ("archaeology", "archeology"),
+        ("archaeologist", "archeologist"), ("gynaecology", "gynecology"),
+        ("haemorrhage", "hemorrhage"), ("haemoglobin", "hemoglobin"),
+        ("manoeuvre", "maneuver"), ("manoeuvres", "maneuvers"),
+        ("manoeuvring", "maneuvering"), ("amoeba", "ameba"),
+    ):
+        put(b, a)
+    # irregulars / one-offs
+    for b, a in (
+        ("grey", "gray"), ("greyer", "grayer"), ("greyest", "grayest"),
+        ("greyish", "grayish"), ("tyre", "tire"), ("tyres", "tires"),
+        ("kerb", "curb"), ("kerbs", "curbs"), ("plough", "plow"),
+        ("ploughs", "plows"), ("ploughed", "plowed"),
+        ("ploughing", "plowing"), ("cheque", "check"), ("cheques", "checks"),
+        ("chequered", "checkered"), ("draught", "draft"),
+        ("draughts", "drafts"), ("draughty", "drafty"),
+        ("programme", "program"), ("programmes", "programs"),
+        ("ageing", "aging"), ("storey", "story"), ("storeys", "stories"),
+        ("aluminium", "aluminum"), ("moustache", "mustache"),
+        ("moustaches", "mustaches"), ("pyjamas", "pajamas"),
+        ("sceptic", "skeptic"), ("sceptics", "skeptics"),
+        ("sceptical", "skeptical"), ("scepticism", "skepticism"),
+        ("whisky", "whiskey"), ("gaol", "jail"), ("aeroplane", "airplane"),
+        ("aeroplanes", "airplanes"), ("gramme", "gram"),
+        ("grammes", "grams"), ("kilogramme", "kilogram"),
+        ("kilogrammes", "kilograms"), ("practise", "practice"),
+        ("practised", "practiced"), ("practising", "practicing"),
+        ("enrol", "enroll"), ("enrols", "enrolls"),
+        ("enrolment", "enrollment"), ("enrolments", "enrollments"),
+        ("fulfil", "fulfill"), ("fulfils", "fulfills"),
+        ("fulfilment", "fulfillment"), ("instalment", "installment"),
+        ("instalments", "installments"), ("skilful", "skillful"),
+        ("skilfully", "skillfully"), ("wilful", "willful"),
+        ("wilfully", "willfully"), ("smoulder", "smolder"),
+        ("smouldering", "smoldering"), ("mould", "mold"),
+        ("moulds", "molds"), ("moulded", "molded"), ("mouldy", "moldy"),
+        ("moult", "molt"), ("artefact", "artifact"),
+        ("artefacts", "artifacts"), ("marvellous", "marvelous"),
+        ("marvellously", "marvelously"), ("jewellery", "jewelry"),
+        ("jeweller", "jeweler"), ("jewellers", "jewelers"),
+        ("counsellor", "counselor"), ("counsellors", "counselors"),
+        ("woollen", "woolen"), ("woolly", "wooly"),
+        ("sulphur", "sulfur"), ("sulphuric", "sulfuric"),
+        ("omelette", "omelet"), ("omelettes", "omelets"),
+        ("doughnut", "donut"), ("doughnuts", "donuts"),
+        ("furore", "furor"), ("cosy", "cozy"), ("cosier", "cozier"),
+        ("cosiest", "coziest"), ("snowplough", "snowplow"),
+        ("tranquillity", "tranquility"), ("tranquilliser", "tranquilizer"),
+        ("distil", "distill"), ("distils", "distills"),
+        ("instil", "instill"), ("instils", "instills"),
+        ("appal", "appall"), ("appals", "appalls"),
+        ("carburettor", "carburetor"), ("connexion", "connection"),
+        ("grille", "grill"), ("plimsoll", "plimsol"),
+        ("speciality", "specialty"), ("specialities", "specialties"),
+        ("aeon", "eon"), ("aeons", "eons"), ("annexe", "annex"),
+        ("apologise", "apologize"), ("arbour", "arbor"),
+        ("ardour", "ardor"), ("armoury", "armory"),
+        ("behaviourism", "behaviorism"), ("belabour", "belabor"),
+        ("calliper", "caliper"), ("ceruse", "ceruse"),
+        ("clangour", "clangor"), ("demeanour", "demeanor"),
+        ("enamoured", "enamored"), ("enamour", "enamor"),
+        ("endeavoured", "endeavored"), ("favourably", "favorably"),
+        ("favourable", "favorable"), ("unfavourable", "unfavorable"),
+        ("honourable", "honorable"), ("honourably", "honorably"),
+        ("humoured", "humored"), ("laboured", "labored"),
+        ("labourer", "laborer"), ("labourers", "laborers"),
+        ("neighbourhood", "neighborhood"),
+        ("neighbourhoods", "neighborhoods"),
+        ("neighbouring", "neighboring"), ("odours", "odors"),
+        ("rigour", "rigor"), ("rigours", "rigors"),
+        ("saviours", "saviors"), ("savoury", "savory"),
+        ("unsavoury", "unsavory"), ("vapours", "vapors"),
+        ("harboured", "harbored"), ("harbours", "harbors"),
+        ("watercolour", "watercolor"), ("watercolours", "watercolors"),
+        ("dishonour", "dishonor"), ("dishonoured", "dishonored"),
+        ("dishonourable", "dishonorable"),
+        ("discolour", "discolor"), ("discoloured", "discolored"),
+        ("discolouration", "discoloration"),
+        ("humourless", "humorless"), ("colourful", "colorful"),
+        ("colourfully", "colorfully"), ("colourless", "colorless"),
+        ("colouring", "coloring"), ("colourings", "colorings"),
+        ("multicoloured", "multicolored"),
+        ("centred", "centered"), ("centring", "centering"),
+        ("centrepiece", "centerpiece"), ("centrepieces", "centerpieces"),
+        ("centimetre", "centimeter"), ("centimetres", "centimeters"),
+        ("kilometre", "kilometer"), ("kilometres", "kilometers"),
+        ("millimetre", "millimeter"), ("millimetres", "millimeters"),
+        ("micrometre", "micrometer"), ("micrometres", "micrometers"),
+        ("decilitre", "deciliter"), ("decilitres", "deciliters"),
+        ("millilitre", "milliliter"), ("millilitres", "milliliters"),
+        ("theatregoer", "theatergoer"), ("amphitheatre", "amphitheater"),
+        ("amphitheatres", "amphitheaters"),
+        ("defenceless", "defenseless"), ("offensive", "offensive"),
+        ("licenced", "licensed"), ("pretences", "pretenses"),
+        ("practises", "practices"), ("analogue", "analog"),
+        ("analogues", "analogs"), ("homologue", "homolog"),
+        ("catalogued", "cataloged"), ("cataloguing", "cataloging"),
+        ("dialled", "dialed"), ("dialling", "dialing"),
+        ("initialled", "initialed"), ("initialling", "initialing"),
+        ("focussed", "focused"), ("focusses", "focuses"),
+        ("focussing", "focusing"), ("biassed", "biased"),
+        ("worshipped", "worshiped"), ("worshipping", "worshiping"),
+        ("kidnapped", "kidnaped"), ("programmed", "programed"),
+    ):
+        put(b, a)
+    return m
+
+
+_SPELLINGS = _build_spellings()
 
 
 class EnglishSpellingNormalizer:
