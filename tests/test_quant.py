@@ -128,3 +128,80 @@ def test_greedy_decode_with_int8_cross():
     agree = sum(a == b for a, b in zip(ref.tokens, got.tokens)) / max(min_len, 1)
     assert agree > 0.7, (ref.tokens, got.tokens)
     assert np.isfinite(got.avg_logprob)
+
+
+def test_beam_decode_int8_agreement():
+    """On-device beam with int8 weights + int8 self-cache + int8 cross vs
+    the f32 beam: token agreement on worst-case random weights (the serving
+    bench's exact configuration, utils/benchmark.py beam path)."""
+    from whisper_tpu.decoding.device_beam import beam_decode_device
+    from whisper_tpu.decoding.device_loop import build_masks
+    from whisper_tpu.model.decoder import KVCache, init_cache
+    from whisper_tpu.model.quant import init_quant_cache, quantize_decoder_weights
+
+    cfg = micro_config(n_vocab=51864)
+    tensors = random_tensors(cfg, seed=29)
+    params = jax.tree.map(jnp.asarray, params_from_ggml(tensors, cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(8)
+    G, k, SL = 2, 3, 12
+    mel = rng.standard_normal((G, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    sup, blank = build_masks(vocab)
+    init = jnp.asarray(np.tile([[vocab.token_sot]], (G * k, 1)), jnp.int32)
+    seg = 1 + SL + 8
+
+    def best_seqs(params_, enc, cache):
+        out = beam_decode_device(
+            params_, init, 1, 0, cache, enc.cross_k, enc.cross_v,
+            sup, blank, cfg, beam_size=k, sample_len=SL)
+        act_toks, act_lp = np.asarray(out[0]), np.asarray(out[1])
+        seqs = []
+        for g in range(G):
+            b = int(np.argmax(act_lp[g]))
+            seqs.append(act_toks[g, b].tolist())
+        return seqs
+
+    enc = encode(params, jnp.asarray(mel), cfg)
+    ref = best_seqs(params, enc, init_cache(cfg, G * k, ctx=seg))
+
+    qparams = quantize_decoder_weights(params)
+    qenc = encode(params, jnp.asarray(mel), cfg, quantize_kv=True)
+    qcache = KVCache(*init_quant_cache(cfg, G * k, ctx=seg, pad_ctx=True))
+    got = best_seqs(qparams, qenc, qcache)
+
+    for r, g in zip(ref, got):
+        agree = sum(a == b for a, b in zip(r, g)) / max(len(r), 1)
+        assert agree > 0.6, (r, g)
+
+
+def test_engine_int8_agreement():
+    """SlotEngine serving mode (int8 pools + int8 decoder weights) agrees
+    with the bf16 engine on worst-case random weights."""
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.parallel.engine import SlotEngine
+    from fixtures import write_synthetic_ggml
+    import tempfile, os
+
+    cfg = micro_config(n_vocab=51864)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.bin")
+        write_synthetic_ggml(path, cfg, seed=31)
+        model = load_model(path, use_native=False)
+    rng = np.random.default_rng(11)
+    audios = [
+        (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        for _ in range(3)
+    ]
+    opts = DecodingOptions(sample_len=12)
+
+    def run(quantize):
+        eng = SlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+                         quantize=quantize)
+        return [r.tokens for r in eng.transcribe_many(audios)]
+
+    ref = run(False)
+    got = run(True)
+    for r, g in zip(ref, got):
+        n = max(min(len(r), len(g)), 1)
+        agree = sum(a == b for a, b in zip(r, g)) / n
+        assert agree > 0.6, (r, g)
