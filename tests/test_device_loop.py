@@ -157,3 +157,37 @@ def test_temperature_sampling_host_matches_device():
                       use_device_loop=True)
     for h, d in zip(host, dev):
         assert h.tokens == d.tokens
+
+
+def test_budget_edge_with_long_prompt_matches_host():
+    """openai's sample-append-then-break arithmetic at the n_text_ctx edge:
+    with a prompt long enough that prefill+sample_len overflows the context,
+    the device loop must sample exactly n_text_ctx - true_len + 1 tokens —
+    the r2 clamp keyed on the PADDED width and fell short by pad slack + 1."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fixtures import micro_config, random_tensors, synthetic_tokens
+    from whisper_tpu.decoding.task import DecodingOptions, decode_full
+    from whisper_tpu.io.vocab import make_vocab
+    from whisper_tpu.model.encoder import encode
+    from whisper_tpu.model.params import params_from_ggml
+
+    cfg = micro_config(n_vocab=51864)  # n_text_ctx = 96
+    params = jax.tree.map(jnp.asarray,
+                          params_from_ggml(random_tensors(cfg, seed=3), cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    enc = encode(params, jnp.asarray(mel), cfg)
+    # prompt of 40 -> initial [prev]+40+[sot] = 42, padded 64;
+    # budget = 96 - 42 + 1 = 55 > 96 - 64 = 32 (the old clamp)
+    prompt = [int(t) for t in rng.integers(100, 5000, size=40)]
+    opts = DecodingOptions(temperature=0.0, prompt=prompt, sample_len=90)
+    host = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                       use_device_loop=False)[0]
+    dev = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts,
+                      use_device_loop=True)[0]
+    assert dev.tokens == host.tokens
+    assert len(dev.tokens) <= cfg.n_text_ctx - 42 + 1
+    assert abs(dev.avg_logprob - host.avg_logprob) < 1e-3

@@ -139,3 +139,72 @@ def test_engine_partial_bucket_trash_slot(model):
             sup, blank, cfg, sample_len=engine.max_new, use_timestamps=True)
         want = [int(t) for t in np.asarray(toks)[0, : int(lengths[0])]]
         assert res.tokens == want
+
+
+def test_engine_streams_match_offline_pipeline(tmp_path):
+    """LONG-FORM identity: >30 s streams through the engine (per-slot
+    window continuation + prompt carry + no-speech gate + fallback route)
+    produce the same segments as pipeline.transcribe, window for window."""
+    from fixtures import synthetic_audio, tiny_config, write_synthetic_ggml
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+    path = tmp_path / "ggml-tiny-synth.bin"
+    write_synthetic_ggml(path, tiny_config(), seed=9)
+    model = load_model(str(path), use_native=False)
+
+    SR = 16000
+    audios = [synthetic_audio(SR * 35, seed=1),
+              synthetic_audio(SR * 50, seed=2),
+              synthetic_audio(SR * 8, seed=3)]
+    topts = TranscribeOptions(temperature=0.0, condition_on_previous_text=True)
+
+    ref = [transcribe(model, a, topts) for a in audios]
+
+    engine = SlotEngine(model, n_slots=2, chunk_steps=8)
+    got = engine.transcribe_streams(audios, topts)
+
+    assert engine.stats["windows"] >= 5  # multi-window streams actually ran
+    for r, g in zip(ref, got):
+        assert g["language"] == r["language"]
+        assert g["duration"] == r["duration"]
+        assert g["text"] == r["text"]
+        assert len(g["segments"]) == len(r["segments"])
+        for rs, gs in zip(r["segments"], g["segments"]):
+            assert gs["tokens"] == rs["tokens"]
+            assert gs["t0"] == rs["t0"] and gs["t1"] == rs["t1"]
+            assert gs["seek"] == rs["seek"]
+            assert gs["no_speech_prob"] == pytest.approx(
+                rs["no_speech_prob"], abs=1e-5)
+            assert gs["avg_logprob"] == pytest.approx(
+                rs["avg_logprob"], rel=1e-4, abs=1e-5)
+
+
+def test_engine_streams_fallback_escalation(tmp_path):
+    """A gate rigged to always fail at t=0 (logprob_threshold=0) forces the
+    engine to escalate windows through the lockstep ladder — output must
+    still match the offline pipeline (which escalates identically)."""
+    from fixtures import synthetic_audio, tiny_config, write_synthetic_ggml
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+    path = tmp_path / "ggml-tiny-synth.bin"
+    write_synthetic_ggml(path, tiny_config(), seed=9)
+    model = load_model(str(path), use_native=False)
+
+    SR = 16000
+    audio = synthetic_audio(SR * 12, seed=5)
+    topts = TranscribeOptions(
+        temperature=(0.0, 0.5, 1.0), logprob_threshold=0.0,
+        no_speech_threshold=None, condition_on_previous_text=True)
+
+    ref = transcribe(model, audio, topts)
+    engine = SlotEngine(model, n_slots=2, chunk_steps=8)
+    got = engine.transcribe_streams([audio], topts)[0]
+
+    assert engine.stats["fallbacks"] >= 1
+    assert got["text"] == ref["text"]
+    assert [s["tokens"] for s in got["segments"]] == [
+        s["tokens"] for s in ref["segments"]]
+    # escalation actually happened (avg_logprob of random weights < 0)
+    assert all(s["temperature"] > 0 for s in got["segments"])

@@ -287,19 +287,26 @@ def beam_decode_device(
         )
 
         # Copy-on-write row assignment: pointer update for permutations,
-        # physical copies only where a parent beam forked. Measured history
-        # (v5e, large-v3, k5, int8 cache, ms/step ABOVE the permute-free
-        # loop at rows=40/80, seg ctx 75) for the MATERIAL full-row
-        # reorder this replaces:
-        #     Pallas blocked copy (kernels/beam_gather)   +5.7 / +15.7
-        #     jnp.take(axis=0)                            +7.8 / +19.9
-        #     raw HBM->HBM DMA kernel (needs ctx%128==0) +11.1 / +13.2
-        #     reorder fused into the layer scan          +15.7 / +36.4
-        # Every loop-level materialized variant lands at ~2x the practical
-        # ~311 GB/s read+write wire because XLA copies the while-carry
-        # around any reorder op. cow_copy_rows dodges the carry copy via
-        # input/output aliasing (legal because COW sources are never
-        # destinations) and moves only the forked rows.
+        # physical copies only where a parent beam forked. Measured r3
+        # matrix (v5e, large-v3, G=32 k=5 = 160 rows, int8 cache ctx 128,
+        # ms/step, ONE process interleaved):
+        #     no copies at all (pointer bookkeeping only)     20.5  (floor)
+        #     cond + aliased COW DMA kernel  [PRODUCTION]     35.3
+        #     COW kernel, no cond                             45.6
+        #     COW kernel with IDENTITY src (zero DMAs!)       45.1
+        #     M-slot gather + in-place scatter (XLA-native)   47.6-49.7
+        # The identity-src row is the tell: the cost is NOT the row copies
+        # but LAYOUT RECONCILIATION — XLA carries the cache batch-MINOR
+        # ({0,3,2,4,1}: decode attention vectorizes over batch lanes) while
+        # any Pallas custom call requires default layout, so full-cache
+        # conversion copies bracket the call; input/output aliasing cannot
+        # help across a layout change. XLA-native sparse scatter avoids the
+        # relayout but strides catastrophically in the batch-minor layout.
+        # Still shipped: COW skips ~all copies on permutation-only steps
+        # (identity cond), and the r2 measured matrix for MATERIAL full
+        # reorders (+5.7..+36.4 ms at 40/80 rows) bounds the alternatives.
+        # Open: a lane-shuffle kernel on the bitcast-transposed view (the
+        # layout-matching shape) or XLA-side carry-layout control.
         phys_l = state.phys.reshape(G, k) - base
         new_phys_l, copy_src_l = cow_assign(phys_l, new_src, k)
         new_phys = (new_phys_l + base).reshape(GK)

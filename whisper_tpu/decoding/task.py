@@ -347,11 +347,16 @@ def _decode_full_device(
     max_initial_index = None
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_initial_index = round(options.max_initial_timestamp / 0.02)
-    # Clamp to the positional-embedding budget: prefill positions + sampled
-    # positions must stay < n_text_ctx, else dynamic_update_slice/pe lookups
-    # clamp silently and corrupt the last KV slot (host loop breaks at
-    # tokens.shape[-1] > n_text_ctx; this is the static device equivalent).
-    sample_len = max(0, min(task.sample_len, config.n_text_ctx - padded.shape[1]))
+    # Clamp to the context budget with openai's exact arithmetic: the host
+    # loop samples, appends, THEN breaks when tokens.shape[-1] > n_text_ctx
+    # — so up to n_text_ctx - true_len + 1 tokens are sampled (the final
+    # token is sampled from logits at position n_text_ctx - 1 and never
+    # forwarded). The r2 clamp used the PADDED prefill width, silently
+    # shortening prompted windows by the pad slack + 1 vs the host loop.
+    # The final wasted forward's pe lookup / KV write clamp harmlessly
+    # (nothing reads after it); the cache is right-sized below so no live
+    # slot is ever clamped over.
+    sample_len = max(0, min(task.sample_len, config.n_text_ctx - true_len + 1))
     # Right-size the cache: the segment can't exceed prefill + sample budget.
     cache = init_cache(
         config, n_audio, dtype=_cache_dtype(cross_k),
@@ -416,8 +421,8 @@ def _decode_full_device_beam(
 
     init = np.tile(np.array(task.initial_tokens, np.int32), (n_audio * k, 1))
     padded, true_len = _pad_to_bucket(init)
-    # Same n_text_ctx clamp as _decode_full_device (silent-KV-corruption guard).
-    sample_len = max(0, min(task.sample_len, config.n_text_ctx - padded.shape[1]))
+    # Same openai budget arithmetic as _decode_full_device.
+    sample_len = max(0, min(task.sample_len, config.n_text_ctx - true_len + 1))
     # pad_ctx on TPU: the beam loop's copy-on-write row copies run through
     # the raw-DMA kernel, which needs tile-aligned (128) rows; the padded
     # tail is masked and costs ~9% extra cache read vs the passes it saves.

@@ -15,6 +15,14 @@ decoding/device_beam.py):
     rate (not the 819 GB/s read-only figure), and XLA adds ~1 extra
     full-cache pass copying the carry around the custom call.
 
+STATUS (r3): the production beam loop no longer materializes full-row
+permutes at all — it runs copy-on-write row pointers with the sparse
+in-place ``cow_copy_rows`` kernel below; see the measured matrix in
+decoding/device_beam.py (layout reconciliation, not copy bytes, dominates
+any loop-level Pallas call). ``permute_rows_multi`` and its two kernels are
+kept as the general standalone row-permute (tested in tests/test_kernels.py)
+and as the documented negative result they anchor.
+
 Two kernels, routed by shape in ``permute_rows_multi``:
 
   * raw HBM->HBM DMA (``_dma_kernel``): one program issues every

@@ -36,7 +36,8 @@ import numpy as np
 from ..config import WhisperConfig
 from ..decoding.device_loop import LoopState, _apply_rules_device, build_masks
 from ..decoding.result import DecodingResult, compression_ratio
-from ..decoding.task import DecodingOptions, DecodingTask, _pad_to_bucket
+from ..decoding.task import (DecodingOptions, DecodingTask, _pad_to_bucket,
+                             decode_full)
 from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
 from ..model.decoder import KVCache, decode_step, init_cache
 from ..model.encoder import encode
@@ -59,18 +60,22 @@ class EngineState(NamedTuple):
     last_tok: jnp.ndarray     # (S,) rule state
     prev_tok: jnp.ndarray
     last_ts: jnp.ndarray
+    max_new_row: jnp.ndarray  # (S,) int32 — per-slot sample budget (prompts
+                              # shorten it: offline clamps sample_len to
+                              # n_text_ctx - padded prompt, task.py:354)
+    no_speech: jnp.ndarray    # (S,) f32 — P(no-speech) at the window's SOT
+                              # position, set at refill (gate input)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "use_timestamps", "max_initial_index",
-                     "max_new"),
+    static_argnames=("cfg", "steps", "use_timestamps", "max_initial_index"),
     donate_argnames=("state",),  # multi-GB pools update in place
 )
 def _decode_chunk(
     params, state: EngineState, cross_k, cross_v, sup_mask, blank_mask,
     cfg: WhisperConfig, steps: int, use_timestamps: bool,
-    max_initial_index: Optional[int], max_new: int,
+    max_initial_index: Optional[int],
 ):
     v = cfg.n_vocab
     eot = 50256 if v == 51864 else 50257
@@ -93,7 +98,7 @@ def _decode_chunk(
         nxt = jnp.argmax(filt, axis=-1).astype(jnp.int32)
         step_lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(st.active, nxt, eot)
-        hit_cap = st.step + 1 >= max_new
+        hit_cap = st.step + 1 >= st.max_new_row
         now_eot = st.active & ((nxt == eot) | hit_cap)
         sum_lp = st.sum_logprobs + jnp.where(st.active, step_lp, 0.0)
         # a non-EOT token counts toward the transcript even when it is the
@@ -119,6 +124,8 @@ def _decode_chunk(
             last_tok=jnp.where(st.active, nxt, st.last_tok),
             prev_tok=jnp.where(st.active, st.last_tok, st.prev_tok),
             last_ts=jnp.where(is_ts, nxt, st.last_ts),
+            max_new_row=st.max_new_row,
+            no_speech=st.no_speech,
         )
         return new, None
 
@@ -130,7 +137,7 @@ def _decode_chunk(
     jax.jit, donate_argnames=("state", "cross_k_pool", "cross_v_pool"))
 def _refill_many(state: EngineState, cross_k_pool, cross_v_pool,
                  slots, ck_rows, cv_rows, cache_k_rows, cache_v_rows,
-                 logits_rows, n_init):
+                 logits_rows, init_lens, max_news, nosp_rows):
     """Install a whole admission bucket in ONE dispatch: scatter the
     prefilled KV rows, the encoder cross rows, and the per-slot state for
     every slot in ``slots`` ((n,) int32). On a tunneled chip, the per-slot
@@ -141,15 +148,13 @@ def _refill_many(state: EngineState, cross_k_pool, cross_v_pool,
     scat0 = lambda p, r: jax.tree.map(lambda pp, rr: pp.at[slots].set(rr), p, r)
     scat1 = lambda p, r: jax.tree.map(
         lambda pp, rr: pp.at[:, slots].set(rr), p, r)
-    n = logits_rows.shape[0]
-    ones = jnp.ones((n,), jnp.int32)
     S = state.active.shape[0]  # includes the trash row at index S-1
     trash = S - 1
     new_state = EngineState(
         cache_k=scat0(state.cache_k, cache_k_rows),
         cache_v=scat0(state.cache_v, cache_v_rows),
         logits=state.logits.at[slots].set(logits_rows),
-        n_past=state.n_past.at[slots].set(n_init * ones),
+        n_past=state.n_past.at[slots].set(init_lens),
         step=state.step.at[slots].set(0),
         active=state.active.at[slots].set(True).at[trash].set(False),
         tokens_out=state.tokens_out,  # rows are read out before refill
@@ -158,18 +163,21 @@ def _refill_many(state: EngineState, cross_k_pool, cross_v_pool,
         last_tok=state.last_tok.at[slots].set(-1),
         prev_tok=state.prev_tok.at[slots].set(-1),
         last_ts=state.last_ts.at[slots].set(-1),
+        max_new_row=state.max_new_row.at[slots].set(max_news),
+        no_speech=state.no_speech.at[slots].set(nosp_rows),
     )
     return (new_state, scat1(cross_k_pool, ck_rows),
             scat1(cross_v_pool, cv_rows))
 
 
 @jax.jit
-def _snapshot(active, length, sum_logprobs, tokens_out):
+def _snapshot(active, length, sum_logprobs, tokens_out, no_speech):
     """Fresh-buffer copies of the per-round harvest arrays (~KBs). The
     decode chunk DONATES the engine state, so these must not alias it —
     without donation on this jit, XLA materializes genuine copies."""
     return (jnp.copy(active), jnp.copy(length),
-            jnp.copy(sum_logprobs), jnp.copy(tokens_out))
+            jnp.copy(sum_logprobs), jnp.copy(tokens_out),
+            jnp.copy(no_speech))
 
 
 class SlotEngine:
@@ -280,17 +288,33 @@ class SlotEngine:
             return KVCache(*init_quant_cache(self.cfg, batch, ctx=self.pool_ctx))
         return init_cache(self.cfg, batch, dtype=dtype, ctx=self.pool_ctx)
 
-    def _prefill_batch(self, cross_k, cross_v, bucket: int):
-        """Prefill the shared initial tokens for a whole admission bucket."""
+    def _prefill_batch(self, cross_k, cross_v, bucket: int,
+                       tokens=None, lengths=None, sot_idx=None):
+        """Prefill one admission bucket. Without per-row arguments, every
+        row prefills the engine's shared initial tokens (<=30 s path); the
+        long-form path passes per-row padded prompt+sot sequences, their
+        true lengths, and per-row SOT positions. Returns (cache,
+        first_logits, no_speech_prob) — no-speech is read at the SOT
+        position exactly as the fused device loop does (device_loop.py)."""
         dtype = getattr(cross_k, "data", cross_k).dtype
         cache = self._fresh_cache(bucket, dtype)
-        tokens = jnp.broadcast_to(
-            self._padded_init, (bucket, self._padded_init.shape[1]))
+        if tokens is None:
+            tokens = jnp.broadcast_to(
+                self._padded_init, (bucket, self._padded_init.shape[1]))
+            lengths = jnp.full((bucket,), self.init_len, jnp.int32)
+            sot_idx = jnp.full((bucket,), self.sot_index, jnp.int32)
         logits_all, cache = decode_step(
             self.model.params, tokens, jnp.int32(0), cache,
             cross_k, cross_v, self.cfg)
-        first_logits = logits_all[:, self.init_len - 1].astype(jnp.float32)
-        return cache, first_logits
+        rows = jnp.arange(bucket)
+        first_logits = logits_all[rows, lengths - 1].astype(jnp.float32)
+        v = self.cfg.n_vocab
+        eot = 50256 if v == 51864 else 50257
+        nosp = (eot + 107 if v != 51866 else eot + 108) - 2
+        probs_sot = jax.nn.softmax(
+            logits_all[rows, sot_idx].astype(jnp.float32), axis=-1)
+        no_speech = probs_sot[:, nosp]
+        return cache, first_logits, no_speech
 
     def _init_state(self, cache_dtype):
         # One extra TRASH row (index n_slots): bucket installs are always
@@ -311,6 +335,8 @@ class SlotEngine:
             last_tok=jnp.full((S,), -1, jnp.int32),
             prev_tok=jnp.full((S,), -1, jnp.int32),
             last_ts=jnp.full((S,), -1, jnp.int32),
+            max_new_row=jnp.full((S,), self.max_new, jnp.int32),
+            no_speech=jnp.zeros((S,), jnp.float32),
         )
 
     def _admit_many(self, slots: Sequence[int], audios: Sequence[np.ndarray]):
@@ -330,32 +356,7 @@ class SlotEngine:
                 self._ADMIT_BUCKETS[0])
             n = min(bucket, remaining)
             ck, cv = self._encode_batch(audios[i : i + n], bucket)
-            if self._state is None:
-                self._init_state(getattr(ck, "data", ck).dtype)
-            if self._cross_pool_k is None:
-                def pool_like(row):
-                    return jax.tree.map(
-                        lambda a: jnp.zeros(
-                            (a.shape[0], self.n_slots + 1) + a.shape[2:],
-                            a.dtype),
-                        row,
-                    )
-
-                self._cross_pool_k = pool_like(ck)
-                self._cross_pool_v = pool_like(cv)
-            cache, first_logits = self._prefill_batch(ck, cv, bucket)
-            # Install the whole bucket in one FIXED-SIZE dispatch (cross
-            # memory is layer-leading (L, B, ...); the KV cache is
-            # batch-leading (B, L, ...) so a slot row is contiguous).
-            # Partially-filled buckets pad their slot vector with the trash
-            # row, so each bucket size is exactly one compiled program.
-            pad = [self.n_slots] * (bucket - n)
-            slot_vec = jnp.asarray(
-                np.array(list(slots[i : i + n]) + pad, np.int32))
-            self._state, self._cross_pool_k, self._cross_pool_v = _refill_many(
-                self._state, self._cross_pool_k, self._cross_pool_v,
-                slot_vec, ck, cv, cache.k, cache.v,
-                first_logits, jnp.int32(self.init_len))
+            self._install_bucket(list(slots[i : i + n]), ck, cv, bucket)
             i += n
             if i < len(slots):
                 # Bound in-flight admissions to ONE bucket: each holds ~2 GB
@@ -363,19 +364,56 @@ class SlotEngine:
                 # queue asynchronously OOMs next to the resident pools.
                 jax.device_get(self._state.n_past[:1])
 
-    def _harvest(self, slot: int, tokens_out, length, sum_logprobs
-                 ) -> DecodingResult:
+    def _install_bucket(self, slot_list, ck, cv, bucket: int,
+                        tokens=None, lengths=None, sot_idx=None,
+                        max_news=None):
+        """Prefill + install one admission bucket in one FIXED-SIZE dispatch
+        (cross memory is layer-leading (L, B, ...); the KV cache is
+        batch-leading (B, L, ...) so a slot row is contiguous).
+        Partially-filled buckets pad their slot vector with the trash row,
+        so each bucket size is exactly one compiled program."""
+        if self._state is None:
+            self._init_state(getattr(ck, "data", ck).dtype)
+        if self._cross_pool_k is None:
+            def pool_like(row):
+                return jax.tree.map(
+                    lambda a: jnp.zeros(
+                        (a.shape[0], self.n_slots + 1) + a.shape[2:],
+                        a.dtype),
+                    row,
+                )
+
+            self._cross_pool_k = pool_like(ck)
+            self._cross_pool_v = pool_like(cv)
+        cache, first_logits, nosp = self._prefill_batch(
+            ck, cv, bucket, tokens, lengths, sot_idx)
+        pad = [self.n_slots] * (bucket - len(slot_list))
+        slot_vec = jnp.asarray(np.array(list(slot_list) + pad, np.int32))
+        init_lens = (lengths if lengths is not None
+                     else jnp.full((bucket,), self.init_len, jnp.int32))
+        if max_news is None:
+            max_news = jnp.full((bucket,), self.max_new, jnp.int32)
+        self._state, self._cross_pool_k, self._cross_pool_v = _refill_many(
+            self._state, self._cross_pool_k, self._cross_pool_v,
+            slot_vec, ck, cv, cache.k, cache.v,
+            first_logits, init_lens, max_news, nosp)
+
+    def _harvest(self, slot: int, tokens_out, length, sum_logprobs,
+                 no_speech=None, strip=True) -> DecodingResult:
         """Build a result from HOST copies of the state arrays — the caller
         pulls them once per scheduler round (per-slot device reads cost a
         full round-trip each on remote chips)."""
         n = int(length[slot])
         seq = [int(t) for t in tokens_out[slot, :n]]
         sum_lp = float(sum_logprobs[slot])
-        text = self.vocab.decode(seq).strip()
+        text = self.vocab.decode(seq)
+        if strip:
+            text = text.strip()
         return DecodingResult(
             tokens=seq, text=text,
             avg_logprob=sum_lp / (len(seq) + 1),
-            no_speech_prob=0.0,  # engine skips the no-speech gate (serving)
+            no_speech_prob=(float(no_speech[slot])
+                            if no_speech is not None else 0.0),
             temperature=0.0,
             compression_ratio=compression_ratio(text),
         )
@@ -432,14 +470,14 @@ class SlotEngine:
                     steps=self.chunk_steps,
                     use_timestamps=not self.options.without_timestamps,
                     max_initial_index=self.max_initial_index,
-                    max_new=self.max_new,
                 )
                 # Small COPIES of the harvest arrays (_decode_chunk donates
                 # the state, so next round's chunk invalidates these buffers
                 # — the snapshot must own fresh ones).
                 new_snap = (list(slot_req), _snapshot(
                     self._state.active, self._state.length,
-                    self._state.sum_logprobs, self._state.tokens_out))
+                    self._state.sum_logprobs, self._state.tokens_out,
+                    self._state.no_speech))
                 self.stats["chunk_s"] += _time.perf_counter() - t0
             else:
                 new_snap = None
@@ -449,14 +487,330 @@ class SlotEngine:
             if snap is not None:
                 req_map, arrs = snap
                 t0 = _time.perf_counter()
-                active, length, sum_lp, toks = jax.device_get(arrs)
+                active, length, sum_lp, toks, nosp = jax.device_get(arrs)
                 self.stats["pull_s"] += _time.perf_counter() - t0
                 for s in range(self.n_slots):
                     if (req_map[s] >= 0 and not active[s]
                             and slot_req[s] == req_map[s]):
                         results[req_map[s]] = self._harvest(
-                            s, toks, length, sum_lp)
+                            s, toks, length, sum_lp, nosp)
                         slot_req[s] = -1
             snap = new_snap
             self.stats["rounds"] += 1
         return results  # type: ignore[return-value]
+
+    # -- long-form streams (whisper_full semantics through the engine) --
+
+    def transcribe_streams(self, audios: Sequence[np.ndarray],
+                           options=None, **kwargs) -> List[dict]:
+        """Continuous-batching LONG-FORM transcription: every stream runs
+        the 30 s sliding-window loop (seek advancement, prompt carry,
+        no-speech gate, temperature-fallback escalation — the reference's
+        scaffolded ``whisper_full`` state, main.rs:29/354-361) while the
+        engine keeps the chip busy across streams: each slot decodes one
+        window; a finished window re-queues the stream's NEXT window, whose
+        encode/prefill batches with other admissions.
+
+        Semantics are shared with the offline pipeline by construction: the
+        greedy t=0 decode is the engine chunk loop (token-identical to the
+        fused device loop — tests/test_engine.py), segment extraction /
+        seek / prompt bookkeeping is pipeline.transcribe.finish_window, the
+        escalation gate is pipeline.transcribe.gate_needs_fallback, and
+        failed windows escalate through decode_full at the remaining ladder
+        temperatures (the lockstep fallback path). Output matches
+        pipeline.transcribe on multi-window audio (test_engine.py).
+
+        Returns one dict per stream: {text, segments, language, duration}.
+        """
+        import dataclasses as _dc
+
+        from ..frontend.mel import mel_window
+        from ..pipeline.transcribe import (
+            TranscribeOptions, finish_window, gate_needs_fallback,
+            _tokenize_prompt)
+
+        topts = options or TranscribeOptions(**kwargs)
+        if options is not None and kwargs:
+            topts = _dc.replace(options, **kwargs)
+        if topts.beam_size or (topts.best_of or 1) != 1:
+            raise ValueError(
+                "SlotEngine streams are greedy-first; beam windows belong to "
+                "the lockstep path (pipeline.transcribe with beam_size)")
+        if topts.word_timestamps:
+            raise NotImplementedError(
+                "word_timestamps through the engine is not implemented; use "
+                "pipeline.transcribe")
+        temps = ([topts.temperature]
+                 if isinstance(topts.temperature, (int, float))
+                 else list(topts.temperature))
+        if temps[0] != 0:
+            raise ValueError("engine streams require a t=0 first ladder rung")
+
+        # The slot pool must fit the longest wrapped prompt; growing it is
+        # only possible before the pool exists.
+        no_prompt = len(self.initial_tokens)
+        p_max = self.cfg.n_text_ctx // 2 + no_prompt + 2
+        w_max = -(-p_max // 32) * 32
+        needed = min(w_max + self.max_new + 8, self.cfg.n_text_ctx)
+        if needed > self.pool_ctx:
+            if self._state is not None:
+                raise RuntimeError(
+                    "engine pool already sized without prompt budget; use a "
+                    "fresh SlotEngine for transcribe_streams")
+            self.pool_ctx = needed
+        # Align the rule masks and timestamp cap with the stream options.
+        self.sup_mask, self.blank_mask = build_masks(
+            self.vocab, suppress_tokens=topts.suppress_tokens)
+        self.max_initial_index = None
+        if not topts.without_timestamps:
+            self.max_initial_index = round(1.0 / 0.02)
+
+        import time as _time
+
+        streams = [self._init_stream(i, a, topts) for i, a in enumerate(audios)]
+        pending = [st for st in streams if not st["done"]]
+        pending.reverse()
+        slot_stream = [None] * self.n_slots
+        # Admission tickets guard the one-round-lag harvest: when a stream's
+        # NEXT window re-enters the same slot, the stale snapshot (taken
+        # before re-admission, still showing the previous window's finished
+        # state) must not be harvested as the new window's result.
+        slot_ticket = [0] * self.n_slots
+        next_ticket = 1
+        self.stats = {"admit_s": 0.0, "chunk_s": 0.0, "pull_s": 0.0,
+                      "fallback_s": 0.0, "rounds": 0, "windows": 0,
+                      "fallbacks": 0}
+        snap = None
+
+        while pending or any(s is not None for s in slot_stream) or snap:
+            join = []
+            for s in range(self.n_slots):
+                if slot_stream[s] is None and pending:
+                    st = pending.pop()
+                    slot_stream[s] = st
+                    slot_ticket[s] = next_ticket
+                    next_ticket += 1
+                    join.append((s, st))
+            if join:
+                t0 = _time.perf_counter()
+                self._admit_stream_windows(join, topts)
+                self.stats["admit_s"] += _time.perf_counter() - t0
+            if any(s is not None for s in slot_stream):
+                t0 = _time.perf_counter()
+                self._state = _decode_chunk(
+                    self.model.params, self._state,
+                    self._cross_pool_k, self._cross_pool_v,
+                    self.sup_mask, self.blank_mask, self.cfg,
+                    steps=self.chunk_steps,
+                    use_timestamps=not topts.without_timestamps,
+                    max_initial_index=self.max_initial_index,
+                )
+                new_snap = (list(slot_stream), list(slot_ticket), _snapshot(
+                    self._state.active, self._state.length,
+                    self._state.sum_logprobs, self._state.tokens_out,
+                    self._state.no_speech))
+                self.stats["chunk_s"] += _time.perf_counter() - t0
+            else:
+                new_snap = None
+            if snap is not None:
+                stream_map, tick_map, arrs = snap
+                t0 = _time.perf_counter()
+                active, length, sum_lp, toks, nosp = jax.device_get(arrs)
+                self.stats["pull_s"] += _time.perf_counter() - t0
+                for s in range(self.n_slots):
+                    st = stream_map[s]
+                    if (st is None or active[s] or slot_stream[s] is not st
+                            or slot_ticket[s] != tick_map[s]):
+                        continue
+                    # The offline path decodes text without the engine's
+                    # strip() (finish_window re-decodes per segment anyway).
+                    result = self._harvest(s, toks, length, sum_lp, nosp,
+                                           strip=False)
+                    self.stats["windows"] += 1
+                    if gate_needs_fallback(result, topts):
+                        t1 = _time.perf_counter()
+                        result = self._fallback_ladder(st, result, topts,
+                                                       temps)
+                        self.stats["fallback_s"] += _time.perf_counter() - t1
+                        self.stats["fallbacks"] += 1
+                    segments, new_seek, new_tokens, reset = finish_window(
+                        self.model, result, st["seek"], st["content_frames"],
+                        self._n_frames, topts, len(st["segments"]),
+                        st["language"], enc=None,
+                    )
+                    st["segments"].extend(segments)
+                    st["all_tokens"].extend(new_tokens)
+                    if reset:
+                        st["prompt_reset_since"] = len(st["all_tokens"])
+                    st["seek"] = new_seek
+                    slot_stream[s] = None
+                    if st["seek"] < st["content_frames"]:
+                        pending.append(st)
+                    else:
+                        st["done"] = True
+            snap = new_snap
+            self.stats["rounds"] += 1
+
+        out = []
+        for st in streams:
+            segs = st["segments"]
+            out.append({
+                "text": "".join(seg.text for seg in segs),
+                "segments": [_dc.asdict(seg) for seg in segs],
+                "language": st["language"],
+                "duration": st["duration"],
+            })
+        return out
+
+    def _init_stream(self, idx: int, audio: np.ndarray, topts) -> dict:
+        """Host+device state for one long-form stream: the full padded mel
+        (device-resident; windows are sliced per admission), the offline
+        loop's content-frame accounting, and the prompt-carry buffers.
+        Audio is padded to 30 s multiples so mel compiles one program per
+        30 s size class; the extra zeros cannot change the global max-8dB
+        clamp (silence never carries the max), so the mel prefix is
+        IDENTICAL to the offline pipeline's."""
+        from ..config import N_SAMPLES_PER_CHUNK
+        from ..decoding.task import detect_language
+        from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
+        from ..pipeline.transcribe import _tokenize_prompt
+
+        audio = np.asarray(audio, np.float32)
+        center = topts.mel_mode == "openai"
+        offline_len = len(audio) + N_SAMPLES_PER_CHUNK
+        padded_len = -(-offline_len // N_SAMPLES_PER_CHUNK) * N_SAMPLES_PER_CHUNK
+        padded = np.zeros(padded_len, np.float32)
+        padded[: len(audio)] = audio
+        mel = log_mel_spectrogram(
+            jnp.asarray(padded), self.model.filters,
+            frame_count(padded_len, center=center),
+            center=center, fold=not center)
+        content_frames = frame_count(offline_len, center=center) - self._n_frames
+
+        language = topts.language
+        if language is None:
+            if not self.cfg.is_multilingual:
+                language = "en"
+            else:
+                win = mel_window(mel, 0, self._n_frames)[None]
+                enc = encode(self.model.params, win, self.cfg,
+                             use_flash=self.use_flash)
+                langs, _ = detect_language(
+                    self.model.params, self.cfg, self.vocab,
+                    enc.cross_k, enc.cross_v)
+                language = langs[0]
+
+        all_tokens: List[int] = []
+        if topts.initial_prompt is not None:
+            all_tokens.extend(_tokenize_prompt(self.vocab, topts.initial_prompt))
+        return {
+            "idx": idx, "mel": mel, "content_frames": content_frames,
+            "language": language, "seek": 0, "all_tokens": all_tokens,
+            "prompt_reset_since": 0, "segments": [],
+            "done": content_frames <= 0,
+            "duration": len(audio) / 16000.0,
+        }
+
+    def _window_options(self, st: dict, topts, temperature: float):
+        """The DecodingOptions the OFFLINE ladder would use for this window
+        at this temperature (transcribe._decode_with_fallback kwargs)."""
+        prompt = (st["all_tokens"][st["prompt_reset_since"]:]
+                  if topts.condition_on_previous_text else [])
+        kwargs = dict(
+            task=topts.task, language=st["language"],
+            temperature=temperature, patience=topts.patience,
+            length_penalty=topts.length_penalty, prompt=prompt or None,
+            without_timestamps=topts.without_timestamps,
+            suppress_tokens=topts.suppress_tokens,
+        )
+        if temperature > 0:
+            kwargs["best_of"] = topts.best_of
+        else:
+            kwargs["beam_size"] = topts.beam_size
+        return DecodingOptions(**kwargs)
+
+    def _admit_stream_windows(self, join, topts) -> None:
+        """Admit (slot, stream) pairs: slice each stream's current window
+        from its resident mel, encode/prefill bucket-batched with per-row
+        wrapped prompts, and install. Per-row sample budgets replicate the
+        offline clamp sample_len <= n_text_ctx - padded_prompt
+        (decoding/task.py:354) so truncation behavior is identical."""
+        from ..frontend.mel import mel_window
+
+        i = 0
+        while i < len(join):
+            remaining = len(join) - i
+            bucket = next(
+                (b for b in reversed(self._ADMIT_BUCKETS) if b >= remaining),
+                self._ADMIT_BUCKETS[0])
+            n = min(bucket, remaining)
+            group = join[i : i + n]
+            wins = [mel_window(st["mel"], st["seek"], self._n_frames)
+                    for _, st in group]
+            wins = jnp.stack(wins)
+            if n < bucket:
+                wins = jnp.concatenate(
+                    [wins, jnp.zeros((bucket - n,) + wins.shape[1:],
+                                     wins.dtype)])
+            ck, cv = self._encode_windows(wins)
+
+            rows, lens, sots, caps = [], [], [], []
+            for _, st in group:
+                task = DecodingTask(
+                    self.cfg, self.vocab, self._window_options(st, topts, 0.0))
+                toks = np.array(task.initial_tokens, np.int32)
+                true_len = len(toks)
+                rows.append(toks)
+                lens.append(true_len)
+                sots.append(task.sot_index)
+                # openai's budget: sample-append-then-break allows
+                # n_text_ctx - true_len + 1 tokens (task.py device clamp).
+                caps.append(max(0, min(task.sample_len, self.max_new,
+                                       self.cfg.n_text_ctx - true_len + 1)))
+            w = -(-max(len(r) for r in rows) // 32) * 32
+            mat = np.zeros((bucket, w), np.int32)
+            for j, r in enumerate(rows):
+                mat[j, : len(r)] = r
+            self._install_bucket(
+                [s for s, _ in group], ck, cv, bucket,
+                tokens=jnp.asarray(mat),
+                lengths=jnp.asarray(np.array(
+                    lens + [1] * (bucket - n), np.int32)),
+                sot_idx=jnp.asarray(np.array(
+                    sots + [0] * (bucket - n), np.int32)),
+                max_news=jnp.asarray(np.array(
+                    caps + [0] * (bucket - n), np.int32)),
+            )
+            i += n
+            if i < len(join):
+                jax.device_get(self._state.n_past[:1])
+
+    def _encode_windows(self, wins: jnp.ndarray):
+        enc = encode(self.model.params, wins, self.cfg,
+                     use_flash=self.use_flash, quantize_kv=self.quantize)
+        return enc.cross_k, enc.cross_v
+
+    def _fallback_ladder(self, st: dict, t0_result: DecodingResult,
+                         topts, temps) -> DecodingResult:
+        """Escalate a gated window through the remaining ladder rungs on
+        the lockstep path (decode_full), exactly as the offline
+        _decode_with_fallback continues after its failed t=0 rung. Rare by
+        construction (gated), so the synchronous window re-encode is off
+        the steady-state path."""
+        from ..frontend.mel import mel_window
+        from ..pipeline.transcribe import gate_needs_fallback
+
+        win = mel_window(st["mel"], st["seek"], self._n_frames)[None]
+        enc = encode(self.model.params, win, self.cfg,
+                     use_flash=self.use_flash)
+        result = t0_result
+        for t in temps[1:]:
+            options = self._window_options(st, topts, t)
+            result = decode_full(
+                self.model.params, self.cfg, self.vocab,
+                enc.cross_k, enc.cross_v, options,
+                use_device_loop=jax.default_backend() == "tpu",
+            )[0]
+            if not gate_needs_fallback(result, topts):
+                break
+        return result

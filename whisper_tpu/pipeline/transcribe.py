@@ -97,25 +97,33 @@ def _decode_with_fallback(
             model.params, model.config, model.vocab, cross_k, cross_v, options,
             use_device_loop=use_device,
         )[0]
-        needs_fallback = False
-        if (
-            opts.compression_ratio_threshold is not None
-            and decode_result.compression_ratio > opts.compression_ratio_threshold
-        ):
-            needs_fallback = True  # too repetitive
-        if (
-            opts.logprob_threshold is not None
-            and decode_result.avg_logprob < opts.logprob_threshold
-        ):
-            needs_fallback = True  # average log probability too low
-        if (
-            opts.no_speech_threshold is not None
-            and decode_result.no_speech_prob > opts.no_speech_threshold
-        ):
-            needs_fallback = False  # silence: don't ladder, caller skips
-        if not needs_fallback:
+        if not gate_needs_fallback(decode_result, opts):
             break
     return decode_result
+
+
+def gate_needs_fallback(result: DecodingResult, opts: TranscribeOptions) -> bool:
+    """The temperature-ladder escalation gate (openai transcribe semantics).
+    Shared by the offline ladder above and the serving engine's long-form
+    path (parallel/engine.py), which escalates failed windows to the next
+    ladder rung after its greedy t=0 pass."""
+    needs_fallback = False
+    if (
+        opts.compression_ratio_threshold is not None
+        and result.compression_ratio > opts.compression_ratio_threshold
+    ):
+        needs_fallback = True  # too repetitive
+    if (
+        opts.logprob_threshold is not None
+        and result.avg_logprob < opts.logprob_threshold
+    ):
+        needs_fallback = True  # average log probability too low
+    if (
+        opts.no_speech_threshold is not None
+        and result.no_speech_prob > opts.no_speech_threshold
+    ):
+        needs_fallback = False  # silence: don't ladder, caller skips
+    return needs_fallback
 
 
 def transcribe(
@@ -233,6 +241,40 @@ def _window_step(
     with model.timers.stage("decode"):
         result = _decode_with_fallback(model, enc.cross_k, enc.cross_v, opts, prompt)
 
+    return finish_window(
+        model, result, seek, content_frames, n_frames_window, opts,
+        segment_id_base, language, enc=enc,
+    )
+
+
+def finish_window(
+    model: WhisperModel,
+    result: DecodingResult,
+    seek: int,
+    content_frames: int,
+    n_frames_window: int,
+    opts: TranscribeOptions,
+    segment_id_base: int,
+    language: Optional[str],
+    enc=None,
+):
+    """Post-decode bookkeeping for ONE window: no-speech skip, segment
+    extraction from timestamp tokens, seek advancement, prompt-reset rule.
+    Split out of ``_window_step`` so the continuous-batching engine's
+    long-form path (parallel/engine.py) consumes the SAME logic on the same
+    DecodingResult — multi-window identity between engine and offline
+    pipeline is by construction, tested in tests/test_engine.py.
+
+    ``enc`` (the window's encoder output) is only needed for
+    opts.word_timestamps.
+
+    Returns (segments, new_seek, new_tokens, reset_prompt).
+    """
+    cfg, vocab = model.config, model.vocab
+    time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+    segment_size = min(n_frames_window, content_frames - seek)
+    segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+
     if opts.no_speech_threshold is not None:
         should_skip = result.no_speech_prob > opts.no_speech_threshold
         if (
@@ -303,7 +345,7 @@ def _window_step(
         log.warning("seek did not advance at frame %d; forcing full-window step", previous_seek)
         seek = previous_seek + segment_size
 
-    if opts.word_timestamps and segments:
+    if opts.word_timestamps and segments and enc is not None:
         from .word_timing import find_word_timestamps
 
         sot_seq = [vocab.token_sot]
