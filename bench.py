@@ -60,6 +60,9 @@ def main() -> int:
         model_name=model_name, batch=batch, seconds=seconds, dtype=dtype,
         kv_dtype=kv_dtype, weight_dtype=weight_dtype,
         beam_size=int(beam) if beam else None,
+        # BENCH_AOT=path: consume a jax.export serving-step artifact (cold
+        # start without tracing); exports one after compile when absent.
+        aot_path=os.environ.get("BENCH_AOT"),
     )
     print(json.dumps(result))
     return 0

@@ -69,3 +69,44 @@ def test_cli_export_roundtrip(tmp_path):
     assert rc == 0 and out.exists() and out.stat().st_size > 0
     fn = aot.load(str(out))
     assert callable(fn)
+
+
+def test_export_serving_step_roundtrip(tmp_path):
+    """The full serving step (mel->encode->decode) exports, reloads, and
+    reproduces the jitted path's tokens exactly — the bench's BENCH_AOT
+    cold-start artifact (utils/benchmark.run_benchmark aot_path)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fixtures import micro_config, random_tensors, synthetic_tokens
+    from whisper_tpu.io.vocab import make_vocab
+    from whisper_tpu.model.params import params_from_ggml
+    from whisper_tpu.utils import aot
+    from whisper_tpu.utils.benchmark import make_serving_step
+
+    class _M:
+        pass
+
+    m = _M()
+    m.config = micro_config(n_vocab=51864)
+    m.params = jax.tree.map(
+        jnp.asarray, params_from_ggml(random_tensors(m.config, seed=7), m.config))
+    m.vocab = make_vocab(m.config.n_vocab, synthetic_tokens(m.config.n_vocab),
+                         m.config.n_vocab)
+    m.filters = jnp.asarray(
+        np.random.default_rng(0).random((m.config.n_mels, 201), np.float32) * 0.02)
+
+    audio = jnp.asarray(
+        np.random.default_rng(1).standard_normal(16000 * 30).astype(np.float32) * 0.1)
+    step = make_serving_step(m, batch=2, decode_tokens=8, kv_dtype="bfloat16",
+                             use_flash=False)
+    ref_toks, ref_len = jax.jit(step)(m.params, audio)
+
+    path = tmp_path / "step.bin"
+    data = aot.export_serving_step(m, batch=2, decode_tokens=8,
+                                   kv_dtype="bfloat16", use_flash=False)
+    path.write_bytes(data)
+    loaded = aot.load(str(path))
+    got_toks, got_len = loaded(m.params, audio)
+    np.testing.assert_array_equal(np.asarray(got_toks), np.asarray(ref_toks))
+    np.testing.assert_array_equal(np.asarray(got_len), np.asarray(ref_len))

@@ -289,10 +289,24 @@ def cmd_export(args) -> int:
 
     model = load_model(args.model, dtype=jnp.bfloat16
                        if args.dtype == "bfloat16" else jnp.float32)
-    data = aot.export_decode_segment(
-        model.params, model.config, model.vocab,
-        batch=args.batch, sample_len=args.sample_len, prefill=args.prefill,
-    )
+    if args.full_step:
+        # full serving step (mel -> encoder -> fused decode) — the same
+        # program the bench runs; consumed via BENCH_AOT / run_benchmark
+        if args.quantize:
+            import jax
+
+            from .model.quant import quantize_decoder_weights
+
+            model.params = jax.jit(quantize_decoder_weights)(model.params)
+        data = aot.export_serving_step(
+            model, batch=args.batch, decode_tokens=args.sample_len,
+            kv_dtype="int8" if args.quantize else "bfloat16",
+            use_flash=args.flash)
+    else:
+        data = aot.export_decode_segment(
+            model.params, model.config, model.vocab,
+            batch=args.batch, sample_len=args.sample_len, prefill=args.prefill,
+        )
     with open(args.out, "wb") as f:
         f.write(data)
     print(f"wrote {args.out}: {len(data) / 1e6:.1f} MB "
@@ -362,6 +376,13 @@ def main(argv=None) -> int:
     p.add_argument("--sample-len", type=int, default=64)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--full-step", action="store_true",
+                   help="export the full serving step (mel+encode+decode) "
+                        "instead of the decode loop alone")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 serving mode for --full-step")
+    p.add_argument("--flash", action="store_true",
+                   help="flash-attention encoder for --full-step (TPU)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="throughput benchmark")

@@ -84,3 +84,21 @@ def export_decode_segment(params, cfg, vocab, batch: int, sample_len: int,
         decode_segment_device, cfg=cfg, sample_len=sample_len, **decode_kwargs)
     return export_fn(
         fn, params, tokens, prefill, 0, cache, cross, cross, sup, blank)
+
+
+def export_serving_step(model, batch: int, decode_tokens: int,
+                        kv_dtype: str = "int8", use_flash: bool = False,
+                        beam_size=None) -> bytes:
+    """Serialize the FULL serving step (mel -> encoder -> fused decode) for
+    one shape — exactly the program the throughput bench runs
+    (utils/benchmark.make_serving_step), so the shipped artifact is the
+    benched artifact. Params/audio are abstract arguments."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .benchmark import make_serving_step
+
+    step = make_serving_step(model, batch, decode_tokens, kv_dtype,
+                             use_flash, beam_size)
+    audio = jnp.zeros((16000 * 30,), jnp.float32)
+    return export_fn(step, model.params, audio)

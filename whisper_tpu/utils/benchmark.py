@@ -97,6 +97,81 @@ def run_engine_benchmark(
     }
 
 
+def make_serving_step(model, batch: int, decode_tokens: int,
+                      kv_dtype: str, use_flash: bool,
+                      beam_size: Optional[int] = None):
+    """Build the full serving step ``step(params, audio) -> (tokens,
+    lengths)``: mel -> encoder -> fused on-device decode loop, all static
+    shapes. Shared by the throughput bench and the AOT export path
+    (utils/aot.export_serving_step) so the shippable artifact is exactly
+    the benched program. Params are ARGUMENTS (not closure captures): the
+    remote-compile service rejects multi-GB baked constants, and jax.export
+    needs them abstract."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decoding.device_loop import build_masks, decode_segment_device
+    from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
+    from ..model.decoder import init_cache
+    from ..model.encoder import encode
+
+    cfg = model.config
+    vocab = model.vocab
+    n_frames = 2 * cfg.n_audio_ctx
+    n_samples = 16000 * 30
+    sup_mask, blank_mask = build_masks(vocab)
+    filters = model.filters
+    init = [vocab.token_sot]
+    if cfg.is_multilingual:
+        init += [vocab.language_token("en"), vocab.token_transcribe]
+    init_tokens = jnp.asarray(
+        np.tile(np.array(init, np.int32), (batch, 1)))
+    seg_ctx = len(init) + decode_tokens + 8
+
+    def step(params, audio):
+        mel = log_mel_spectrogram(audio, filters, frame_count(n_samples))
+        win = mel_window(mel, 0, n_frames)
+        mel_b = jnp.broadcast_to(win[None], (batch, cfg.n_mels, n_frames))
+        enc = encode(params, mel_b, cfg, use_flash=use_flash,
+                     quantize_kv=(kv_dtype == "int8"))
+        cross_k, cross_v = enc.cross_k, enc.cross_v
+        if beam_size:
+            from ..decoding.device_beam import beam_decode_device
+
+            k = beam_size
+            pad = jax.default_backend() == "tpu"  # COW kernel: aligned rows
+            if kv_dtype == "int8":
+                from ..model.decoder import KVCache
+                from ..model.quant import init_quant_cache
+
+                cache = KVCache(*init_quant_cache(cfg, batch * k, ctx=seg_ctx,
+                                                  pad_ctx=pad))
+            else:
+                cache = init_cache(cfg, batch * k, dtype=jnp.bfloat16,
+                                   ctx=seg_ctx, pad_ctx=pad)
+            out = beam_decode_device(
+                params, jnp.repeat(init_tokens, k, axis=0), len(init), 0,
+                cache, cross_k, cross_v, sup_mask, blank_mask, cfg,
+                beam_size=k, sample_len=decode_tokens,
+            )
+            return out[2], out[5]
+        if kv_dtype == "int8":
+            from ..model.decoder import KVCache
+            from ..model.quant import init_quant_cache
+
+            cache = KVCache(*init_quant_cache(cfg, batch, ctx=seg_ctx))
+        else:
+            cache = init_cache(cfg, batch, dtype=jnp.bfloat16, ctx=seg_ctx)
+        toks, lengths, sum_lp, nosp = decode_segment_device(
+            params, init_tokens, len(init), 0, cache,
+            cross_k, cross_v, sup_mask, blank_mask, cfg,
+            sample_len=decode_tokens, use_timestamps=True,
+        )
+        return toks, lengths
+
+    return step
+
+
 def run_benchmark(
     model_path: Optional[str] = None,
     model_name: str = "large-v3",
@@ -108,15 +183,14 @@ def run_benchmark(
     kv_dtype: str = "bfloat16",  # "int8": quantized cross memory (serving mode)
     weight_dtype: str = "bfloat16",  # "int8": quantized decoder weights
     beam_size: Optional[int] = None,  # on-device beam search instead of greedy
+    aot_path: Optional[str] = None,  # consume/produce a jax.export artifact
 ) -> dict:
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from ..config import PRESETS
-    from ..decoding.device_loop import build_masks, decode_segment_device
-    from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
-    from ..model.decoder import init_cache
-    from ..model.encoder import encode
     from ..model.load import load_model, random_model
 
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
@@ -136,67 +210,38 @@ def run_benchmark(
 
     rng = np.random.default_rng(0)
     window_sec = 30.0
-    n_frames = 2 * cfg.n_audio_ctx
-    audio = rng.standard_normal(16000 * 30).astype(np.float32) * 0.1
+    audio = jnp.asarray(
+        rng.standard_normal(16000 * 30).astype(np.float32) * 0.1)
 
-    vocab = model.vocab
-    sup_mask, blank_mask = build_masks(vocab)
-    init = [vocab.token_sot]
-    if cfg.is_multilingual:
-        init += [vocab.language_token("en"), vocab.token_transcribe]
-    init_tokens = jnp.asarray(np.tile(np.array(init, np.int32), (batch, 1)))
+    aot_mode = None
+    if aot_path and os.path.exists(aot_path):
+        # Shippable cold-start artifact (utils/aot.py): the pre-lowered
+        # StableHLO of this exact step — skips tracing + XLA optimization of
+        # the traced program; only StableHLO->executable compilation remains.
+        from . import aot
+
+        step = aot.load(aot_path)
+        aot_mode = "loaded"
+    else:
+        step = jax.jit(make_serving_step(
+            model, batch, decode_tokens, kv_dtype, use_flash, beam_size))
 
     def one_batch():
-        # Full serving path, all on device: mel -> encoder -> fused decode loop.
-        mel = log_mel_spectrogram(
-            jnp.asarray(audio), model.filters, frame_count(len(audio))
-        )
-        win = mel_window(mel, 0, n_frames)
-        mel_b = jnp.broadcast_to(win[None], (batch, cfg.n_mels, n_frames))
-        enc = encode(model.params, mel_b, cfg, use_flash=use_flash,
-                     quantize_kv=(kv_dtype == "int8"))
-        cross_k, cross_v = enc.cross_k, enc.cross_v
-        del enc
-        # Right-size the cache: segment length is statically prefill+budget.
-        seg_ctx = len(init) + decode_tokens + 8
-        if beam_size:
-            from ..decoding.device_beam import beam_decode_device
-
-            k = beam_size
-            pad = jax.default_backend() == "tpu"  # COW kernel needs 128-aligned rows
-            if kv_dtype == "int8":
-                from ..model.decoder import KVCache
-                from ..model.quant import init_quant_cache
-
-                cache = KVCache(*init_quant_cache(cfg, batch * k, ctx=seg_ctx,
-                                                  pad_ctx=pad))
-            else:
-                cache = init_cache(cfg, batch * k, dtype=jnp.bfloat16,
-                                   ctx=seg_ctx, pad_ctx=pad)
-            out = beam_decode_device(
-                model.params, jnp.repeat(init_tokens, k, axis=0), len(init), 0,
-                cache, cross_k, cross_v, sup_mask, blank_mask, cfg,
-                beam_size=k, sample_len=decode_tokens,
-            )
-            return np.asarray(out[2]), np.asarray(out[5])
-        if kv_dtype == "int8":
-            from ..model.decoder import KVCache
-            from ..model.quant import init_quant_cache
-
-            cache = KVCache(*init_quant_cache(cfg, batch, ctx=seg_ctx))
-        else:
-            cache = init_cache(cfg, batch, dtype=jnp.bfloat16, ctx=seg_ctx)
-        toks, lengths, sum_lp, nosp = decode_segment_device(
-            model.params, init_tokens, len(init), 0, cache,
-            cross_k, cross_v, sup_mask, blank_mask, cfg,
-            sample_len=decode_tokens, use_timestamps=True,
-        )
+        toks, lengths = step(model.params, audio)
         return np.asarray(toks), np.asarray(lengths)
 
     # Warmup (compile).
     t0 = time.perf_counter()
     one_batch()
     compile_time = time.perf_counter() - t0
+
+    if aot_path and aot_mode is None:
+        from . import aot
+
+        aot.save(aot_path, make_serving_step(
+            model, batch, decode_tokens, kv_dtype, use_flash, beam_size),
+            model.params, audio)
+        aot_mode = "exported"
 
     # Timed runs until the budget is spent.
     iters = 0
@@ -230,6 +275,7 @@ def run_benchmark(
             "iters": iters,
             "wall_s": round(wall, 2),
             "compile_s": round(compile_time, 1),
+            "aot": aot_mode,
             "use_flash": bool(use_flash),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
