@@ -63,6 +63,9 @@ def main() -> int:
         # BENCH_AOT=path: consume a jax.export serving-step artifact (cold
         # start without tracing); exports one after compile when absent.
         aot_path=os.environ.get("BENCH_AOT"),
+        # BENCH_ENC=int8: W8A8 encoder matmuls (dynamic per-token activation
+        # quant; tests/test_quant.py gates token agreement).
+        enc_dtype=os.environ.get("BENCH_ENC", "bfloat16"),
     )
     print(json.dumps(result))
     return 0

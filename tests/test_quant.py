@@ -205,3 +205,69 @@ def test_engine_int8_agreement():
         n = max(min(len(r), len(g)), 1)
         agree = sum(a == b for a, b in zip(r, g)) / n
         assert agree > 0.6, (r, g)
+
+
+def test_encode_applies_decoder_weight_scales():
+    """Serving flow quantizes decoder weights BEFORE encoding; the cross
+    K/V projections must apply the per-channel scales (regression: plain
+    linear() on int8 weights silently dropped them -> garbage memory)."""
+    from whisper_tpu.model.quant import quantize_decoder_weights
+
+    cfg = micro_config(n_vocab=51864)
+    params = jax.tree.map(jnp.asarray,
+                          params_from_ggml(random_tensors(cfg, seed=37), cfg))
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    ref = encode(params, jnp.asarray(mel), cfg)
+    qparams = quantize_decoder_weights(params)
+    got = encode(qparams, jnp.asarray(mel), cfg)
+    for r, g in ((ref.cross_k, got.cross_k), (ref.cross_v, got.cross_v)):
+        r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
+        denom = np.abs(r).max()
+        assert np.abs(r - g).max() < 0.02 * denom, np.abs(r - g).max() / denom
+
+
+def test_w8a8_encoder_parity_and_end_to_end():
+    """W8A8 encoder (int8 weights + dynamic per-token int8 activations):
+    hidden states stay close to bf16, and the FULL serving quant stack
+    (W8A8 encoder + int8 decoder weights + int8 cross/KV) keeps greedy
+    token agreement on worst-case random weights."""
+    from whisper_tpu.decoding.device_loop import build_masks, decode_segment_device
+    from whisper_tpu.model.decoder import KVCache
+    from whisper_tpu.model.quant import (
+        init_quant_cache, quantize_decoder_weights, quantize_encoder_weights)
+
+    cfg = micro_config(n_vocab=51864)
+    params = jax.tree.map(jnp.asarray,
+                          params_from_ggml(random_tensors(cfg, seed=41), cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(
+        rng.standard_normal((1, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32))
+
+    ref_enc = encode(params, mel, cfg)
+    qe = quantize_encoder_weights(params)
+    got_enc = encode(qe, mel, cfg)
+    r = np.asarray(ref_enc.hidden, np.float32)
+    g = np.asarray(got_enc.hidden, np.float32)
+    rel = np.abs(r - g).max() / max(np.abs(r).max(), 1e-6)
+    assert rel < 0.1, rel  # quantization noise, not wreckage
+
+    # end-to-end: full serving quant stack vs full-precision
+    sup, blank = build_masks(vocab)
+    init = jnp.asarray([[vocab.token_sot]], jnp.int32)
+
+    def run(params_, enc, cache):
+        toks, lengths, _, _ = decode_segment_device(
+            params_, init, 1, 0, cache, enc.cross_k, enc.cross_v, sup, blank,
+            cfg, sample_len=16, use_timestamps=True)
+        return np.asarray(toks)[0, : int(np.asarray(lengths)[0])].tolist()
+
+    from whisper_tpu.model.decoder import init_cache
+    ref_toks = run(params, ref_enc, init_cache(cfg, 1, ctx=25))
+    qfull = quantize_decoder_weights(quantize_encoder_weights(params))
+    q_enc = encode(qfull, mel, cfg, quantize_kv=True)
+    got_toks = run(qfull, q_enc, KVCache(*init_quant_cache(cfg, 1, ctx=25)))
+    n = max(min(len(ref_toks), len(got_toks)), 1)
+    agree = sum(a == b for a, b in zip(ref_toks, got_toks)) / n
+    assert agree > 0.6, (ref_toks, got_toks)

@@ -69,21 +69,36 @@ def _conv_stem(x: jnp.ndarray, p: dict, cfg: WhisperConfig) -> jnp.ndarray:
     return jnp.swapaxes(x, 1, 2)  # (B, T/2, n_state)
 
 
+def _elinear(y, blk: dict, name: str, bias_name: str | None = None):
+    """linear() that transparently consumes W8A8-quantized encoder weights
+    (int8 + ``<name>_scale``, model.quant.quantize_encoder_weights):
+    activations are dynamically quantized per token so BOTH MXU operands are
+    int8 — the serving-mode encoder path (~1.6x the bf16 matmul rate)."""
+    w = blk[name]
+    s = blk.get(name + "_scale")
+    b = blk[bias_name] if bias_name else None
+    if s is None:
+        return linear(y, w, b)
+    from .quant import dyn_qlinear
+
+    return dyn_qlinear(y, w, s, b)
+
+
 def _encoder_block(x: jnp.ndarray, blk: dict, cfg: WhisperConfig,
                    use_flash: bool) -> jnp.ndarray:
     h = cfg.n_audio_head
     # Self-attention with pre-LN (main.rs:1880-1942).
     y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
-    q = linear(y, blk["q_w"], blk["q_b"])
-    k = linear(y, blk["k_w"])  # K has no bias (main.rs:1894)
-    v = linear(y, blk["v_w"], blk["v_b"])
+    q = _elinear(y, blk, "q_w", "q_b")
+    k = _elinear(y, blk, "k_w")  # K has no bias (main.rs:1894)
+    v = _elinear(y, blk, "v_w", "v_b")
     o = sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h),
              use_flash=use_flash)
-    x = x + linear(merge_heads(o), blk["out_w"], blk["out_b"])
+    x = x + _elinear(merge_heads(o), blk, "out_w", "out_b")
     # MLP with pre-LN (main.rs:1944-1968).
     y = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
-    y = gelu(linear(y, blk["mlp0_w"], blk["mlp0_b"]), cfg.gelu_impl)
-    x = x + linear(y, blk["mlp1_w"], blk["mlp1_b"])
+    y = gelu(_elinear(y, blk, "mlp0_w", "mlp0_b"), cfg.gelu_impl)
+    x = x + _elinear(y, blk, "mlp1_w", "mlp1_b")
     return x
 
 
@@ -114,9 +129,21 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
 
     h = cfg.n_text_head
 
-    def cross_kv(blk_ck_w, blk_cv_w, blk_cv_b):
-        k = linear(x, blk_ck_w) * kscale  # no bias; ^-0.25 scale (main.rs:1992-1996)
-        v = linear(x, blk_cv_w, blk_cv_b)
+    def _lin(w, scale, b=None):
+        # int8-quantized decoder weights (model.quant.quantize_decoder_weights)
+        # carry per-out-channel scales that MUST be applied here too — the
+        # serving bench quantizes params before encoding, and dropping the
+        # scale would write garbage cross memory.
+        y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        if scale is not None:
+            y = y * scale
+        y = y.astype(x.dtype)
+        return y + b if b is not None else y
+
+    def cross_kv(blk_ck_w, ck_s, blk_cv_w, cv_s, blk_cv_b):
+        k = _lin(blk_ck_w, ck_s) * kscale  # no bias; ^-0.25 scale (main.rs:1992-1996)
+        v = _lin(blk_cv_w, cv_s, blk_cv_b)
         k, v = to_kv_major(k, h), to_kv_major(v, h)  # (B, H, D, Ta)
         if quantize_kv:
             from .quant import _quantize_one
@@ -124,17 +151,25 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
             return _quantize_one(k), _quantize_one(v)
         return k, v
 
+    ws = (dec_blocks["cross_k_w"], dec_blocks.get("cross_k_w_scale"),
+          dec_blocks["cross_v_w"], dec_blocks.get("cross_v_w_scale"),
+          dec_blocks["cross_v_b"])
+    if ws[1] is None:
+        ws = (ws[0], None, ws[2], None, ws[4])
+        vmap_axes = (0, None, 0, None, 0)
+    else:
+        vmap_axes = (0, 0, 0, 0, 0)
     if quantize_kv:
         # int8 serving mode: layers must be SEQUENTIAL (lax.map) so the bf16
         # K/V temporaries stay at one layer's size — a vmap here batches all
         # layers and materializes the full bf16 cross memory (5.9 GB at b24,
         # 7.9 GB at b32) before quantizing, exhausting HBM at serving batch.
-        cross_k, cross_v = jax.lax.map(
-            lambda ws: cross_kv(*ws),
-            (dec_blocks["cross_k_w"], dec_blocks["cross_v_w"], dec_blocks["cross_v_b"]),
-        )
+        if ws[1] is None:
+            cross_k, cross_v = jax.lax.map(
+                lambda t: cross_kv(t[0], None, t[1], None, t[2]),
+                (ws[0], ws[2], ws[4]))
+        else:
+            cross_k, cross_v = jax.lax.map(lambda t: cross_kv(*t), ws)
     else:
-        cross_k, cross_v = jax.vmap(cross_kv)(
-            dec_blocks["cross_k_w"], dec_blocks["cross_v_w"], dec_blocks["cross_v_b"]
-        )
+        cross_k, cross_v = jax.vmap(cross_kv, in_axes=vmap_axes)(*ws)
     return EncoderOutput(hidden=x, cross_k=cross_k, cross_v=cross_v)

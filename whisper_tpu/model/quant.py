@@ -151,3 +151,49 @@ def quantize_decoder_weights(params: dict) -> dict:
     dec["te_scale"] = te_s
     out["decoder"] = dec
     return out
+
+
+# ---------------------------------------------------------------------------
+# W8A8 encoder (serving mode): int8 weights x int8 dynamically-quantized
+# activations on the MXU's int8 path (~212 TOPs measured vs 131.9 bf16
+# TFLOPs on v5e). Per-token activation scales + per-channel weight scales.
+# ---------------------------------------------------------------------------
+
+_ENC_WEIGHT_KEYS = ("q_w", "k_w", "v_w", "out_w", "mlp0_w", "mlp1_w")
+
+
+def quantize_encoder_weights(params: dict) -> dict:
+    """Return params with the encoder blocks' matmul weights in int8
+    (+ per-out-channel scales). The conv stem, positional embedding, and
+    layer norms stay bf16 (negligible FLOPs); attention QK/PV stay bf16 in
+    the flash kernel (~16% of encoder FLOPs). Consumers
+    (model.encoder._elinear) pick up the ``*_scale`` entries and switch to
+    dynamic per-token activation quantization (W8A8)."""
+    out = dict(params)
+    enc = dict(params["encoder"])
+    blocks = dict(enc["blocks"])
+    for key in _ENC_WEIGHT_KEYS:
+        q, s = quantize_weight(blocks[key])
+        blocks[key] = q
+        blocks[key + "_scale"] = s
+    enc["blocks"] = blocks
+    out["encoder"] = enc
+    return out
+
+
+def dyn_qlinear(y: jnp.ndarray, w8: jnp.ndarray, w_scale: jnp.ndarray,
+                b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """x(..., I) @ w8(O, I)^T with dynamic per-token activation int8
+    quantization: both MXU operands are int8 (the v5e int8 path is ~1.6x
+    the bf16 rate), accumulation int32, dequant by a_scale[t] * w_scale[o].
+    """
+    amax = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(amax, 1e-8) / 127.0
+    y8 = jnp.clip(jnp.round(y.astype(jnp.float32) / a_scale),
+                  -127, 127).astype(jnp.int8)
+    acc = jnp.einsum("...i,oi->...o", y8, w8,
+                     preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * a_scale * w_scale).astype(y.dtype)
+    if b is not None:
+        out = out + b
+    return out

@@ -184,6 +184,7 @@ def run_benchmark(
     weight_dtype: str = "bfloat16",  # "int8": quantized decoder weights
     beam_size: Optional[int] = None,  # on-device beam search instead of greedy
     aot_path: Optional[str] = None,  # consume/produce a jax.export artifact
+    enc_dtype: str = "bfloat16",  # "int8": W8A8 encoder matmuls (serving)
 ) -> dict:
     import os
 
@@ -207,6 +208,10 @@ def run_benchmark(
         from ..model.quant import quantize_decoder_weights
 
         model.params = jax.jit(quantize_decoder_weights)(model.params)
+    if enc_dtype == "int8":
+        from ..model.quant import quantize_encoder_weights
+
+        model.params = jax.jit(quantize_encoder_weights)(model.params)
 
     rng = np.random.default_rng(0)
     window_sec = 30.0
@@ -261,7 +266,8 @@ def run_benchmark(
         + (f"beam{beam_size}x" if beam_size else "greedy")
         + f"{decode_tokens}"
         + ("_kvint8" if kv_dtype == "int8" else "")
-        + ("_wint8" if weight_dtype == "int8" else ""),
+        + ("_wint8" if weight_dtype == "int8" else "")
+        + ("_eint8" if enc_dtype == "int8" else ""),
         "value": round(rtf, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
@@ -271,6 +277,7 @@ def run_benchmark(
             "dtype": dtype,
             "kv_dtype": kv_dtype,
             "weight_dtype": weight_dtype,
+            "enc_dtype": enc_dtype,
             "decode_tokens": decode_tokens,
             "iters": iters,
             "wall_s": round(wall, 2),
