@@ -34,7 +34,7 @@ def main() -> int:
             model_name=os.environ.get("BENCH_MODEL", "large-v3"),
             n_slots=int(os.environ.get("BENCH_BATCH", "48")),
             n_streams=int(os.environ["BENCH_STREAMS"]) if os.environ.get("BENCH_STREAMS") else None,
-            chunk_steps=int(os.environ.get("BENCH_CHUNK", "8")),
+            chunk_steps=int(os.environ.get("BENCH_CHUNK", "16")),
             quantize=os.environ.get("BENCH_KV", "int8") == "int8",
             seconds=int(os.environ.get("BENCH_SECONDS", "120")),
         )

@@ -1,0 +1,93 @@
+"""Beam search under continuous batching (parallel/beam_engine.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fixtures import micro_config, random_tensors, synthetic_tokens
+from whisper_tpu.decoding.task import DecodingOptions, decode_full
+from whisper_tpu.io.vocab import make_vocab
+from whisper_tpu.model.encoder import encode
+from whisper_tpu.model.params import params_from_ggml
+from whisper_tpu.parallel.beam_engine import BeamSlotEngine
+
+
+class _Model:
+    def __init__(self, cfg, params, vocab, filters):
+        self.config = cfg
+        self.params = params
+        self.vocab = vocab
+        self.filters = filters
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = micro_config(n_vocab=51864)
+    tensors = random_tensors(cfg, seed=13)
+    params = jax.tree.map(jnp.asarray, params_from_ggml(tensors, cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    filters = jnp.asarray(
+        np.random.default_rng(0).random((cfg.n_mels, 201), np.float32) * 0.02)
+    return _Model(cfg, params, vocab, filters)
+
+
+def _audios(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal(16000 + 4000 * i).astype(np.float32) * 0.3
+            for i in range(n)]
+
+
+def test_beam_engine_matches_device_beam_with_slot_reuse(model):
+    """3x n_slots streams through the beam engine: results token-identical
+    to the fused single-segment device beam per stream, with group slots
+    reused mid-run (continuous batching of beam groups)."""
+    from whisper_tpu.frontend.mel import frame_count, log_mel_spectrogram, mel_window
+
+    cfg, vocab = model.config, model.vocab
+    k, n_slots = 3, 2
+    audios = _audios(3 * n_slots, seed=7)
+    opts = DecodingOptions(beam_size=k, sample_len=14)
+
+    engine = BeamSlotEngine(model, n_slots=n_slots, options=opts,
+                            chunk_steps=4)
+    results = engine.transcribe_many(audios)
+    assert len(results) == len(audios)
+
+    for audio, got in zip(audios, results):
+        mel = log_mel_spectrogram(jnp.asarray(audio), model.filters,
+                                  frame_count(len(audio)))
+        win = mel_window(mel, 0, 2 * cfg.n_audio_ctx)[None]
+        enc = encode(model.params, win, cfg, use_flash=False)
+        ref = decode_full(model.params, cfg, vocab, enc.cross_k, enc.cross_v,
+                          opts, use_device_loop=True)[0]
+        assert got.tokens == ref.tokens, (got.tokens, ref.tokens)
+        assert got.avg_logprob == pytest.approx(ref.avg_logprob, rel=1e-3,
+                                                abs=1e-4)
+        assert got.no_speech_prob == pytest.approx(ref.no_speech_prob,
+                                                   abs=1e-5)
+
+
+def test_beam_engine_int8_serving_mode(model):
+    """quantize=True beam engine (int8 pools + padded-ctx COW rows): runs,
+    and agrees with the bf16 beam engine on worst-case random weights."""
+    opts = DecodingOptions(beam_size=3, sample_len=10,
+                           without_timestamps=True)
+    audios = _audios(3, seed=5)
+    got = BeamSlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+                         quantize=True).transcribe_many(audios)
+    ref = BeamSlotEngine(model, n_slots=2, options=opts,
+                         chunk_steps=4).transcribe_many(audios)
+    for g, r in zip(got, ref):
+        n = max(min(len(g.tokens), len(r.tokens)), 1)
+        agree = sum(a == b for a, b in zip(g.tokens, r.tokens)) / n
+        assert agree > 0.5, (g.tokens, r.tokens)
+
+
+def test_beam_engine_rejects_invalid_options(model):
+    with pytest.raises(ValueError):
+        BeamSlotEngine(model, options=DecodingOptions(beam_size=None))
+    with pytest.raises(ValueError):
+        BeamSlotEngine(model, options=DecodingOptions(beam_size=3,
+                                                      patience=2.0))

@@ -1,0 +1,463 @@
+"""Beam search under continuous batching: a slot pool of beam GROUPS.
+
+The greedy ``SlotEngine`` (engine.py) admits one stream per slot row; here a
+slot is a GROUP of ``beam_size`` physical rows sharing one stream's encoder
+memory (group-shared cross attention — the decoder folds the beam axis into
+the query time axis, model/decoder.py). Groups decode in compiled chunks with
+per-group positions (ragged ``n_past``), each chunk step running the exact
+on-device beam semantics of decoding/device_beam.py: rules + top-(k+1) in
+PHYSICAL row order, openai's stable-sort bookkeeping per group
+(``beam_update``), copy-on-write row reassignment (``cow_assign`` +
+kernels/beam_gather.cow_copy_rows), and EOT routing into per-group finished
+sets. A finished group's slot is refilled between chunks without touching its
+neighbors — the continuous-batching lineage of the reference's KV arena
+(main.rs:1336-1354), now with beams.
+
+Token-identical to the fused single-segment beam loop per stream
+(tests/test_beam_engine.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperConfig
+from ..decoding.device_beam import beam_update, cow_assign
+from ..decoding.device_loop import LoopState, _apply_rules_device
+from ..decoding.result import DecodingResult, compression_ratio
+from ..decoding.task import DecodingOptions, DecodingTask
+from ..model.decoder import KVCache, decode_step, init_cache
+from .engine import SlotEngine, _encode_prefill
+
+NEG = jnp.float32(-1e30)
+
+
+from typing import NamedTuple
+
+
+class BeamEngineState(NamedTuple):
+    cache_k: jnp.ndarray      # ((S)*k, L, H, D, C) physical rows, pytree ok
+    cache_v: jnp.ndarray
+    logits: jnp.ndarray       # ((S)*k, V) f32, PHYSICAL row order
+    phys: jnp.ndarray         # (S*k,) int32 — physical row per (group, beam)
+    last_tok: jnp.ndarray     # (S*k,) rule state, PHYSICAL order
+    prev_tok: jnp.ndarray
+    last_ts: jnp.ndarray
+    tokens: jnp.ndarray       # (S, k, GMAX) active-beam histories (beam order)
+    sum_lp: jnp.ndarray       # (S, k)
+    fin_tokens: jnp.ndarray   # (S, k, GMAX)
+    fin_scores: jnp.ndarray   # (S, k)
+    fin_len: jnp.ndarray      # (S, k)
+    fin_count: jnp.ndarray    # (S,)
+    n_past: jnp.ndarray       # (S,) per-GROUP position
+    step: jnp.ndarray         # (S,) sampled positions per group
+    active: jnp.ndarray       # (S,) bool
+    no_speech: jnp.ndarray    # (S,) f32
+
+
+def _bu_group(top_lp, top_ids, sum_lp, tokens, fin_t, fin_s, fin_l, fin_c,
+              step, k: int, eot: int):
+    """beam_update for ONE group (vmapped over slots — each group carries
+    its own ``step``, which the batched beam_update takes as a scalar)."""
+    out = beam_update(
+        top_lp, top_ids, sum_lp[None], tokens[None], fin_t[None], fin_s[None],
+        fin_l[None], fin_c[None], step, k, eot)
+    return tuple(o[0] for o in out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "steps", "k", "use_timestamps",
+                     "max_initial_index"),
+    donate_argnames=("state",),
+)
+def _decode_chunk_beam(
+    params, state: BeamEngineState, cross_k, cross_v, sup_mask, blank_mask,
+    cfg: WhisperConfig, steps: int, k: int, use_timestamps: bool,
+    max_initial_index: Optional[int], max_new: int,
+):
+    v = cfg.n_vocab
+    eot = 50256 if v == 51864 else 50257
+    beg = eot + 107 if v != 51866 else eot + 108
+    not_ = beg - 1
+    S = state.active.shape[0]
+    Sk = S * k
+    base = (jnp.arange(S, dtype=jnp.int32) * k)[:, None]
+
+    def body(st: BeamEngineState, _):
+        rule_state = LoopState(
+            cache_k=None, cache_v=None, tokens_out=None,
+            last_tok=st.last_tok, prev_tok=st.prev_tok, last_ts=st.last_ts,
+            finished=None, length=None, sum_logprobs=None, key=None,
+        )
+        # step is per group; rules take a per-row step vector.
+        step_rows = jnp.repeat(st.step, k)
+        filt = _apply_rules_device(
+            st.logits, step_rows, rule_state, sup_mask, blank_mask,
+            (eot, beg, not_, v), use_timestamps, max_initial_index,
+        )
+        logprobs = jax.nn.log_softmax(filt, axis=-1)
+        top_lp_p, top_ids_p = jax.lax.top_k(logprobs, k + 1)
+        top_lp = top_lp_p[st.phys].reshape(S, k, k + 1)
+        top_ids = top_ids_p[st.phys].reshape(S, k, k + 1)
+
+        (new_sum_lp, new_tok, new_src, tokens_new,
+         fin_t, fin_s, fin_l, fin_c) = jax.vmap(
+            _bu_group, in_axes=(0,) * 9 + (None, None))(
+            top_lp, top_ids, st.sum_lp, st.tokens,
+            st.fin_tokens, st.fin_scores, st.fin_len, st.fin_count,
+            st.step, k, eot)
+
+        # Freeze finished/empty groups: keep their bookkeeping as-is and
+        # make their row updates identity.
+        act = st.active
+        actk = jnp.repeat(act, k)
+        new_sum_lp = jnp.where(act[:, None], new_sum_lp, st.sum_lp)
+        tokens_new = jnp.where(act[:, None, None], tokens_new, st.tokens)
+        fin_t = jnp.where(act[:, None, None], fin_t, st.fin_tokens)
+        fin_s = jnp.where(act[:, None], fin_s, st.fin_scores)
+        fin_l = jnp.where(act[:, None], fin_l, st.fin_len)
+        fin_c = jnp.where(act, fin_c, st.fin_count)
+        ident_src = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None], (S, k))
+        new_src = jnp.where(act[:, None], new_src, ident_src)
+
+        phys_l = st.phys.reshape(S, k) - base
+        new_phys_l, copy_src_l = cow_assign(phys_l, new_src, k)
+        new_phys = (new_phys_l + base).reshape(Sk)
+        copy_src = (copy_src_l + base).reshape(Sk)
+
+        nt_flat = jnp.where(actk, new_tok.reshape(Sk), eot)
+        nt_phys = jnp.zeros((Sk,), jnp.int32).at[new_phys].set(nt_flat)
+        par_last_tok = st.last_tok[copy_src]
+        par_last_ts = st.last_ts[copy_src]
+        new_last_tok = jnp.where(actk, nt_phys, st.last_tok)
+        new_prev_tok = jnp.where(actk, par_last_tok, st.prev_tok)
+        new_last_ts = jnp.where(
+            actk, jnp.where(nt_phys >= beg, nt_phys, par_last_ts), st.last_ts)
+
+        def _cow(args):
+            ck, cv, src = args
+            from ..kernels.beam_gather import cow_copy_rows
+
+            return cow_copy_rows((ck, cv), src)
+
+        cache_k, cache_v = jax.lax.cond(
+            jnp.all(copy_src == jnp.arange(Sk)),
+            lambda a: (a[0], a[1]), _cow,
+            (st.cache_k, st.cache_v, copy_src))
+
+        n_past_rows = jnp.repeat(st.n_past, k)
+        lg, new_cache = decode_step(
+            params, nt_phys[:, None], n_past_rows,
+            KVCache(cache_k, cache_v), cross_k, cross_v, cfg,
+        )
+        new_step = st.step + jnp.where(act, 1, 0)
+        still = act & (new_step < max_new) & ~(fin_c >= k)
+        new = BeamEngineState(
+            cache_k=new_cache.k, cache_v=new_cache.v,
+            logits=lg[:, 0].astype(jnp.float32),
+            phys=new_phys,
+            last_tok=new_last_tok, prev_tok=new_prev_tok,
+            last_ts=new_last_ts,
+            tokens=tokens_new, sum_lp=new_sum_lp,
+            fin_tokens=fin_t, fin_scores=fin_s, fin_len=fin_l, fin_count=fin_c,
+            n_past=st.n_past + jnp.where(act, 1, 0),
+            step=new_step,
+            active=still,
+            no_speech=st.no_speech,
+        )
+        return new, None
+
+    state, _ = jax.lax.scan(body, state, None, length=steps)
+    return state
+
+
+@jax.jit
+def _beam_snapshot(active, step, tokens, sum_lp, fin_tokens, fin_scores,
+                   fin_len, fin_count, no_speech):
+    return tuple(jnp.copy(a) for a in (
+        active, step, tokens, sum_lp, fin_tokens, fin_scores, fin_len,
+        fin_count, no_speech))
+
+
+@functools.partial(
+    jax.jit, donate_argnames=("state", "cross_k_pool", "cross_v_pool"))
+def _beam_refill(state: BeamEngineState, cross_k_pool, cross_v_pool,
+                 groups, row_ids, ck_rows, cv_rows, cache_rows_k,
+                 cache_rows_v, logits_rows, n_init, nosp_rows, eot):
+    """Install an admission bucket of beam GROUPS: scatter the k prefilled
+    cache rows per group, the group-shared cross rows, and reset the group
+    bookkeeping. ``groups`` (n,) group indices (trash-padded);
+    ``row_ids`` (n*k,) their flat physical rows."""
+    scat_rows = lambda p, r: jax.tree.map(
+        lambda pp, rr: pp.at[row_ids].set(rr), p, r)
+    scat_g1 = lambda p, r: jax.tree.map(
+        lambda pp, rr: pp.at[:, groups].set(rr), p, r)
+    n = groups.shape[0]
+    S = state.active.shape[0]
+    trash = S - 1
+    kk = state.sum_lp.shape[1]
+    sum_lp0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((kk - 1,), NEG)])[None],
+        (n, 1)).astype(jnp.float32)
+    eot_fill = jnp.broadcast_to(
+        eot.astype(jnp.int32), (n,) + state.tokens.shape[1:])
+    new = BeamEngineState(
+        cache_k=scat_rows(state.cache_k, cache_rows_k),
+        cache_v=scat_rows(state.cache_v, cache_rows_v),
+        logits=state.logits.at[row_ids].set(logits_rows),
+        phys=state.phys.at[row_ids].set(row_ids),
+        last_tok=state.last_tok.at[row_ids].set(-1),
+        prev_tok=state.prev_tok.at[row_ids].set(-1),
+        last_ts=state.last_ts.at[row_ids].set(-1),
+        tokens=state.tokens.at[groups].set(eot_fill),
+        sum_lp=state.sum_lp.at[groups].set(sum_lp0),
+        fin_tokens=state.fin_tokens.at[groups].set(eot_fill),
+        fin_scores=state.fin_scores.at[groups].set(NEG),
+        fin_len=state.fin_len.at[groups].set(0),
+        fin_count=state.fin_count.at[groups].set(0),
+        n_past=state.n_past.at[groups].set(n_init),
+        step=state.step.at[groups].set(0),
+        active=state.active.at[groups].set(True).at[trash].set(False),
+        no_speech=state.no_speech.at[groups].set(nosp_rows),
+    )
+    return (new, scat_g1(cross_k_pool, ck_rows),
+            scat_g1(cross_v_pool, cv_rows))
+
+
+class BeamSlotEngine(SlotEngine):
+    """Continuous-batching BEAM transcription over a pool of beam groups.
+
+    Greedy-only restrictions of ``SlotEngine`` are replaced by openai beam
+    semantics (beam_size candidates + finished-set, length-ranked finalize,
+    identical to decoding/task._decode_full_device_beam per stream).
+    Single-window (<=30 s) streams; long-form beam windows belong to the
+    lockstep pipeline."""
+
+    def __init__(self, model, n_slots: int = 8,
+                 options: Optional[DecodingOptions] = None,
+                 chunk_steps: int = 8, max_new_tokens: Optional[int] = None,
+                 use_flash: Optional[bool] = None, quantize: bool = False):
+        options = options or DecodingOptions(beam_size=5)
+        if not options.beam_size or options.beam_size < 2:
+            raise ValueError("BeamSlotEngine needs options.beam_size >= 2")
+        if options.patience is not None:
+            raise ValueError(
+                "patience enlarges the finished set past beam_size; the "
+                "on-device beam keeps exactly beam_size candidates — use the "
+                "host beam (decode_full use_device_loop=False) for patience")
+        self.beam_size = options.beam_size
+        # SlotEngine.__init__ rejects beam options; bypass its guard by
+        # passing a greedy twin, then restore.
+        greedy_opts = DecodingOptions(
+            **{**options.__dict__, "beam_size": None})
+        super().__init__(model, n_slots=n_slots, options=greedy_opts,
+                         chunk_steps=chunk_steps,
+                         max_new_tokens=max_new_tokens, use_flash=use_flash,
+                         quantize=quantize)
+        self.options = options
+        task = DecodingTask(self.cfg, self.vocab, options)
+        self.ranker = task.ranker
+        # COW row copies need tile-aligned rows on TPU.
+        if jax.default_backend() == "tpu":
+            self.pool_ctx = -(-self.pool_ctx // 128) * 128
+
+    # -- admission --
+
+    def _fresh_cache(self, batch: int, dtype):
+        if self.quantize:
+            from ..model.quant import init_quant_cache
+
+            return KVCache(*init_quant_cache(
+                self.cfg, batch, ctx=self.pool_ctx,
+                pad_ctx=jax.default_backend() == "tpu"))
+        return init_cache(self.cfg, batch, dtype=dtype, ctx=self.pool_ctx,
+                          pad_ctx=jax.default_backend() == "tpu")
+
+    def _init_state(self, cache_dtype):
+        S, k, cfg = self.n_slots + 1, self.beam_size, self.cfg
+        cache = self._fresh_cache(S * k, cache_dtype)
+        eot = 50256 if cfg.n_vocab == 51864 else 50257
+        self._state = BeamEngineState(
+            cache_k=cache.k, cache_v=cache.v,
+            logits=jnp.zeros((S * k, cfg.n_vocab), jnp.float32),
+            phys=jnp.arange(S * k, dtype=jnp.int32),
+            last_tok=jnp.full((S * k,), -1, jnp.int32),
+            prev_tok=jnp.full((S * k,), -1, jnp.int32),
+            last_ts=jnp.full((S * k,), -1, jnp.int32),
+            tokens=jnp.full((S, k, self.max_new), eot, jnp.int32),
+            sum_lp=jnp.zeros((S, k), jnp.float32),
+            fin_tokens=jnp.full((S, k, self.max_new), eot, jnp.int32),
+            fin_scores=jnp.full((S, k), NEG),
+            fin_len=jnp.zeros((S, k), jnp.int32),
+            fin_count=jnp.zeros((S,), jnp.int32),
+            n_past=jnp.zeros((S,), jnp.int32),
+            step=jnp.zeros((S,), jnp.int32),
+            active=jnp.zeros((S,), bool),
+            no_speech=jnp.zeros((S,), jnp.float32),
+        )
+
+    def _install_bucket(self, slot_list, wins, bucket: int,
+                        tokens=None, lengths=None, sot_idx=None,
+                        max_news=None):
+        k = self.beam_size
+        if tokens is None:
+            tokens = jnp.broadcast_to(
+                self._padded_init, (bucket, self._padded_init.shape[1]))
+        # Prefill all k rows per group with the identical prompt: the
+        # encoder runs per GROUP; cross rows stay group-shared (the decoder
+        # folds the beam axis), so the prefill decode_step sees Bc=bucket
+        # cross with B=bucket*k token rows.
+        tokens_k = jnp.repeat(tokens, k, axis=0)
+        lengths_k = jnp.full((bucket * k,), self.init_len, jnp.int32)
+        sot_k = jnp.full((bucket * k,), self.sot_index, jnp.int32)
+        ck, cv, cache, first_logits, nosp = _encode_prefill_beam(
+            self.model.params, wins, tokens_k, lengths_k, sot_k,
+            self.cfg, self.use_flash, self.quantize, self.pool_ctx,
+            self._nosp_token(), k,
+            jax.default_backend() == "tpu")
+        if self._state is None:
+            self._init_state(getattr(ck, "data", ck).dtype)
+        if self._cross_pool_k is None:
+            def pool_like(row):
+                return jax.tree.map(
+                    lambda a: jnp.zeros(
+                        (a.shape[0], self.n_slots + 1) + a.shape[2:],
+                        a.dtype), row)
+
+            self._cross_pool_k = pool_like(ck)
+            self._cross_pool_v = pool_like(cv)
+        pad = [self.n_slots] * (bucket - len(slot_list))
+        groups = np.array(list(slot_list) + pad, np.int32)
+        row_ids = (groups[:, None] * k + np.arange(k)[None]).reshape(-1)
+        eot = 50256 if self.cfg.n_vocab == 51864 else 50257
+        self._state, self._cross_pool_k, self._cross_pool_v = _beam_refill(
+            self._state, self._cross_pool_k, self._cross_pool_v,
+            jnp.asarray(groups), jnp.asarray(row_ids.astype(np.int32)),
+            ck, cv, cache.k, cache.v, first_logits,
+            jnp.int32(self.init_len), nosp, jnp.int32(eot))
+
+    # -- scheduler --
+
+    def transcribe_many(self, audios: Sequence[np.ndarray]) -> List[DecodingResult]:
+        import time as _time
+
+        queue = list(enumerate(audios))
+        results: List[Optional[DecodingResult]] = [None] * len(queue)
+        slot_req = [-1] * self.n_slots
+        queue.reverse()
+        self.stats = {"admit_s": 0.0, "chunk_s": 0.0, "pull_s": 0.0,
+                      "rounds": 0}
+        snap = None
+
+        while queue or any(r >= 0 for r in slot_req) or snap is not None:
+            join_slots, join_audios = [], []
+            for s in range(self.n_slots):
+                if slot_req[s] < 0 and queue:
+                    idx, audio = queue.pop()
+                    join_slots.append(s)
+                    join_audios.append(audio)
+                    slot_req[s] = idx
+            if join_slots:
+                t0 = _time.perf_counter()
+                self._admit_many(join_slots, join_audios)
+                self.stats["admit_s"] += _time.perf_counter() - t0
+            if any(r >= 0 for r in slot_req):
+                t0 = _time.perf_counter()
+                st = self._state
+                self._state = _decode_chunk_beam(
+                    self.model.params, st,
+                    self._cross_pool_k, self._cross_pool_v,
+                    self.sup_mask, self.blank_mask, self.cfg,
+                    steps=self.chunk_steps, k=self.beam_size,
+                    use_timestamps=not self.options.without_timestamps,
+                    max_initial_index=self.max_initial_index,
+                    max_new=self.max_new,
+                )
+                new_snap = (list(slot_req), _beam_snapshot(
+                    self._state.active, self._state.step, self._state.tokens,
+                    self._state.sum_lp, self._state.fin_tokens,
+                    self._state.fin_scores, self._state.fin_len,
+                    self._state.fin_count, self._state.no_speech))
+                self.stats["chunk_s"] += _time.perf_counter() - t0
+            else:
+                new_snap = None
+            if snap is not None:
+                req_map, arrs = snap
+                t0 = _time.perf_counter()
+                (active, step, tokens, sum_lp, fin_t, fin_s, fin_l, fin_c,
+                 nosp) = jax.device_get(arrs)
+                self.stats["pull_s"] += _time.perf_counter() - t0
+                for s in range(self.n_slots):
+                    if (req_map[s] >= 0 and not active[s]
+                            and slot_req[s] == req_map[s]):
+                        results[req_map[s]] = self._finalize_group(
+                            s, step, tokens, sum_lp, fin_t, fin_s, fin_l,
+                            fin_c, nosp)
+                        slot_req[s] = -1
+            snap = new_snap
+            self.stats["rounds"] += 1
+        return results  # type: ignore[return-value]
+
+    def _finalize_group(self, g, step, tokens, sum_lp, fin_t, fin_s, fin_l,
+                        fin_c, nosp) -> DecodingResult:
+        """openai finalize, exactly as decoding/task._decode_full_device_beam:
+        finished sequences first; pad from in-flight beams by score; rank."""
+        k = self.beam_size
+        seqs: List[List[int]] = []
+        lps: List[float] = []
+        for i in range(int(fin_c[g])):
+            seqs.append([int(t) for t in fin_t[g, i, : int(fin_l[g, i])]])
+            lps.append(float(fin_s[g, i]))
+        if len(seqs) < k:
+            for i in np.argsort(-sum_lp[g]):
+                if len(seqs) >= k:
+                    break
+                seqs.append([int(t) for t in tokens[g, int(i), : int(step[g])]])
+                lps.append(float(sum_lp[g, int(i)]))
+        sel = self.ranker.rank([seqs], [lps])[0]
+        toks = seqs[sel]
+        text = self.vocab.decode(toks).strip()
+        return DecodingResult(
+            tokens=toks, text=text,
+            avg_logprob=lps[sel] / (len(toks) + 1),
+            no_speech_prob=float(nosp[g]),
+            temperature=0.0,
+            compression_ratio=compression_ratio(text),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "use_flash", "quantize", "pool_ctx", "nosp",
+                     "k", "pad128"))
+def _encode_prefill_beam(params, wins, tokens_k, lengths_k, sot_k,
+                         cfg: WhisperConfig, use_flash: bool, quantize: bool,
+                         pool_ctx: int, nosp: int, k: int, pad128: bool):
+    """Encode a bucket of streams + prefill bucket*k beam rows against the
+    group-shared cross memory; one dispatch."""
+    from ..model.encoder import encode
+
+    enc = encode(params, wins, cfg, use_flash=use_flash, quantize_kv=quantize)
+    bucket = wins.shape[0]
+    if quantize:
+        from ..model.quant import init_quant_cache
+
+        cache = KVCache(*init_quant_cache(cfg, bucket * k, ctx=pool_ctx,
+                                          pad_ctx=pad128))
+    else:
+        dtype = getattr(enc.cross_k, "data", enc.cross_k).dtype
+        cache = init_cache(cfg, bucket * k, dtype=dtype, ctx=pool_ctx,
+                           pad_ctx=pad128)
+    logits_all, cache = decode_step(
+        params, tokens_k, jnp.int32(0), cache, enc.cross_k, enc.cross_v, cfg)
+    rows = jnp.arange(bucket * k)
+    first_logits = logits_all[rows, lengths_k - 1].astype(jnp.float32)
+    probs_sot = jax.nn.softmax(
+        logits_all[rows[::k], sot_k[::k]].astype(jnp.float32), axis=-1)
+    return (enc.cross_k, enc.cross_v, cache, first_logits, probs_sot[:, nosp])

@@ -170,6 +170,55 @@ def _refill_many(state: EngineState, cross_k_pool, cross_v_pool,
             scat1(cross_v_pool, cv_rows))
 
 
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _mel_windows(audio, filters, n_frames: int):
+    """(G, n_samples) same-length stacked audio -> (G, n_mels, n_frames)
+    30 s windows at offset 0, in ONE dispatch (mel + window + pad fused —
+    the eager per-stream mel/window chain cost ~2-3 round-trips per length
+    group on a tunneled chip). Per-stream reflect padding and global
+    max-normalization are preserved exactly (vmap)."""
+    from ..frontend.mel import frame_count, log_mel_spectrogram
+
+    def one(a):
+        m = log_mel_spectrogram(a, filters, frame_count(a.shape[0]))
+        n_len = m.shape[1]
+        if n_len >= n_frames:
+            return m[:, :n_frames]
+        return jnp.pad(m, ((0, 0), (0, n_frames - n_len)))
+
+    return jax.vmap(one)(audio)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "use_flash", "quantize", "pool_ctx", "nosp"))
+def _encode_prefill(params, wins, tokens, lengths, sot_idx,
+                    cfg: WhisperConfig, use_flash: bool, quantize: bool,
+                    pool_ctx: int, nosp: int):
+    """Encode one admission bucket + prefill its prompts + read the
+    per-row first logits and no-speech probabilities — ONE dispatch for
+    the whole admission device side (was ~6: encode, prefill, and an
+    eager gather/softmax chain, each a round-trip on a tunneled chip)."""
+    enc = encode(params, wins, cfg, use_flash=use_flash,
+                 quantize_kv=quantize)
+    bucket = wins.shape[0]
+    if quantize:
+        from ..model.quant import init_quant_cache
+
+        cache = KVCache(*init_quant_cache(cfg, bucket, ctx=pool_ctx))
+    else:
+        dtype = getattr(enc.cross_k, "data", enc.cross_k).dtype
+        cache = init_cache(cfg, bucket, dtype=dtype, ctx=pool_ctx)
+    logits_all, cache = decode_step(
+        params, tokens, jnp.int32(0), cache, enc.cross_k, enc.cross_v, cfg)
+    rows = jnp.arange(bucket)
+    first_logits = logits_all[rows, lengths - 1].astype(jnp.float32)
+    probs_sot = jax.nn.softmax(
+        logits_all[rows, sot_idx].astype(jnp.float32), axis=-1)
+    return (enc.cross_k, enc.cross_v, cache, first_logits,
+            probs_sot[:, nosp])
+
+
 @jax.jit
 def _snapshot(active, length, sum_logprobs, tokens_out, no_speech):
     """Fresh-buffer copies of the per-round harvest arrays (~KBs). The
@@ -241,35 +290,27 @@ class SlotEngine:
     # activations room next to a 48-slot int8 pool on a 16 GB chip.
     _ADMIT_BUCKETS = (16, 8, 4, 2, 1)
 
-    def _encode_batch(self, audios: Sequence[np.ndarray], bucket: int):
-        """Encode up to ``bucket`` streams in one forward (padded; only the
-        first len(audios) rows are meaningful). Admission cost on remote
-        chips is dominated by host->device transfers and dispatches, so the
-        bucket's audio ships as ONE stacked transfer; mel stays per-stream
-        (on device slices of the stack) because its reflect-padding and
-        global max-normalization are per-stream exact — tested
-        token-identical to the offline pipeline."""
+    def _window_batch(self, audios: Sequence[np.ndarray], bucket: int):
+        """(bucket, n_mels, n_frames) stacked 30 s windows for up to
+        ``bucket`` streams (zero rows pad the tail). Admission cost on
+        remote chips is dominated by host->device transfers and dispatch
+        round-trips, so the bucket's audio ships as ONE stacked transfer
+        and mel+window run as ONE fused dispatch per distinct length
+        (per-stream reflect padding / global max-normalization exact —
+        tested token-identical to the offline pipeline)."""
         arrs = [np.asarray(a, np.float32) for a in audios]
         max_len = max(len(a) for a in arrs)
         stacked = np.zeros((len(arrs), max_len), np.float32)
         for i, a in enumerate(arrs):
             stacked[i, : len(a)] = a
         audio_dev = jnp.asarray(stacked)  # one transfer for the bucket
-        # One vmapped mel per distinct length (vmap preserves the
-        # per-stream reflect padding and global max-normalization exactly;
-        # same-length streams share a single dispatch).
         by_len: dict = {}
         for i, a in enumerate(arrs):
             by_len.setdefault(len(a), []).append(i)
         win_rows: List[Optional[jnp.ndarray]] = [None] * len(arrs)
         for ln, idxs in by_len.items():
             group = audio_dev[jnp.asarray(idxs, jnp.int32), :ln]
-            mels = jax.vmap(
-                lambda a: log_mel_spectrogram(
-                    a, self.model.filters, frame_count(ln))
-            )(group)
-            wins_g = jax.vmap(
-                lambda m: mel_window(m, 0, self._n_frames))(mels)
+            wins_g = _mel_windows(group, self.model.filters, self._n_frames)
             for j, i in enumerate(idxs):
                 win_rows[i] = wins_g[j]
         wins = jnp.stack(win_rows)
@@ -277,9 +318,7 @@ class SlotEngine:
             wins = jnp.concatenate(
                 [wins, jnp.zeros((bucket - len(audios),) + wins.shape[1:],
                                  wins.dtype)])
-        enc = encode(self.model.params, wins, self.cfg, use_flash=self.use_flash,
-                     quantize_kv=self.quantize)
-        return enc.cross_k, enc.cross_v  # (L, bucket, H, D, Ta)
+        return wins
 
     def _fresh_cache(self, batch: int, dtype):
         if self.quantize:
@@ -288,33 +327,10 @@ class SlotEngine:
             return KVCache(*init_quant_cache(self.cfg, batch, ctx=self.pool_ctx))
         return init_cache(self.cfg, batch, dtype=dtype, ctx=self.pool_ctx)
 
-    def _prefill_batch(self, cross_k, cross_v, bucket: int,
-                       tokens=None, lengths=None, sot_idx=None):
-        """Prefill one admission bucket. Without per-row arguments, every
-        row prefills the engine's shared initial tokens (<=30 s path); the
-        long-form path passes per-row padded prompt+sot sequences, their
-        true lengths, and per-row SOT positions. Returns (cache,
-        first_logits, no_speech_prob) — no-speech is read at the SOT
-        position exactly as the fused device loop does (device_loop.py)."""
-        dtype = getattr(cross_k, "data", cross_k).dtype
-        cache = self._fresh_cache(bucket, dtype)
-        if tokens is None:
-            tokens = jnp.broadcast_to(
-                self._padded_init, (bucket, self._padded_init.shape[1]))
-            lengths = jnp.full((bucket,), self.init_len, jnp.int32)
-            sot_idx = jnp.full((bucket,), self.sot_index, jnp.int32)
-        logits_all, cache = decode_step(
-            self.model.params, tokens, jnp.int32(0), cache,
-            cross_k, cross_v, self.cfg)
-        rows = jnp.arange(bucket)
-        first_logits = logits_all[rows, lengths - 1].astype(jnp.float32)
+    def _nosp_token(self) -> int:
         v = self.cfg.n_vocab
         eot = 50256 if v == 51864 else 50257
-        nosp = (eot + 107 if v != 51866 else eot + 108) - 2
-        probs_sot = jax.nn.softmax(
-            logits_all[rows, sot_idx].astype(jnp.float32), axis=-1)
-        no_speech = probs_sot[:, nosp]
-        return cache, first_logits, no_speech
+        return (eot + 107 if v != 51866 else eot + 108) - 2
 
     def _init_state(self, cache_dtype):
         # One extra TRASH row (index n_slots): bucket installs are always
@@ -355,8 +371,8 @@ class SlotEngine:
                 (b for b in reversed(self._ADMIT_BUCKETS) if b >= remaining),
                 self._ADMIT_BUCKETS[0])
             n = min(bucket, remaining)
-            ck, cv = self._encode_batch(audios[i : i + n], bucket)
-            self._install_bucket(list(slots[i : i + n]), ck, cv, bucket)
+            wins = self._window_batch(audios[i : i + n], bucket)
+            self._install_bucket(list(slots[i : i + n]), wins, bucket)
             i += n
             if i < len(slots):
                 # Bound in-flight admissions to ONE bucket: each holds ~2 GB
@@ -364,14 +380,26 @@ class SlotEngine:
                 # queue asynchronously OOMs next to the resident pools.
                 jax.device_get(self._state.n_past[:1])
 
-    def _install_bucket(self, slot_list, ck, cv, bucket: int,
+    def _install_bucket(self, slot_list, wins, bucket: int,
                         tokens=None, lengths=None, sot_idx=None,
                         max_news=None):
-        """Prefill + install one admission bucket in one FIXED-SIZE dispatch
-        (cross memory is layer-leading (L, B, ...); the KV cache is
-        batch-leading (B, L, ...) so a slot row is contiguous).
-        Partially-filled buckets pad their slot vector with the trash row,
-        so each bucket size is exactly one compiled program."""
+        """Encode + prefill + install one admission bucket in TWO dispatches
+        (_encode_prefill, then the fixed-size _refill_many scatter; cross
+        memory is layer-leading (L, B, ...); the KV cache is batch-leading
+        (B, L, ...) so a slot row is contiguous). Partially-filled buckets
+        pad their slot vector with the trash row, so each bucket size is
+        exactly one compiled program. Without per-row arguments every row
+        prefills the engine's shared initial tokens (<=30 s path); the
+        long-form path passes per-row wrapped prompts."""
+        if tokens is None:
+            tokens = jnp.broadcast_to(
+                self._padded_init, (bucket, self._padded_init.shape[1]))
+            lengths = jnp.full((bucket,), self.init_len, jnp.int32)
+            sot_idx = jnp.full((bucket,), self.sot_index, jnp.int32)
+        ck, cv, cache, first_logits, nosp = _encode_prefill(
+            self.model.params, wins, tokens, lengths, sot_idx,
+            self.cfg, self.use_flash, self.quantize, self.pool_ctx,
+            self._nosp_token())
         if self._state is None:
             self._init_state(getattr(ck, "data", ck).dtype)
         if self._cross_pool_k is None:
@@ -385,18 +413,14 @@ class SlotEngine:
 
             self._cross_pool_k = pool_like(ck)
             self._cross_pool_v = pool_like(cv)
-        cache, first_logits, nosp = self._prefill_batch(
-            ck, cv, bucket, tokens, lengths, sot_idx)
         pad = [self.n_slots] * (bucket - len(slot_list))
         slot_vec = jnp.asarray(np.array(list(slot_list) + pad, np.int32))
-        init_lens = (lengths if lengths is not None
-                     else jnp.full((bucket,), self.init_len, jnp.int32))
         if max_news is None:
             max_news = jnp.full((bucket,), self.max_new, jnp.int32)
         self._state, self._cross_pool_k, self._cross_pool_v = _refill_many(
             self._state, self._cross_pool_k, self._cross_pool_v,
             slot_vec, ck, cv, cache.k, cache.v,
-            first_logits, init_lens, max_news, nosp)
+            first_logits, lengths, max_news, nosp)
 
     def _harvest(self, slot: int, tokens_out, length, sum_logprobs,
                  no_speech=None, strip=True) -> DecodingResult:
@@ -752,7 +776,6 @@ class SlotEngine:
                 wins = jnp.concatenate(
                     [wins, jnp.zeros((bucket - n,) + wins.shape[1:],
                                      wins.dtype)])
-            ck, cv = self._encode_windows(wins)
 
             rows, lens, sots, caps = [], [], [], []
             for _, st in group:
@@ -772,7 +795,7 @@ class SlotEngine:
             for j, r in enumerate(rows):
                 mat[j, : len(r)] = r
             self._install_bucket(
-                [s for s, _ in group], ck, cv, bucket,
+                [s for s, _ in group], wins, bucket,
                 tokens=jnp.asarray(mat),
                 lengths=jnp.asarray(np.array(
                     lens + [1] * (bucket - n), np.int32)),
@@ -784,11 +807,6 @@ class SlotEngine:
             i += n
             if i < len(join):
                 jax.device_get(self._state.n_past[:1])
-
-    def _encode_windows(self, wins: jnp.ndarray):
-        enc = encode(self.model.params, wins, self.cfg,
-                     use_flash=self.use_flash, quantize_kv=self.quantize)
-        return enc.cross_k, enc.cross_v
 
     def _fallback_ladder(self, st: dict, t0_result: DecodingResult,
                          topts, temps) -> DecodingResult:

@@ -18,7 +18,7 @@ def run_engine_benchmark(
     model_name: str = "large-v3",
     n_slots: int = 48,
     n_streams: Optional[int] = None,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
     quantize: bool = True,
     max_new_tokens: int = 64,
     seconds: int = 120,
