@@ -223,18 +223,46 @@ def cmd_batch(args) -> int:
             audio = resample_poly(audio, 16000, rate)
         audios.append(audio)
     loader.close()
-    engine = SlotEngine(
-        model, n_slots=args.slots,
-        options=DecodingOptions(language=args.language,
-                                without_timestamps=True),
-        quantize=args.quantize,
-    )
-    t0 = time.perf_counter()
-    results = engine.transcribe_many(audios)
-    wall = time.perf_counter() - t0
     total = sum(len(a) for a in audios) / 16000.0
-    for path, res in zip(args.audio, results):
-        print(f"== {path}: {res.text}")
+    if args.long_form:
+        # whisper_full semantics through the engine: window continuation,
+        # prompt carry, no-speech gate, fallback escalation per stream.
+        from .pipeline.transcribe import TranscribeOptions
+
+        engine = SlotEngine(
+            model, n_slots=args.slots,
+            options=DecodingOptions(language=args.language),
+            quantize=args.quantize,
+        )
+        t0 = time.perf_counter()
+        results = engine.transcribe_streams(
+            audios, TranscribeOptions(language=args.language))
+        wall = time.perf_counter() - t0
+        for path, res in zip(args.audio, results):
+            print(f"== {path}: {res['text']}")
+    else:
+        if args.beam:
+            from .parallel.beam_engine import BeamSlotEngine
+
+            engine = BeamSlotEngine(
+                model, n_slots=args.slots,
+                options=DecodingOptions(language=args.language,
+                                        beam_size=args.beam,
+                                        without_timestamps=True),
+                quantize=args.quantize,
+            )
+        else:
+            engine = SlotEngine(
+                model, n_slots=args.slots,
+                options=DecodingOptions(language=args.language,
+                                        without_timestamps=True),
+                quantize=args.quantize,
+            )
+        t0 = time.perf_counter()
+        results = engine.transcribe_many(audios)
+        wall = time.perf_counter() - t0
+        for path, res in zip(args.audio, results):
+            print(f"== {path}: {res.text}")
     print(f"{total:.1f}s audio in {wall:.2f}s "
           f"({total / max(wall, 1e-9):.1f}x realtime, {args.slots} slots)")
     return 0
@@ -356,6 +384,11 @@ def main(argv=None) -> int:
     p.add_argument("--language", default=None)
     p.add_argument("--quantize", action="store_true", help="int8 serving mode")
     p.add_argument("--io-threads", type=int, default=4)
+    p.add_argument("--beam", type=int, default=None,
+                   help="beam size: continuous-batching beam groups")
+    p.add_argument("--long-form", action="store_true",
+                   help="whisper_full windows through the engine (>30 s "
+                        "streams, prompt carry, fallback)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("stream", help="simulated real-time transcription")
