@@ -208,3 +208,19 @@ def test_engine_streams_fallback_escalation(tmp_path):
         s["tokens"] for s in ref["segments"]]
     # escalation actually happened (avg_logprob of random weights < 0)
     assert all(s["temperature"] > 0 for s in got["segments"])
+
+
+def test_engine_int16_audio_identical_to_f32(model):
+    """int16 PCM ships raw (4x fewer bytes over the tunnel) and converts on
+    device by /32768 — bit-identical to feeding the f32 conversion."""
+    opts = DecodingOptions(sample_len=12, without_timestamps=True)
+    rng = np.random.default_rng(21)
+    i16 = [np.clip(rng.standard_normal(16000 + 5000 * i) * 3000, -32768,
+                   32767).astype(np.int16) for i in range(3)]
+    f32 = [a.astype(np.float32) / 32768.0 for a in i16]
+    got = SlotEngine(model, n_slots=2, options=opts,
+                     chunk_steps=4).transcribe_many(i16)
+    ref = SlotEngine(model, n_slots=2, options=opts,
+                     chunk_steps=4).transcribe_many(f32)
+    for g, r in zip(got, ref):
+        assert g.tokens == r.tokens

@@ -89,9 +89,22 @@ def _encoder_block(x: jnp.ndarray, blk: dict, cfg: WhisperConfig,
     h = cfg.n_audio_head
     # Self-attention with pre-LN (main.rs:1880-1942).
     y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
-    q = _elinear(y, blk, "q_w", "q_b")
-    k = _elinear(y, blk, "k_w")  # K has no bias (main.rs:1894)
-    v = _elinear(y, blk, "v_w", "v_b")
+    if blk.get("q_w_scale") is not None:
+        # W8A8: quantize the LN output ONCE for all three projections (the
+        # amax+round passes are full activation reads/writes).
+        from .quant import q8_matmul, quantize_act
+
+        y8, a_scale = quantize_act(y)
+        q = q8_matmul(y8, a_scale, blk["q_w"], blk["q_w_scale"],
+                      blk["q_b"], y.dtype)
+        k = q8_matmul(y8, a_scale, blk["k_w"], blk["k_w_scale"],
+                      None, y.dtype)  # K has no bias (main.rs:1894)
+        v = q8_matmul(y8, a_scale, blk["v_w"], blk["v_w_scale"],
+                      blk["v_b"], y.dtype)
+    else:
+        q = _elinear(y, blk, "q_w", "q_b")
+        k = _elinear(y, blk, "k_w")  # K has no bias (main.rs:1894)
+        v = _elinear(y, blk, "v_w", "v_b")
     o = sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h),
              use_flash=use_flash)
     x = x + _elinear(merge_heads(o), blk, "out_w", "out_b")
@@ -129,11 +142,26 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
 
     h = cfg.n_text_head
 
+    # W8A8 cross projections in full serving mode: the hidden state is
+    # shared by all 64 per-layer projections, so it quantizes ONCE; the
+    # resulting memory is int8-requantized right after anyway
+    # (quantize_kv), so the input-side noise is second-order — agreement
+    # gated in tests/test_quant.py.
+    x8 = xs = None
+    if quantize_kv and params["encoder"]["blocks"].get("q_w_scale") is not None:
+        from .quant import quantize_act
+
+        x8, xs = quantize_act(x)
+
     def _lin(w, scale, b=None):
         # int8-quantized decoder weights (model.quant.quantize_decoder_weights)
-        # carry per-out-channel scales that MUST be applied here too — the
+        # carry per-out-channel scales that MUST be applied there too — the
         # serving bench quantizes params before encoding, and dropping the
         # scale would write garbage cross memory.
+        if scale is not None and x8 is not None:
+            from .quant import q8_matmul
+
+            return q8_matmul(x8, xs, w, scale, b, x.dtype)
         y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
                        preferred_element_type=jnp.float32)
         if scale is not None:

@@ -187,13 +187,30 @@ def dyn_qlinear(y: jnp.ndarray, w8: jnp.ndarray, w_scale: jnp.ndarray,
     quantization: both MXU operands are int8 (the v5e int8 path is ~1.6x
     the bf16 rate), accumulation int32, dequant by a_scale[t] * w_scale[o].
     """
+    y8, a_scale = quantize_act(y)
+    return q8_matmul(y8, a_scale, w8, w_scale, b, y.dtype)
+
+
+def quantize_act(y: jnp.ndarray):
+    """Dynamic per-token activation quantization: (..., I) float ->
+    ((..., I) int8, (..., 1) f32 scale). Factored out so one LN output is
+    quantized ONCE and shared by the three QKV projections (the amax +
+    round passes are full reads/writes of the activation tensor)."""
     amax = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=-1, keepdims=True)
     a_scale = jnp.maximum(amax, 1e-8) / 127.0
     y8 = jnp.clip(jnp.round(y.astype(jnp.float32) / a_scale),
                   -127, 127).astype(jnp.int8)
+    return y8, a_scale
+
+
+def q8_matmul(y8: jnp.ndarray, a_scale: jnp.ndarray, w8: jnp.ndarray,
+              w_scale: jnp.ndarray, b: jnp.ndarray | None,
+              out_dtype) -> jnp.ndarray:
+    """int8 x int8 matmul with int32 accumulation and per-token x
+    per-channel dequant."""
     acc = jnp.einsum("...i,oi->...o", y8, w8,
                      preferred_element_type=jnp.int32)
-    out = (acc.astype(jnp.float32) * a_scale * w_scale).astype(y.dtype)
+    out = (acc.astype(jnp.float32) * a_scale * w_scale).astype(out_dtype)
     if b is not None:
         out = out + b
     return out

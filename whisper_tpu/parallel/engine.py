@@ -176,10 +176,16 @@ def _mel_windows(audio, filters, n_frames: int):
     30 s windows at offset 0, in ONE dispatch (mel + window + pad fused —
     the eager per-stream mel/window chain cost ~2-3 round-trips per length
     group on a tunneled chip). Per-stream reflect padding and global
-    max-normalization are preserved exactly (vmap)."""
-    from ..frontend.mel import frame_count, log_mel_spectrogram
+    max-normalization are preserved exactly (vmap).
+
+    int16 input is converted on DEVICE (pcm/32768, the io/wav convention,
+    main.rs:1673-1679): real audio is 16-bit PCM natively, and shipping
+    int16 quarters the host->device bytes — the measured bottleneck of
+    engine admission on the tunneled chip."""
 
     def one(a):
+        if a.dtype == jnp.int16:
+            a = a.astype(jnp.float32) / 32768.0
         m = log_mel_spectrogram(a, filters, frame_count(a.shape[0]))
         n_len = m.shape[1]
         if n_len >= n_frames:
@@ -298,9 +304,15 @@ class SlotEngine:
         and mel+window run as ONE fused dispatch per distinct length
         (per-stream reflect padding / global max-normalization exact —
         tested token-identical to the offline pipeline)."""
-        arrs = [np.asarray(a, np.float32) for a in audios]
+        arrs = [np.asarray(a) for a in audios]
+        # Preserve int16 PCM end-to-end (device-side /32768 in _mel_windows
+        # is bit-identical to the host conversion): 4x fewer bytes over the
+        # slow tunnel. Mixed dtypes fall back to f32.
+        dtype = (np.int16 if all(a.dtype == np.int16 for a in arrs)
+                 else np.float32)
+        arrs = [a.astype(dtype, copy=False) for a in arrs]
         max_len = max(len(a) for a in arrs)
-        stacked = np.zeros((len(arrs), max_len), np.float32)
+        stacked = np.zeros((len(arrs), max_len), dtype)
         for i, a in enumerate(arrs):
             stacked[i, : len(a)] = a
         audio_dev = jnp.asarray(stacked)  # one transfer for the bucket
@@ -699,14 +711,19 @@ class SlotEngine:
         from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
         from ..pipeline.transcribe import _tokenize_prompt
 
-        audio = np.asarray(audio, np.float32)
+        audio = np.asarray(audio)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
         center = topts.mel_mode == "openai"
         offline_len = len(audio) + N_SAMPLES_PER_CHUNK
         padded_len = -(-offline_len // N_SAMPLES_PER_CHUNK) * N_SAMPLES_PER_CHUNK
-        padded = np.zeros(padded_len, np.float32)
+        padded = np.zeros(padded_len, audio.dtype)
         padded[: len(audio)] = audio
+        dev = jnp.asarray(padded)  # int16 PCM ships 2 bytes/sample
+        if dev.dtype == jnp.int16:
+            dev = dev.astype(jnp.float32) / 32768.0  # io/wav convention
         mel = log_mel_spectrogram(
-            jnp.asarray(padded), self.model.filters,
+            dev, self.model.filters,
             frame_count(padded_len, center=center),
             center=center, fold=not center)
         content_frames = frame_count(offline_len, center=center) - self._n_frames

@@ -44,8 +44,12 @@ def run_engine_benchmark(
     n_streams = n_streams or 2 * n_slots
     rng = np.random.default_rng(0)
     secs = [24.0, 27.0, 30.0]
+    # int16 PCM, as real serving receives it — the engine ships it to the
+    # device raw (2 bytes/sample; host->device bandwidth is the measured
+    # admission bottleneck on the tunneled chip) and converts on device.
     audios = [
-        (rng.standard_normal(int(16000 * secs[i % 3])) * 0.1).astype(np.float32)
+        np.clip(rng.standard_normal(int(16000 * secs[i % 3])) * 0.1 * 32768,
+                -32768, 32767).astype(np.int16)
         for i in range(n_streams)
     ]
     total_audio = sum(len(a) for a in audios) / 16000.0
