@@ -271,3 +271,35 @@ def test_w8a8_encoder_parity_and_end_to_end():
     n = max(min(len(ref_toks), len(got_toks)), 1)
     agree = sum(a == b for a, b in zip(ref_toks, got_toks)) / n
     assert agree > 0.6, (ref_toks, got_toks)
+
+
+def test_fused_quant_kernels_match_xla_chains():
+    """kernels/fused_quant.{act,ln,gelu}_quant (Pallas, interpret on CPU)
+    match the unfused XLA chains they replace: same per-token scale and int8
+    codes up to one quantization level (reduction-order float drift in
+    mean/var/amax can flip a code by +-1)."""
+    from whisper_tpu.kernels.fused_quant import act_quant, gelu_quant, ln_quant
+    from whisper_tpu.kernels.ops import gelu, layer_norm
+    from whisper_tpu.model.quant import quantize_act
+
+    rng = np.random.default_rng(7)
+    # odd row count exercises the row padding path
+    x = jnp.asarray(rng.standard_normal((3, 37, 256)).astype(np.float32) * 2.0
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal(256).astype(np.float32)).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(256).astype(np.float32)).astype(jnp.bfloat16)
+
+    def check(got, ref, name):
+        g8, gs = got
+        r8, rs = ref
+        assert g8.dtype == jnp.int8 and gs.shape == r8.shape[:-1] + (1,)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(rs),
+                                   rtol=2e-2, err_msg=name)
+        diff = np.abs(np.asarray(g8, np.int32) - np.asarray(r8, np.int32))
+        assert diff.max() <= 2, (name, diff.max())
+        assert (diff > 0).mean() < 0.05, (name, (diff > 0).mean())
+
+    check(act_quant(x), quantize_act(x), "act")
+    check(ln_quant(x, w, b), quantize_act(layer_norm(x, w, b)), "ln")
+    for impl in ("erf", "tanh"):
+        check(gelu_quant(x, impl), quantize_act(gelu(x, impl)), f"gelu-{impl}")

@@ -87,24 +87,51 @@ def _elinear(y, blk: dict, name: str, bias_name: str | None = None):
 def _encoder_block(x: jnp.ndarray, blk: dict, cfg: WhisperConfig,
                    use_flash: bool) -> jnp.ndarray:
     h = cfg.n_audio_head
-    # Self-attention with pre-LN (main.rs:1880-1942).
-    y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
     if blk.get("q_w_scale") is not None:
-        # W8A8: quantize the LN output ONCE for all three projections (the
-        # amax+round passes are full activation reads/writes).
+        # W8A8 serving mode. The activation quantizers sit where XLA already
+        # had a producer to fuse the amax pass into, so a Pallas fused
+        # producer->quant kernel only helps at ONE site (measured per-site
+        # bisect, large-v3 b64, one process: unfused 1715 ms; +fused-LN-quant
+        # +45; +fused-GELU-quant +98; +fused act_quant -52 -> this config
+        # ~1663 ms; all-fused 1805; free-quant floor 1475):
+        #   * LN / GELU sites: XLA fuses residual-add + LN/epilogue + amax
+        #     into the surrounding chains for free — a Pallas boundary there
+        #     forces the bf16 intermediate to materialize and loses the
+        #     epilogue fusion. Keep XLA (quantize_act).
+        #   * attention-output site: the input is merge_heads (a transpose),
+        #     which unfused XLA materializes and then reads TWICE (amax +
+        #     quant passes); kernels/fused_quant.act_quant reads it once.
+        # LN output is quantized ONCE for all three QKV projections.
+        from ..kernels.fused_quant import act_quant
         from .quant import q8_matmul, quantize_act
 
-        y8, a_scale = quantize_act(y)
+        y8, a_scale = quantize_act(
+            layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]))
         q = q8_matmul(y8, a_scale, blk["q_w"], blk["q_w_scale"],
-                      blk["q_b"], y.dtype)
+                      blk["q_b"], x.dtype)
         k = q8_matmul(y8, a_scale, blk["k_w"], blk["k_w_scale"],
-                      None, y.dtype)  # K has no bias (main.rs:1894)
+                      None, x.dtype)  # K has no bias (main.rs:1894)
         v = q8_matmul(y8, a_scale, blk["v_w"], blk["v_w_scale"],
-                      blk["v_b"], y.dtype)
-    else:
-        q = _elinear(y, blk, "q_w", "q_b")
-        k = _elinear(y, blk, "k_w")  # K has no bias (main.rs:1894)
-        v = _elinear(y, blk, "v_w", "v_b")
+                      blk["v_b"], x.dtype)
+        o = sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h),
+                 use_flash=use_flash)
+        o8, o_scale = act_quant(merge_heads(o))
+        x = x + q8_matmul(o8, o_scale, blk["out_w"], blk["out_w_scale"],
+                          blk["out_b"], x.dtype)
+        # MLP with pre-LN (main.rs:1944-1968).
+        m8, m_scale = quantize_act(
+            layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"]))
+        y = q8_matmul(m8, m_scale, blk["mlp0_w"], blk["mlp0_w_scale"],
+                      blk["mlp0_b"], x.dtype)
+        g8, g_scale = quantize_act(gelu(y, cfg.gelu_impl))
+        x = x + q8_matmul(g8, g_scale, blk["mlp1_w"], blk["mlp1_w_scale"],
+                          blk["mlp1_b"], x.dtype)
+        return x
+    # Self-attention with pre-LN (main.rs:1880-1942).
+    y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
+    q = _elinear(y, blk, "q_w", "q_b")
+    k = _elinear(y, blk, "k_w")  # K has no bias (main.rs:1894)
+    v = _elinear(y, blk, "v_w", "v_b")
     o = sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h),
              use_flash=use_flash)
     x = x + _elinear(merge_heads(o), blk, "out_w", "out_b")
@@ -149,9 +176,9 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
     # gated in tests/test_quant.py.
     x8 = xs = None
     if quantize_kv and params["encoder"]["blocks"].get("q_w_scale") is not None:
-        from .quant import quantize_act
+        from ..kernels.fused_quant import act_quant
 
-        x8, xs = quantize_act(x)
+        x8, xs = act_quant(x)
 
     def _lin(w, scale, b=None):
         # int8-quantized decoder weights (model.quant.quantize_decoder_weights)
