@@ -17,11 +17,14 @@ top-k step (decoding.topk_step). Here the whole beam decode runs as ONE jitted
   * the KV cache is reordered COPY-ON-WRITE: each beam carries a pointer to
     the physical cache row holding its history (``BeamState.phys``), a pure
     permutation of parents updates pointers only, and only genuinely forked
-    parents copy a row — into rows freed by dropped beams, via an in-place
-    aliased DMA kernel (kernels/beam_gather.cow_copy_rows). This replaces
-    openai's host-side materialized cache reorder, whose loop-level
-    equivalent measured ~2x the chip's read+write ceiling per step (XLA
-    copies the while-carry around any reorder op — table in step_fn).
+    parents copy a row — into rows freed by dropped beams, via a one-hot
+    dot on the layout-matching transposed view of the cache
+    (kernels/beam_gather.lane_dot_permute: the transposes elide to bitcasts
+    against the batch-minor carry, so no reconciliation copies). This
+    replaces openai's host-side materialized cache reorder, whose
+    loop-level equivalent measured ~2x the chip's read+write ceiling per
+    step (XLA copies the while-carry around any reorder op — table in
+    step_fn).
 
 Verified token-exact against the host beam in tests/test_topk_beam.py.
 """
@@ -287,26 +290,30 @@ def beam_decode_device(
         )
 
         # Copy-on-write row assignment: pointer update for permutations,
-        # physical copies only where a parent beam forked. Measured r3
-        # matrix (v5e, large-v3, G=32 k=5 = 160 rows, int8 cache ctx 128,
-        # ms/step, ONE process interleaved):
+        # physical copies only where a parent beam forked. Measured matrix
+        # (v5e, large-v3, G=32 k=5 = 160 rows, int8 cache ctx 128, ms/step,
+        # ONE process interleaved; kernel rows re-measured same-day as the
+        # lane-dot rows — the r3-recorded 35.3 for the same production
+        # config shows tunnel day-to-day variance):
         #     no copies at all (pointer bookkeeping only)     20.5  (floor)
-        #     cond + aliased COW DMA kernel  [PRODUCTION]     35.3
+        #     cond + lane-dot transposed view  [PRODUCTION]   23.3
+        #     cond + aliased COW DMA kernel                   27.1
+        #     lane-dot, no cond                               37.1
         #     COW kernel, no cond                             45.6
         #     COW kernel with IDENTITY src (zero DMAs!)       45.1
         #     M-slot gather + in-place scatter (XLA-native)   47.6-49.7
-        # The identity-src row is the tell: the cost is NOT the row copies
-        # but LAYOUT RECONCILIATION — XLA carries the cache batch-MINOR
-        # ({0,3,2,4,1}: decode attention vectorizes over batch lanes) while
-        # any Pallas custom call requires default layout, so full-cache
-        # conversion copies bracket the call; input/output aliasing cannot
-        # help across a layout change. XLA-native sparse scatter avoids the
-        # relayout but strides catastrophically in the batch-minor layout.
-        # Still shipped: COW skips ~all copies on permutation-only steps
-        # (identity cond), and the r2 measured matrix for MATERIAL full
-        # reorders (+5.7..+36.4 ms at 40/80 rows) bounds the alternatives.
-        # Open: a lane-shuffle kernel on the bitcast-transposed view (the
-        # layout-matching shape) or XLA-side carry-layout control.
+        #     one-hot dot over the (G,k) beam axis, cond      27.0
+        #     same, no cond                                   59.3
+        # The identity-src row is the tell: the cost was never the row
+        # copies but LAYOUT RECONCILIATION — XLA carries the cache
+        # batch-MINOR ({0,3,2,4,1}: decode attention vectorizes over batch
+        # lanes) while any Pallas custom call requires default layout (and
+        # an XLA dot over a non-minor axis relayouts too), so full-cache
+        # conversion copies bracket the op. lane_dot_permute sidesteps it:
+        # dot on the transposed view whose default layout IS the carried
+        # layout (transpose -> bitcast), fork-step cost 16.6 ms =~ the
+        # cache read+write at wire rate. COW still skips permutation-only
+        # steps entirely (identity cond).
         phys_l = state.phys.reshape(G, k) - base
         new_phys_l, copy_src_l = cow_assign(phys_l, new_src, k)
         new_phys = (new_phys_l + base).reshape(GK)
@@ -322,9 +329,9 @@ def beam_decode_device(
 
         def _cow(args):
             ck, cv, src = args
-            from ..kernels.beam_gather import cow_copy_rows
+            from ..kernels.beam_gather import lane_dot_permute
 
-            return cow_copy_rows((ck, cv), src)
+            return lane_dot_permute((ck, cv), src)
 
         new_cache_k, new_cache_v = jax.lax.cond(
             jnp.all(copy_src == jnp.arange(GK)),

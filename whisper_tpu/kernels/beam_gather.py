@@ -15,13 +15,18 @@ decoding/device_beam.py):
     rate (not the 819 GB/s read-only figure), and XLA adds ~1 extra
     full-cache pass copying the carry around the custom call.
 
-STATUS (r3): the production beam loop no longer materializes full-row
-permutes at all — it runs copy-on-write row pointers with the sparse
-in-place ``cow_copy_rows`` kernel below; see the measured matrix in
-decoding/device_beam.py (layout reconciliation, not copy bytes, dominates
-any loop-level Pallas call). ``permute_rows_multi`` and its two kernels are
-kept as the general standalone row-permute (tested in tests/test_kernels.py)
-and as the documented negative result they anchor.
+STATUS (r3): the production beam loops run copy-on-write row pointers
+(decoding/device_beam.cow_assign) and materialize fork copies with
+``lane_dot_permute`` below — a plain XLA dot on the TRANSPOSED view of the
+cache, which matches the decode carry's batch-minor physical layout so the
+transposes elide to bitcasts and no layout-reconciliation copies bracket
+the op. Measured (b32 k5 int8 ctx128, one process, interleaved, ms/step):
+no-copy floor 20.5; cond+cow_copy_rows kernel 27.1; cond+lane-dot 23.3
+(fork-step cost 16.6 vs the kernel's 24.5 — the difference is exactly the
+reconciliation the custom call forces). ``cow_copy_rows`` and the
+``permute_rows_multi`` kernels are kept as the general standalone
+row-permute (tested in tests/test_kernels.py) and as the documented
+measured alternatives they anchor.
 
 Two kernels, routed by shape in ``permute_rows_multi``:
 
@@ -39,6 +44,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -279,6 +285,51 @@ def cow_copy_rows(tree, src: jnp.ndarray):
         input_output_aliases={1 + i: i for i in range(n)},
     )(src.astype(jnp.int32), *leaves)
     return jax.tree.unflatten(treedef, out)
+
+
+def lane_dot_permute(tree, src: jnp.ndarray):
+    """Batch-row cache gather as a one-hot dot on the transposed view:
+    leaf[i] <- leaf[src[i]] (src need not be a bijection).
+
+    The decode while-loop carries the KV cache batch-MINOR (codes layout
+    {0,3,2,4,1}, scales {0,2,3,1} — decode attention vectorizes over batch
+    lanes), and ANY custom call or gather op there pays full-cache layout
+    reconciliation copies (matrix in decoding/device_beam.py). Transposing
+    each leaf to the logical shape whose DEFAULT layout equals that physical
+    layout — codes (L,C,H,D,B), scales (L,C,H,B) — makes the transpose a
+    bitcast (XLA TransposeIsBitcast), and a (N,B)x(B,B) one-hot dot then
+    reads and writes the cache in its native layout on the MXU. Exact for
+    int8 codes (int32 accumulation) and f32/bf16 (single-term sums).
+
+    If XLA picks a different carry layout for some config the transposes
+    materialize and this degrades to a correct full gather — the identity
+    cond in the beam loops still skips permutation-only steps.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    B = leaves[0].shape[0]
+    S = src[None, :] == jnp.arange(B)[:, None]          # S[b, r]
+
+    def leaf(a):
+        if a.ndim == 5:      # codes/bf16 (B, L, H, D, C) -> (L, C, H, D, B)
+            p = (1, 4, 2, 3, 0)
+        elif a.ndim == 4:    # scales    (B, L, H, C)    -> (L, C, H, B)
+            p = (1, 3, 2, 0)
+        else:
+            return jnp.take(a, src, axis=0)
+        inv = tuple(int(i) for i in np.argsort(p))
+        at = jnp.transpose(a, p)
+        flat = at.reshape(-1, B)
+        if a.dtype == jnp.int8:
+            out = jax.lax.dot_general(
+                flat, S.astype(jnp.int8), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.int8)
+        else:
+            out = jax.lax.dot_general(
+                flat, S.astype(a.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(a.dtype)
+        return jnp.transpose(out.reshape(at.shape), inv)
+
+    return jax.tree.unflatten(treedef, [leaf(a) for a in leaves])
 
 
 def permute_rows(x: jnp.ndarray, rows: jnp.ndarray,

@@ -142,9 +142,9 @@ def _decode_chunk_beam(
 
         def _cow(args):
             ck, cv, src = args
-            from ..kernels.beam_gather import cow_copy_rows
+            from ..kernels.beam_gather import lane_dot_permute
 
-            return cow_copy_rows((ck, cv), src)
+            return lane_dot_permute((ck, cv), src)
 
         cache_k, cache_v = jax.lax.cond(
             jnp.all(copy_src == jnp.arange(Sk)),
