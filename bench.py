@@ -50,7 +50,10 @@ def main() -> int:
     beam_env = os.environ.get("BENCH_BEAM")
     # Greedy throughput peaks at b64 (cross-read bound); beam at b32
     # (320 decode rows; larger OOMs next to the 15.75 GB HBM budget).
-    batch = int(os.environ.get("BENCH_BATCH", "32" if beam_env else "64"))
+    # Beam default b48: measured 427.6x vs 292.1x at b32 (same-day 50-iter
+    # runs) — per-iter wall is nearly flat in G, so bigger groups amortize
+    # the fixed per-step cost; b56/b64 crash or hang the worker (HBM).
+    batch = int(os.environ.get("BENCH_BATCH", "48" if beam_env else "64"))
     seconds = int(os.environ.get("BENCH_SECONDS", "120"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     kv_dtype = os.environ.get("BENCH_KV", "int8")
