@@ -226,3 +226,36 @@ def test_beam_gather_permute_rows_multi_fused():
     gk, gv = permute_cache_rows((kb, vb), rows)
     np.testing.assert_array_equal(np.asarray(gk), np.asarray(jnp.take(kb, rows, axis=0)))
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(jnp.take(vb, rows, axis=0)))
+
+
+def test_lane_dot_permute_matches_take():
+    """The production beam fork-copy (one-hot dot on the transposed,
+    layout-matching view) is EXACT vs jnp.take(axis=0) for every cache leaf
+    kind: int8 codes (int32 accumulation), f32 scales, bf16 parity-mode
+    buffers — including non-bijective src (beam forks) and identity."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from whisper_tpu.kernels.beam_gather import lane_dot_permute
+    from whisper_tpu.model.quant import QuantKV
+
+    rng = np.random.default_rng(11)
+    for src in (
+        jnp.asarray(rng.permutation(10).astype(np.int32)),            # bijection
+        jnp.asarray(np.array([0, 0, 3, 3, 9, 1, 1, 2, 2, 5], np.int32)),  # forks
+        jnp.arange(10, dtype=jnp.int32),                               # identity
+    ):
+        kd = jnp.asarray(rng.integers(-127, 128, (10, 4, 6, 64, 75)), dtype=jnp.int8)
+        ks = jnp.asarray(rng.random((10, 4, 6, 75)).astype(np.float32))
+        vd = jnp.asarray(rng.integers(-127, 128, (10, 4, 6, 64, 75)), dtype=jnp.int8)
+        vs = jnp.asarray(rng.random((10, 4, 6, 75)).astype(np.float32))
+        gk, gv = lane_dot_permute((QuantKV(kd, ks), QuantKV(vd, vs)), src)
+        for got, ref in ((gk.data, kd), (gk.scale, ks),
+                         (gv.data, vd), (gv.scale, vs)):
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(jnp.take(ref, src, axis=0)))
+
+        kb = jnp.asarray(rng.standard_normal((10, 2, 6, 64, 80)), dtype=jnp.bfloat16)
+        (gb,) = lane_dot_permute((kb,), src)
+        np.testing.assert_array_equal(
+            np.asarray(gb), np.asarray(jnp.take(kb, src, axis=0)))

@@ -423,13 +423,14 @@ def _decode_full_device_beam(
     padded, true_len = _pad_to_bucket(init)
     # Same openai budget arithmetic as _decode_full_device.
     sample_len = max(0, min(task.sample_len, config.n_text_ctx - true_len + 1))
-    # pad_ctx on TPU: the beam loop's copy-on-write row copies run through
-    # the raw-DMA kernel, which needs tile-aligned (128) rows; the padded
-    # tail is masked and costs ~9% extra cache read vs the passes it saves.
+    # No ctx padding: the lane-dot fork copy (kernels/beam_gather.
+    # lane_dot_permute) has no row-alignment requirement, and the exact-size
+    # cache measured 21.4 vs 23.4 ms/step at ctx 75-vs-128 (fork-step cost
+    # 9.0 vs 16.6) — the 128-multiple rows were only ever needed by the
+    # raw-DMA COW kernel this path no longer uses.
     cache = init_cache(
         config, n_audio * k, dtype=_cache_dtype(ck),
         ctx=padded.shape[1] + sample_len + 8,
-        pad_ctx=jax.default_backend() == "tpu",
     )
     (act_toks, act_lp, fin_toks, fin_scores, fin_len, fin_count, steps, nosp) = (
         beam_decode_device(

@@ -87,8 +87,11 @@ def init_quant_cache(cfg, batch: int, ctx: int | None = None,
                      pad_ctx: bool = False):
     """int8 KV cache: data (B,L,H,D,C) int8 + per-position scale (B,L,H,C)
     (batch-leading so a sequence's cache is contiguous — see KVCache).
-    ``pad_ctx`` rounds C up to a 128 multiple — required by the beam loop's
-    raw-DMA row permute (kernels/beam_gather.py needs tile-aligned rows)."""
+    ``pad_ctx`` rounds C up to a 128 multiple — only needed by the
+    standalone raw-DMA row permute (kernels/beam_gather.permute_rows_multi
+    needs tile-aligned rows); the production beam paths use the lane-dot
+    fork copy and size the cache exactly (ctx 75-vs-128 measured 21.4 vs
+    23.4 ms/step)."""
     L, H, D = cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text
     C = min(ctx or cfg.n_text_ctx, cfg.n_text_ctx)
     if pad_ctx:

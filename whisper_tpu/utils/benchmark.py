@@ -143,16 +143,17 @@ def make_serving_step(model, batch: int, decode_tokens: int,
             from ..decoding.device_beam import beam_decode_device
 
             k = beam_size
-            pad = jax.default_backend() == "tpu"  # COW kernel: aligned rows
+            # Exact-size cache: the lane-dot fork copy needs no row
+            # alignment, and ctx 75-vs-128 measured 21.4 vs 23.4 ms/step.
             if kv_dtype == "int8":
                 from ..model.decoder import KVCache
                 from ..model.quant import init_quant_cache
 
-                cache = KVCache(*init_quant_cache(cfg, batch * k, ctx=seg_ctx,
-                                                  pad_ctx=pad))
+                cache = KVCache(*init_quant_cache(cfg, batch * k,
+                                                  ctx=seg_ctx))
             else:
                 cache = init_cache(cfg, batch * k, dtype=jnp.bfloat16,
-                                   ctx=seg_ctx, pad_ctx=pad)
+                                   ctx=seg_ctx)
             out = beam_decode_device(
                 params, jnp.repeat(init_tokens, k, axis=0), len(init), 0,
                 cache, cross_k, cross_v, sup_mask, blank_mask, cfg,
