@@ -37,6 +37,9 @@ def main() -> int:
             chunk_steps=int(os.environ.get("BENCH_CHUNK", "16")),
             quantize=os.environ.get("BENCH_KV", "int8") == "int8",
             seconds=int(os.environ.get("BENCH_SECONDS", "120")),
+            # BENCH_PRESTAGED=1: audio device-resident before the timed run
+            # (the device-floor / direct-to-device-serving measurement).
+            prestage=os.environ.get("BENCH_PRESTAGED", "") == "1",
         )
         print(json.dumps(result))
         return 0

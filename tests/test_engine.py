@@ -224,3 +224,18 @@ def test_engine_int16_audio_identical_to_f32(model):
                      chunk_steps=4).transcribe_many(f32)
     for g, r in zip(got, ref):
         assert g.tokens == r.tokens
+
+
+def test_engine_device_resident_audio_identical(model):
+    """Pre-staged device arrays (the direct-to-device serving path /
+    BENCH_PRESTAGED mode) take the no-host-staging admission branch and
+    must be token-identical to host numpy admission."""
+    opts = DecodingOptions(sample_len=12, without_timestamps=True)
+    host = _audios(5, seed=33)
+    dev = [jnp.asarray(a) for a in host]
+    got = SlotEngine(model, n_slots=2, options=opts,
+                     chunk_steps=4).transcribe_many(dev)
+    ref = SlotEngine(model, n_slots=2, options=opts,
+                     chunk_steps=4).transcribe_many(host)
+    for g, r in zip(got, ref):
+        assert g.tokens == r.tokens

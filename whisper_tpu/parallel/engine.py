@@ -303,7 +303,14 @@ class SlotEngine:
         round-trips, so the bucket's audio ships as ONE stacked transfer
         and mel+window run as ONE fused dispatch per distinct length
         (per-stream reflect padding / global max-normalization exact —
-        tested token-identical to the offline pipeline)."""
+        tested token-identical to the offline pipeline).
+
+        Device-resident inputs (jax.Array) skip the host staging entirely —
+        the path for serving stacks where audio lands on-device upstream
+        (network receive -> device DMA) and for measuring the engine's
+        device floor without the tunnel's host->device wall."""
+        if all(isinstance(a, jax.Array) for a in audios):
+            return self._window_batch_device(audios, bucket)
         arrs = [np.asarray(a) for a in audios]
         # Preserve int16 PCM end-to-end (device-side /32768 in _mel_windows
         # is bit-identical to the host conversion): 4x fewer bytes over the
@@ -322,6 +329,27 @@ class SlotEngine:
         win_rows: List[Optional[jnp.ndarray]] = [None] * len(arrs)
         for ln, idxs in by_len.items():
             group = audio_dev[jnp.asarray(idxs, jnp.int32), :ln]
+            wins_g = _mel_windows(group, self.model.filters, self._n_frames)
+            for j, i in enumerate(idxs):
+                win_rows[i] = wins_g[j]
+        wins = jnp.stack(win_rows)
+        if len(audios) < bucket:
+            wins = jnp.concatenate(
+                [wins, jnp.zeros((bucket - len(audios),) + wins.shape[1:],
+                                 wins.dtype)])
+        return wins
+
+    def _window_batch_device(self, audios: Sequence[jax.Array], bucket: int):
+        """Device-resident variant of ``_window_batch``: no host transfer,
+        one fused mel dispatch per distinct length (same numerics — the
+        int16 /32768 conversion and per-stream normalization live inside
+        ``_mel_windows`` either way)."""
+        by_len: dict = {}
+        for i, a in enumerate(audios):
+            by_len.setdefault(a.shape[0], []).append(i)
+        win_rows: List[Optional[jnp.ndarray]] = [None] * len(audios)
+        for ln, idxs in by_len.items():
+            group = jnp.stack([audios[i] for i in idxs])
             wins_g = _mel_windows(group, self.model.filters, self._n_frames)
             for j, i in enumerate(idxs):
                 win_rows[i] = wins_g[j]
