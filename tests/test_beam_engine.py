@@ -91,3 +91,62 @@ def test_beam_engine_rejects_invalid_options(model):
     with pytest.raises(ValueError):
         BeamSlotEngine(model, options=DecodingOptions(beam_size=3,
                                                       patience=2.0))
+
+
+def test_beam_engine_streams_match_offline_pipeline(tmp_path):
+    """LONG-FORM beam identity: >30 s streams through the beam engine
+    (whisper_full window continuation with prompt carry over beam groups)
+    produce the same segments as pipeline.transcribe with the same
+    beam_size, window for window. use_device_loop=True pins the offline
+    t=0 rung to the fused device beam (the semantics the engine chunk loop
+    implements) on any backend."""
+    from fixtures import synthetic_audio, tiny_config, write_synthetic_ggml
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+    path = tmp_path / "ggml-tiny-synth.bin"
+    write_synthetic_ggml(path, tiny_config(), seed=9)
+    model = load_model(str(path), use_native=False)
+
+    SR = 16000
+    audios = [synthetic_audio(SR * 35, seed=1),
+              synthetic_audio(SR * 44, seed=2),
+              synthetic_audio(SR * 6, seed=4)]
+    topts = TranscribeOptions(temperature=0.0, beam_size=2,
+                              condition_on_previous_text=True,
+                              use_device_loop=True)
+
+    ref = [transcribe(model, a, topts) for a in audios]
+
+    engine = BeamSlotEngine(
+        model, n_slots=2, chunk_steps=8,
+        options=DecodingOptions(beam_size=2))
+    got = engine.transcribe_streams(audios, topts)
+
+    assert engine.stats["windows"] >= 4  # multi-window streams actually ran
+    for r, g in zip(ref, got):
+        assert g["language"] == r["language"]
+        assert g["duration"] == r["duration"]
+        assert g["text"] == r["text"]
+        assert len(g["segments"]) == len(r["segments"])
+        for rs, gs in zip(r["segments"], g["segments"]):
+            assert gs["tokens"] == rs["tokens"]
+            assert gs["t0"] == rs["t0"] and gs["t1"] == rs["t1"]
+            assert gs["seek"] == rs["seek"]
+            assert gs["no_speech_prob"] == pytest.approx(
+                rs["no_speech_prob"], abs=1e-5)
+            assert gs["avg_logprob"] == pytest.approx(
+                rs["avg_logprob"], rel=1e-4, abs=1e-5)
+
+
+def test_beam_engine_streams_rejects_mismatched_beam(model):
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    engine = BeamSlotEngine(model, n_slots=2,
+                            options=DecodingOptions(beam_size=3))
+    with pytest.raises(ValueError):
+        engine.transcribe_streams([_audios(1)[0]],
+                                  TranscribeOptions(beam_size=5))
+    with pytest.raises(ValueError):
+        engine.transcribe_streams([_audios(1)[0]],
+                                  TranscribeOptions(beam_size=None))

@@ -239,3 +239,33 @@ def test_engine_device_resident_audio_identical(model):
                      chunk_steps=4).transcribe_many(host)
     for g, r in zip(got, ref):
         assert g.tokens == r.tokens
+
+
+def test_engine_streams_word_timestamps_match_offline(tmp_path):
+    """word_timestamps through the engine: finish_window's DTW epilogue
+    runs on the slot's resident cross rows — the same encoder memory the
+    offline path passes as ``enc`` — so word lists must match exactly."""
+    from fixtures import synthetic_audio, tiny_config, write_synthetic_ggml
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+    path = tmp_path / "ggml-tiny-synth.bin"
+    write_synthetic_ggml(path, tiny_config(), seed=9)
+    model = load_model(str(path), use_native=False)
+
+    SR = 16000
+    audios = [synthetic_audio(SR * 35, seed=1),
+              synthetic_audio(SR * 6, seed=3)]
+    topts = TranscribeOptions(temperature=0.0, word_timestamps=True,
+                              condition_on_previous_text=True)
+
+    ref = [transcribe(model, a, topts) for a in audios]
+    engine = SlotEngine(model, n_slots=2, chunk_steps=8)
+    got = engine.transcribe_streams(audios, topts)
+
+    assert any(s["words"] for r in got for s in r["segments"])
+    for r, g in zip(ref, got):
+        assert g["text"] == r["text"]
+        for rs, gs in zip(r["segments"], g["segments"]):
+            assert gs["tokens"] == rs["tokens"]
+            assert gs["words"] == rs["words"]

@@ -227,16 +227,29 @@ def cmd_batch(args) -> int:
     if args.long_form:
         # whisper_full semantics through the engine: window continuation,
         # prompt carry, no-speech gate, fallback escalation per stream.
+        # --beam N decodes every window with beam search (beam groups).
         from .pipeline.transcribe import TranscribeOptions
 
-        engine = SlotEngine(
-            model, n_slots=args.slots,
-            options=DecodingOptions(language=args.language),
-            quantize=args.quantize,
-        )
+        if args.beam:
+            from .parallel.beam_engine import BeamSlotEngine
+
+            engine = BeamSlotEngine(
+                model, n_slots=args.slots,
+                options=DecodingOptions(language=args.language,
+                                        beam_size=args.beam),
+                quantize=args.quantize,
+            )
+        else:
+            engine = SlotEngine(
+                model, n_slots=args.slots,
+                options=DecodingOptions(language=args.language),
+                quantize=args.quantize,
+            )
         t0 = time.perf_counter()
         results = engine.transcribe_streams(
-            audios, TranscribeOptions(language=args.language))
+            audios, TranscribeOptions(language=args.language,
+                                      beam_size=args.beam or None,
+                                      word_timestamps=args.word_timestamps))
         wall = time.perf_counter() - t0
         for path, res in zip(args.audio, results):
             print(f"== {path}: {res['text']}")
@@ -389,6 +402,9 @@ def main(argv=None) -> int:
     p.add_argument("--long-form", action="store_true",
                    help="whisper_full windows through the engine (>30 s "
                         "streams, prompt carry, fallback)")
+    p.add_argument("--word-timestamps", action="store_true",
+                   help="word-level timestamps (long-form mode; DTW over "
+                        "the slot's resident cross-attention rows)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("stream", help="simulated real-time transcription")

@@ -58,6 +58,9 @@ class BeamEngineState(NamedTuple):
     step: jnp.ndarray         # (S,) sampled positions per group
     active: jnp.ndarray       # (S,) bool
     no_speech: jnp.ndarray    # (S,) f32
+    max_new_row: jnp.ndarray  # (S,) int32 per-group sample budget (wrapped
+                              # prompts shorten it — the openai clamp
+                              # n_text_ctx - true_len + 1, task.py)
 
 
 def _bu_group(top_lp, top_ids, sum_lp, tokens, fin_t, fin_s, fin_l, fin_c,
@@ -79,7 +82,7 @@ def _bu_group(top_lp, top_ids, sum_lp, tokens, fin_t, fin_s, fin_l, fin_c,
 def _decode_chunk_beam(
     params, state: BeamEngineState, cross_k, cross_v, sup_mask, blank_mask,
     cfg: WhisperConfig, steps: int, k: int, use_timestamps: bool,
-    max_initial_index: Optional[int], max_new: int,
+    max_initial_index: Optional[int],
 ):
     v = cfg.n_vocab
     eot = 50256 if v == 51864 else 50257
@@ -157,7 +160,7 @@ def _decode_chunk_beam(
             KVCache(cache_k, cache_v), cross_k, cross_v, cfg,
         )
         new_step = st.step + jnp.where(act, 1, 0)
-        still = act & (new_step < max_new) & ~(fin_c >= k)
+        still = act & (new_step < st.max_new_row) & ~(fin_c >= k)
         new = BeamEngineState(
             cache_k=new_cache.k, cache_v=new_cache.v,
             logits=lg[:, 0].astype(jnp.float32),
@@ -170,6 +173,7 @@ def _decode_chunk_beam(
             step=new_step,
             active=still,
             no_speech=st.no_speech,
+            max_new_row=st.max_new_row,
         )
         return new, None
 
@@ -189,11 +193,14 @@ def _beam_snapshot(active, step, tokens, sum_lp, fin_tokens, fin_scores,
     jax.jit, donate_argnames=("state", "cross_k_pool", "cross_v_pool"))
 def _beam_refill(state: BeamEngineState, cross_k_pool, cross_v_pool,
                  groups, row_ids, ck_rows, cv_rows, cache_rows_k,
-                 cache_rows_v, logits_rows, n_init, nosp_rows, eot):
+                 cache_rows_v, logits_rows, n_inits, max_news, nosp_rows,
+                 eot):
     """Install an admission bucket of beam GROUPS: scatter the k prefilled
     cache rows per group, the group-shared cross rows, and reset the group
     bookkeeping. ``groups`` (n,) group indices (trash-padded);
-    ``row_ids`` (n*k,) their flat physical rows."""
+    ``row_ids`` (n*k,) their flat physical rows; ``n_inits``/``max_news``
+    (n,) per-group prompt lengths and sample budgets (ragged long-form
+    windows)."""
     scat_rows = lambda p, r: jax.tree.map(
         lambda pp, rr: pp.at[row_ids].set(rr), p, r)
     scat_g1 = lambda p, r: jax.tree.map(
@@ -221,10 +228,11 @@ def _beam_refill(state: BeamEngineState, cross_k_pool, cross_v_pool,
         fin_scores=state.fin_scores.at[groups].set(NEG),
         fin_len=state.fin_len.at[groups].set(0),
         fin_count=state.fin_count.at[groups].set(0),
-        n_past=state.n_past.at[groups].set(n_init),
+        n_past=state.n_past.at[groups].set(n_inits),
         step=state.step.at[groups].set(0),
         active=state.active.at[groups].set(True).at[trash].set(False),
         no_speech=state.no_speech.at[groups].set(nosp_rows),
+        max_new_row=state.max_new_row.at[groups].set(max_news),
     )
     return (new, scat_g1(cross_k_pool, ck_rows),
             scat_g1(cross_v_pool, cv_rows))
@@ -236,8 +244,11 @@ class BeamSlotEngine(SlotEngine):
     Greedy-only restrictions of ``SlotEngine`` are replaced by openai beam
     semantics (beam_size candidates + finished-set, length-ranked finalize,
     identical to decoding/task._decode_full_device_beam per stream).
-    Single-window (<=30 s) streams; long-form beam windows belong to the
-    lockstep pipeline."""
+    ``transcribe_many`` serves independent <=30 s windows;
+    ``transcribe_streams`` (inherited scheduler, beam hooks) runs the full
+    whisper_full sliding-window loop per stream — window continuation with
+    prompt carry, no-speech gate, and t>0 best_of escalation through the
+    lockstep ladder, exactly as the offline pipeline's beam configuration."""
 
     def __init__(self, model, n_slots: int = 8,
                  options: Optional[DecodingOptions] = None,
@@ -263,9 +274,50 @@ class BeamSlotEngine(SlotEngine):
         self.options = options
         task = DecodingTask(self.cfg, self.vocab, options)
         self.ranker = task.ranker
+        self.pool_ctx = self._align_pool_ctx(self.pool_ctx)
+
+    # -- long-form scheduler hooks (SlotEngine.transcribe_streams drives
+    #    these; a slot is a beam GROUP, a window decodes with beam search
+    #    and escalates through the t>0 best_of rungs exactly as the offline
+    #    ladder does after a failed t=0 beam rung) --
+
+    def _check_stream_options(self, topts) -> None:
+        if (topts.beam_size or 0) != self.beam_size:
+            raise ValueError(
+                f"BeamSlotEngine streams need options.beam_size == "
+                f"{self.beam_size} (the engine's group width); got "
+                f"{topts.beam_size!r}")
+        if topts.patience is not None:
+            raise ValueError(
+                "patience is unsupported on the on-device beam; use "
+                "pipeline.transcribe with use_device_loop=False")
+
+    def _align_pool_ctx(self, needed: int) -> int:
         # COW row copies need tile-aligned rows on TPU.
         if jax.default_backend() == "tpu":
-            self.pool_ctx = -(-self.pool_ctx // 128) * 128
+            return -(-needed // 128) * 128
+        return needed
+
+    def _stream_chunk_snapshot(self, topts):
+        self._state = _decode_chunk_beam(
+            self.model.params, self._state,
+            self._cross_pool_k, self._cross_pool_v,
+            self.sup_mask, self.blank_mask, self.cfg,
+            steps=self.chunk_steps, k=self.beam_size,
+            use_timestamps=not topts.without_timestamps,
+            max_initial_index=self.max_initial_index,
+        )
+        return _beam_snapshot(
+            self._state.active, self._state.step, self._state.tokens,
+            self._state.sum_lp, self._state.fin_tokens,
+            self._state.fin_scores, self._state.fin_len,
+            self._state.fin_count, self._state.no_speech)
+
+    def _stream_result(self, s: int, pulled) -> DecodingResult:
+        (active, step, tokens, sum_lp, fin_t, fin_s, fin_l, fin_c,
+         nosp) = pulled
+        return self._finalize_group(s, step, tokens, sum_lp, fin_t, fin_s,
+                                    fin_l, fin_c, nosp)
 
     # -- admission --
 
@@ -301,6 +353,7 @@ class BeamSlotEngine(SlotEngine):
             step=jnp.zeros((S,), jnp.int32),
             active=jnp.zeros((S,), bool),
             no_speech=jnp.zeros((S,), jnp.float32),
+            max_new_row=jnp.full((S,), self.max_new, jnp.int32),
         )
 
     def _install_bucket(self, slot_list, wins, bucket: int,
@@ -310,13 +363,17 @@ class BeamSlotEngine(SlotEngine):
         if tokens is None:
             tokens = jnp.broadcast_to(
                 self._padded_init, (bucket, self._padded_init.shape[1]))
-        # Prefill all k rows per group with the identical prompt: the
-        # encoder runs per GROUP; cross rows stay group-shared (the decoder
-        # folds the beam axis), so the prefill decode_step sees Bc=bucket
-        # cross with B=bucket*k token rows.
+            lengths = jnp.full((bucket,), self.init_len, jnp.int32)
+            sot_idx = jnp.full((bucket,), self.sot_index, jnp.int32)
+        if max_news is None:
+            max_news = jnp.full((bucket,), self.max_new, jnp.int32)
+        # Prefill all k rows per group with the group's (possibly wrapped)
+        # prompt: the encoder runs per GROUP; cross rows stay group-shared
+        # (the decoder folds the beam axis), so the prefill decode_step sees
+        # Bc=bucket cross with B=bucket*k token rows.
         tokens_k = jnp.repeat(tokens, k, axis=0)
-        lengths_k = jnp.full((bucket * k,), self.init_len, jnp.int32)
-        sot_k = jnp.full((bucket * k,), self.sot_index, jnp.int32)
+        lengths_k = jnp.repeat(lengths, k)
+        sot_k = jnp.repeat(sot_idx, k)
         ck, cv, cache, first_logits, nosp = _encode_prefill_beam(
             self.model.params, wins, tokens_k, lengths_k, sot_k,
             self.cfg, self.use_flash, self.quantize, self.pool_ctx,
@@ -340,7 +397,7 @@ class BeamSlotEngine(SlotEngine):
             self._state, self._cross_pool_k, self._cross_pool_v,
             jnp.asarray(groups), jnp.asarray(row_ids.astype(np.int32)),
             ck, cv, cache.k, cache.v, first_logits,
-            jnp.int32(self.init_len), nosp, jnp.int32(eot))
+            lengths, max_news, nosp, jnp.int32(eot))
 
     # -- scheduler --
 
@@ -377,7 +434,6 @@ class BeamSlotEngine(SlotEngine):
                     steps=self.chunk_steps, k=self.beam_size,
                     use_timestamps=not self.options.without_timestamps,
                     max_initial_index=self.max_initial_index,
-                    max_new=self.max_new,
                 )
                 new_snap = (list(slot_req), _beam_snapshot(
                     self._state.active, self._state.step, self._state.tokens,

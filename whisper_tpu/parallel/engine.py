@@ -596,14 +596,7 @@ class SlotEngine:
         topts = options or TranscribeOptions(**kwargs)
         if options is not None and kwargs:
             topts = _dc.replace(options, **kwargs)
-        if topts.beam_size or (topts.best_of or 1) != 1:
-            raise ValueError(
-                "SlotEngine streams are greedy-first; beam windows belong to "
-                "the lockstep path (pipeline.transcribe with beam_size)")
-        if topts.word_timestamps:
-            raise NotImplementedError(
-                "word_timestamps through the engine is not implemented; use "
-                "pipeline.transcribe")
+        self._check_stream_options(topts)
         temps = ([topts.temperature]
                  if isinstance(topts.temperature, (int, float))
                  else list(topts.temperature))
@@ -621,7 +614,7 @@ class SlotEngine:
                 raise RuntimeError(
                     "engine pool already sized without prompt budget; use a "
                     "fresh SlotEngine for transcribe_streams")
-            self.pool_ctx = needed
+            self.pool_ctx = self._align_pool_ctx(needed)
         # Align the rule masks and timestamp cap with the stream options.
         self.sup_mask, self.blank_mask = build_masks(
             self.vocab, suppress_tokens=topts.suppress_tokens)
@@ -661,35 +654,23 @@ class SlotEngine:
                 self.stats["admit_s"] += _time.perf_counter() - t0
             if any(s is not None for s in slot_stream):
                 t0 = _time.perf_counter()
-                self._state = _decode_chunk(
-                    self.model.params, self._state,
-                    self._cross_pool_k, self._cross_pool_v,
-                    self.sup_mask, self.blank_mask, self.cfg,
-                    steps=self.chunk_steps,
-                    use_timestamps=not topts.without_timestamps,
-                    max_initial_index=self.max_initial_index,
-                )
-                new_snap = (list(slot_stream), list(slot_ticket), _snapshot(
-                    self._state.active, self._state.length,
-                    self._state.sum_logprobs, self._state.tokens_out,
-                    self._state.no_speech))
+                new_snap = (list(slot_stream), list(slot_ticket),
+                            self._stream_chunk_snapshot(topts))
                 self.stats["chunk_s"] += _time.perf_counter() - t0
             else:
                 new_snap = None
             if snap is not None:
                 stream_map, tick_map, arrs = snap
                 t0 = _time.perf_counter()
-                active, length, sum_lp, toks, nosp = jax.device_get(arrs)
+                pulled = jax.device_get(arrs)
+                active = pulled[0]
                 self.stats["pull_s"] += _time.perf_counter() - t0
                 for s in range(self.n_slots):
                     st = stream_map[s]
                     if (st is None or active[s] or slot_stream[s] is not st
                             or slot_ticket[s] != tick_map[s]):
                         continue
-                    # The offline path decodes text without the engine's
-                    # strip() (finish_window re-decodes per segment anyway).
-                    result = self._harvest(s, toks, length, sum_lp, nosp,
-                                           strip=False)
+                    result = self._stream_result(s, pulled)
                     self.stats["windows"] += 1
                     if gate_needs_fallback(result, topts):
                         t1 = _time.perf_counter()
@@ -697,10 +678,12 @@ class SlotEngine:
                                                        temps)
                         self.stats["fallback_s"] += _time.perf_counter() - t1
                         self.stats["fallbacks"] += 1
+                    enc_arg = (self._slot_enc(s) if topts.word_timestamps
+                               else None)
                     segments, new_seek, new_tokens, reset = finish_window(
                         self.model, result, st["seek"], st["content_frames"],
                         self._n_frames, topts, len(st["segments"]),
-                        st["language"], enc=None,
+                        st["language"], enc=enc_arg,
                     )
                     st["segments"].extend(segments)
                     st["all_tokens"].extend(new_tokens)
@@ -725,6 +708,58 @@ class SlotEngine:
                 "duration": st["duration"],
             })
         return out
+
+    # -- long-form scheduler hooks (overridden by BeamSlotEngine) --
+
+    def _check_stream_options(self, topts) -> None:
+        if topts.beam_size or (topts.best_of or 1) != 1:
+            raise ValueError(
+                "SlotEngine streams are greedy-first; beam windows belong to "
+                "BeamSlotEngine.transcribe_streams (or pipeline.transcribe)")
+
+    def _align_pool_ctx(self, needed: int) -> int:
+        return needed
+
+    def _stream_chunk_snapshot(self, topts):
+        """Dispatch one decode chunk (async) and return fresh-buffer device
+        snapshots of the harvest arrays (pulled one round later)."""
+        self._state = _decode_chunk(
+            self.model.params, self._state,
+            self._cross_pool_k, self._cross_pool_v,
+            self.sup_mask, self.blank_mask, self.cfg,
+            steps=self.chunk_steps,
+            use_timestamps=not topts.without_timestamps,
+            max_initial_index=self.max_initial_index,
+        )
+        return _snapshot(
+            self._state.active, self._state.length,
+            self._state.sum_logprobs, self._state.tokens_out,
+            self._state.no_speech)
+
+    def _stream_result(self, s: int, pulled) -> DecodingResult:
+        """Window result for slot ``s`` from the pulled snapshot — built
+        exactly as the offline t=0 rung builds it (text stripped before
+        compression_ratio, decoding/task.py) so the fallback gate and the
+        segment fields match the lockstep pipeline bit-for-bit."""
+        active, length, sum_lp, toks, nosp = pulled
+        return self._harvest(s, toks, length, sum_lp, nosp)
+
+    def _slot_enc(self, s: int):
+        """The slot's resident encoder memory as an ``enc``-like batch-1 view
+        for finish_window's word-timing epilogue (the same rows the window
+        decoded against — identical to the offline path's per-window
+        ``encode`` output). Sliced before the slot can be refilled; with
+        quantize=True the alignment signal comes from the int8 cross rows
+        (dequantized inside the block), a within-tolerance approximation of
+        the offline bf16 timing signal."""
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            cross_k=jax.tree.map(lambda a: a[:, s : s + 1],
+                                 self._cross_pool_k),
+            cross_v=jax.tree.map(lambda a: a[:, s : s + 1],
+                                 self._cross_pool_v),
+        )
 
     def _init_stream(self, idx: int, audio: np.ndarray, topts) -> dict:
         """Host+device state for one long-form stream: the full padded mel
