@@ -40,6 +40,10 @@ def main() -> int:
             # BENCH_PRESTAGED=1: audio device-resident before the timed run
             # (the device-floor / direct-to-device-serving measurement).
             prestage=os.environ.get("BENCH_PRESTAGED", "") == "1",
+            # BENCH_BEAM=k: continuous batching of beam GROUPS (BeamSlotEngine;
+            # decode rows = BENCH_BATCH * k — size BENCH_BATCH accordingly).
+            beam_size=(int(os.environ["BENCH_BEAM"])
+                       if os.environ.get("BENCH_BEAM") else None),
         )
         print(json.dumps(result))
         return 0

@@ -23,6 +23,7 @@ def run_engine_benchmark(
     max_new_tokens: int = 64,
     seconds: int = 120,
     prestage: bool = False,
+    beam_size: Optional[int] = None,
 ) -> dict:
     """Continuous-batching serving throughput: a SlotEngine with ``n_slots``
     draining ``n_streams`` independent 30 s streams of staggered lengths
@@ -33,7 +34,11 @@ def run_engine_benchmark(
     receive audio straight to device memory, and — on this sandbox's
     tunneled chip, whose host->device link is far slower than a production
     PCIe/on-host path — the engine's device floor with the tunnel's upload
-    wall taken out of the measurement."""
+    wall taken out of the measurement.
+
+    ``beam_size``: serve with the BeamSlotEngine (a slot = a beam group of
+    that width; n_slots stays the group count, so decode rows =
+    n_slots * beam_size)."""
     import jax
     import jax.numpy as jnp
 
@@ -64,11 +69,21 @@ def run_engine_benchmark(
     if prestage:
         audios = [jnp.asarray(a) for a in audios]
         jax.block_until_ready(audios)
-    engine = SlotEngine(
-        model, n_slots=n_slots, chunk_steps=chunk_steps,
-        options=DecodingOptions(without_timestamps=False),
-        max_new_tokens=max_new_tokens, quantize=quantize,
-    )
+    if beam_size:
+        from ..parallel.beam_engine import BeamSlotEngine
+
+        engine = BeamSlotEngine(
+            model, n_slots=n_slots, chunk_steps=chunk_steps,
+            options=DecodingOptions(without_timestamps=False,
+                                    beam_size=beam_size),
+            max_new_tokens=max_new_tokens, quantize=quantize,
+        )
+    else:
+        engine = SlotEngine(
+            model, n_slots=n_slots, chunk_steps=chunk_steps,
+            options=DecodingOptions(without_timestamps=False),
+            max_new_tokens=max_new_tokens, quantize=quantize,
+        )
     # Warmup: compile every admission-bucket shape + chunk + refill by
     # draining a full first wave plus a refill wave (compiles are minutes
     # on a remote chip and must not land in the timed run).
@@ -92,6 +107,7 @@ def run_engine_benchmark(
     rtf = audio_done / wall
     return {
         "metric": f"rtf_{model.config.model_type}_engine_s{n_slots}_q{n_streams}"
+        + (f"_beam{beam_size}" if beam_size else "")
         + ("_int8" if quantize else "") + ("_prestaged" if prestage else ""),
         "value": round(rtf, 2),
         "unit": "audio_sec/sec/chip",
@@ -103,6 +119,7 @@ def run_engine_benchmark(
             "chunk_steps": chunk_steps,
             "quantize": quantize,
             "prestage": prestage,
+            "beam_size": beam_size,
             "wall_s": round(wall, 2),
             "waves": waves,
             "n_results": sum(r is not None for r in results),
