@@ -111,3 +111,43 @@ def test_presets_cover_all_released_families():
     assert turbo.model_type == "large-v3-turbo"
     assert PRESETS["large-v3"].model_type == "large-v3"
     assert PRESETS["large"].model_type == "large"
+
+
+def test_output_writers_formats(tmp_path):
+    """txt/srt/vtt/tsv writers follow openai whisper/utils.py conventions:
+    srt 1-based cues + comma + mandatory hours; vtt dot + optional hours;
+    tsv integer-ms; txt one segment per line."""
+    import io
+
+    from whisper_tpu.utils.writers import (write_srt, write_transcripts,
+                                           write_tsv, write_txt, write_vtt)
+
+    result = {
+        "text": " hello world again",
+        "segments": [
+            {"t0": 0.0, "t1": 2.5, "text": " hello world"},
+            {"t0": 3661.02, "t1": 3662.5, "text": " again"},
+        ],
+    }
+    buf = io.StringIO(); write_txt(result, buf)
+    assert buf.getvalue() == "hello world\nagain\n"
+
+    buf = io.StringIO(); write_srt(result, buf)
+    assert buf.getvalue() == (
+        "1\n00:00:00,000 --> 00:00:02,500\nhello world\n\n"
+        "2\n01:01:01,020 --> 01:01:02,500\nagain\n\n")
+
+    buf = io.StringIO(); write_vtt(result, buf)
+    assert buf.getvalue() == (
+        "WEBVTT\n\n"
+        "00:00.000 --> 00:02.500\nhello world\n\n"
+        "01:01:01.020 --> 01:01:02.500\nagain\n\n")
+
+    buf = io.StringIO(); write_tsv(result, buf)
+    assert buf.getvalue() == (
+        "start\tend\ttext\n0\t2500\thello world\n3661020\t3662500\tagain\n")
+
+    paths = write_transcripts({"/x/a.wav": result}, str(tmp_path),
+                              ["srt", "json"])
+    assert sorted(p.rsplit(".", 1)[1] for p in paths) == ["json", "srt"]
+    assert (tmp_path / "a.srt").read_text().startswith("1\n00:00:00,000")

@@ -45,6 +45,12 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gelu", choices=["erf", "tanh"], default="erf")
     p.add_argument("--flash", action="store_true", help="use Pallas flash attention")
     p.add_argument("--output-json", default=None, help="write result JSON here")
+    p.add_argument("--output-format", "-f", default=None,
+                   choices=["txt", "srt", "vtt", "tsv", "json", "all"],
+                   help="write transcripts as <audio>.<ext> into "
+                        "--output-dir (openai-whisper writer formats)")
+    p.add_argument("--output-dir", "-o", default=".",
+                   help="directory for --output-format files")
     p.add_argument("--verbose", action="store_true")
 
 
@@ -100,6 +106,13 @@ def cmd_transcribe(args) -> int:
     if args.output_json:
         with open(args.output_json, "w") as f:
             json.dump(all_results, f, indent=2, ensure_ascii=False)
+    if args.output_format:
+        from .utils.writers import WRITERS, write_transcripts
+
+        formats = (list(WRITERS) + ["json"] if args.output_format == "all"
+                   else [args.output_format])
+        for p in write_transcripts(all_results, args.output_dir, formats):
+            print(f"wrote {p}")
     return 0
 
 
