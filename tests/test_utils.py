@@ -151,3 +151,26 @@ def test_output_writers_formats(tmp_path):
                               ["srt", "json"])
     assert sorted(p.rsplit(".", 1)[1] for p in paths) == ["json", "srt"]
     assert (tmp_path / "a.srt").read_text().startswith("1\n00:00:00,000")
+
+
+def test_subtitle_highlight_words():
+    """highlight_words: one srt/vtt cue per word, current word underlined
+    (openai writer option); segments without words fall back to one cue."""
+    import io
+
+    from whisper_tpu.utils.writers import write_srt, write_vtt
+
+    result = {"segments": [{
+        "t0": 0.0, "t1": 2.0, "text": " hi there",
+        "words": [
+            {"word": " hi", "start": 0.2, "end": 0.8},
+            {"word": " there", "start": 0.9, "end": 1.8},
+        ]}, {"t0": 2.0, "t1": 3.0, "text": " plain", "words": []}]}
+    buf = io.StringIO(); write_srt(result, buf, highlight_words=True)
+    out = buf.getvalue()
+    assert "1\n00:00:00,200 --> 00:00:00,800\n<u>hi</u> there\n" in out
+    assert "2\n00:00:00,900 --> 00:00:01,800\nhi <u>there</u>\n" in out
+    assert "3\n00:00:02,000 --> 00:00:03,000\nplain\n" in out
+
+    buf = io.StringIO(); write_vtt(result, buf, highlight_words=True)
+    assert "00:00.200 --> 00:00.800\n<u>hi</u> there\n" in buf.getvalue()

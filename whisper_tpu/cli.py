@@ -51,6 +51,9 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
                         "--output-dir (openai-whisper writer formats)")
     p.add_argument("--output-dir", "-o", default=".",
                    help="directory for --output-format files")
+    p.add_argument("--highlight-words", action="store_true",
+                   help="srt/vtt: one cue per word with the spoken word "
+                        "underlined (needs --word-timestamps)")
     p.add_argument("--verbose", action="store_true")
 
 
@@ -111,7 +114,8 @@ def cmd_transcribe(args) -> int:
 
         formats = (list(WRITERS) + ["json"] if args.output_format == "all"
                    else [args.output_format])
-        for p in write_transcripts(all_results, args.output_dir, formats):
+        for p in write_transcripts(all_results, args.output_dir, formats,
+                                   highlight_words=args.highlight_words):
             print(f"wrote {p}")
     return 0
 

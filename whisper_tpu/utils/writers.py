@@ -34,25 +34,48 @@ def write_txt(result: dict, file: IO[str]) -> None:
         print(seg["text"].strip(), file=file, flush=True)
 
 
-def write_vtt(result: dict, file: IO[str]) -> None:
-    print("WEBVTT\n", file=file)
+def _subtitle_cues(result: dict, highlight_words: bool):
+    """(start, end, text) cues: one per segment, or — with
+    ``highlight_words`` and word timings present — one per word with the
+    current word underlined (openai's highlight_words writer option)."""
     for seg in result["segments"]:
-        t0 = _timestamp(seg["t0"], always_include_hours=False,
+        words = seg.get("words") or []
+        if highlight_words and words:
+            last = seg["t0"]
+            for i, w in enumerate(words):
+                start = max(last, w["start"])
+                end = w["end"]
+                text = "".join(
+                    f" <u>{x['word'].strip()}</u>" if j == i else
+                    f" {x['word'].strip()}"
+                    for j, x in enumerate(words)).strip()
+                yield start, end, text
+                last = end
+        else:
+            yield seg["t0"], seg["t1"], seg["text"].strip()
+
+
+def write_vtt(result: dict, file: IO[str], *,
+              highlight_words: bool = False) -> None:
+    print("WEBVTT\n", file=file)
+    for start, end, text in _subtitle_cues(result, highlight_words):
+        t0 = _timestamp(start, always_include_hours=False,
                         decimal_marker=".")
-        t1 = _timestamp(seg["t1"], always_include_hours=False,
+        t1 = _timestamp(end, always_include_hours=False,
                         decimal_marker=".")
-        print(f"{t0} --> {t1}\n{seg['text'].strip().replace('-->', '->')}\n",
+        print(f"{t0} --> {t1}\n{text.replace('-->', '->')}\n",
               file=file, flush=True)
 
 
-def write_srt(result: dict, file: IO[str]) -> None:
-    for i, seg in enumerate(result["segments"], start=1):
-        t0 = _timestamp(seg["t0"], always_include_hours=True,
+def write_srt(result: dict, file: IO[str], *,
+              highlight_words: bool = False) -> None:
+    for i, (start, end, text) in enumerate(
+            _subtitle_cues(result, highlight_words), start=1):
+        t0 = _timestamp(start, always_include_hours=True,
                         decimal_marker=",")
-        t1 = _timestamp(seg["t1"], always_include_hours=True,
+        t1 = _timestamp(end, always_include_hours=True,
                         decimal_marker=",")
-        print(f"{i}\n{t0} --> {t1}\n"
-              f"{seg['text'].strip().replace('-->', '->')}\n",
+        print(f"{i}\n{t0} --> {t1}\n{text.replace('-->', '->')}\n",
               file=file, flush=True)
 
 
@@ -69,10 +92,12 @@ WRITERS = {"txt": write_txt, "vtt": write_vtt, "srt": write_srt,
 
 
 def write_transcripts(results: dict, output_dir: str,
-                      formats: Iterable[str]) -> list:
+                      formats: Iterable[str],
+                      highlight_words: bool = False) -> list:
     """Write ``results`` ({audio_path: result}) as one file per (audio,
     format) into ``output_dir``: ``<audio_basename>.<ext>``. "json" dumps
-    the full result dict. Returns the written paths."""
+    the full result dict; ``highlight_words`` applies to srt/vtt (needs
+    word timestamps in the segments). Returns the written paths."""
     import json
     import os
 
@@ -85,6 +110,8 @@ def write_transcripts(results: dict, output_dir: str,
             with open(out, "w", encoding="utf-8") as f:
                 if fmt == "json":
                     json.dump(result, f, indent=2, ensure_ascii=False)
+                elif fmt in ("srt", "vtt"):
+                    WRITERS[fmt](result, f, highlight_words=highlight_words)
                 else:
                     WRITERS[fmt](result, f)
             written.append(out)
