@@ -298,6 +298,57 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP transcription daemon: POST /transcribe (WAV body) -> result
+    JSON; GET /healthz, /stats. Requests from concurrent clients share the
+    chip through the continuous-batching engine (whisper_full long-form per
+    request; --beam N serves beam groups)."""
+    import jax.numpy as jnp
+
+    from .decoding.task import DecodingOptions
+    from .model.load import load_model
+    from .parallel.server import EngineServer, make_http_server
+    from .pipeline.transcribe import TranscribeOptions
+
+    model = load_model(args.model, dtype=jnp.bfloat16)
+    if args.quantize:
+        import jax
+
+        from .model.quant import quantize_decoder_weights
+
+        model.params = jax.jit(quantize_decoder_weights)(model.params)
+    if args.beam:
+        from .parallel.beam_engine import BeamSlotEngine
+
+        engine = BeamSlotEngine(
+            model, n_slots=args.slots,
+            options=DecodingOptions(language=args.language,
+                                    beam_size=args.beam),
+            quantize=args.quantize)
+    else:
+        from .parallel.engine import SlotEngine
+
+        engine = SlotEngine(
+            model, n_slots=args.slots,
+            options=DecodingOptions(language=args.language),
+            quantize=args.quantize)
+    topts = TranscribeOptions(language=args.language,
+                              beam_size=args.beam or None,
+                              word_timestamps=args.word_timestamps)
+    with EngineServer(engine, topts) as srv:
+        httpd = make_http_server(srv, args.host, args.port)
+        print(f"serving on http://{args.host}:{args.port} "
+              f"(slots={args.slots}, beam={args.beam or 'greedy'}, "
+              f"quantize={args.quantize}) — POST /transcribe with WAV bytes")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
+    return 0
+
+
 def cmd_stream(args) -> int:
     """Simulated real-time transcription: feed a WAV in chunks, print
     committed text as it stabilizes; final output == offline transcribe."""
@@ -374,8 +425,19 @@ def cmd_export(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
     from . import enable_compile_cache
 
+    # Honor JAX_PLATFORMS before any backend initializes: some out-of-tree
+    # TPU plugins (the tunneled 'axon' runtime in this image) ignore the env
+    # var and would block retrying an unreachable remote chip even when the
+    # user asked for cpu. jax.config is always respected.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     try:
         enable_compile_cache()
     except Exception:  # noqa: BLE001 — cache is an optimization only
@@ -432,6 +494,19 @@ def main(argv=None) -> int:
     p.add_argument("--no-draft", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("serve", help="HTTP transcription server "
+                                     "(continuous-batching engine)")
+    p.add_argument("model")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--language", default=None)
+    p.add_argument("--quantize", action="store_true", help="int8 serving mode")
+    p.add_argument("--beam", type=int, default=None,
+                   help="beam size per stream (beam-group slots)")
+    p.add_argument("--word-timestamps", action="store_true")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
         "export", help="serialize an AOT-lowered decode program (jax.export)")

@@ -44,6 +44,26 @@ def load_wav(path: str, target_rate: int = SAMPLE_RATE, resample: bool = True) -
     return audio
 
 
+def load_wav_bytes(data: bytes, target_rate: int = SAMPLE_RATE,
+                   resample: bool = True) -> np.ndarray:
+    """In-memory WAV bytes -> mono f32 PCM at ``target_rate`` (the HTTP
+    serving ingest path, parallel/server.py — no temp files)."""
+    import io as _io
+
+    from scipy.io import wavfile
+
+    try:
+        rate, raw = wavfile.read(_io.BytesIO(data))
+    except Exception as e:  # noqa: BLE001
+        raise AudioError(f"cannot parse WAV body: {e}") from e
+    audio = _to_float_mono(raw)
+    if rate != target_rate:
+        if not resample:
+            raise AudioError(f"WAV body is {rate} Hz, expected {target_rate} Hz")
+        audio = resample_poly(audio, target_rate, rate)
+    return audio
+
+
 def _to_float_mono(data: np.ndarray) -> np.ndarray:
     if data.dtype == np.int16:
         audio = convert_integer_to_float_audio(data)

@@ -597,30 +597,7 @@ class SlotEngine:
         if options is not None and kwargs:
             topts = _dc.replace(options, **kwargs)
         self._check_stream_options(topts)
-        temps = ([topts.temperature]
-                 if isinstance(topts.temperature, (int, float))
-                 else list(topts.temperature))
-        if temps[0] != 0:
-            raise ValueError("engine streams require a t=0 first ladder rung")
-
-        # The slot pool must fit the longest wrapped prompt; growing it is
-        # only possible before the pool exists.
-        no_prompt = len(self.initial_tokens)
-        p_max = self.cfg.n_text_ctx // 2 + no_prompt + 2
-        w_max = -(-p_max // 32) * 32
-        needed = min(w_max + self.max_new + 8, self.cfg.n_text_ctx)
-        if needed > self.pool_ctx:
-            if self._state is not None:
-                raise RuntimeError(
-                    "engine pool already sized without prompt budget; use a "
-                    "fresh SlotEngine for transcribe_streams")
-            self.pool_ctx = self._align_pool_ctx(needed)
-        # Align the rule masks and timestamp cap with the stream options.
-        self.sup_mask, self.blank_mask = build_masks(
-            self.vocab, suppress_tokens=topts.suppress_tokens)
-        self.max_initial_index = None
-        if not topts.without_timestamps:
-            self.max_initial_index = round(1.0 / 0.02)
+        temps = self._prepare_streams(topts)
 
         import time as _time
 
@@ -670,44 +647,87 @@ class SlotEngine:
                     if (st is None or active[s] or slot_stream[s] is not st
                             or slot_ticket[s] != tick_map[s]):
                         continue
-                    result = self._stream_result(s, pulled)
-                    self.stats["windows"] += 1
-                    if gate_needs_fallback(result, topts):
-                        t1 = _time.perf_counter()
-                        result = self._fallback_ladder(st, result, topts,
-                                                       temps)
-                        self.stats["fallback_s"] += _time.perf_counter() - t1
-                        self.stats["fallbacks"] += 1
-                    enc_arg = (self._slot_enc(s) if topts.word_timestamps
-                               else None)
-                    segments, new_seek, new_tokens, reset = finish_window(
-                        self.model, result, st["seek"], st["content_frames"],
-                        self._n_frames, topts, len(st["segments"]),
-                        st["language"], enc=enc_arg,
-                    )
-                    st["segments"].extend(segments)
-                    st["all_tokens"].extend(new_tokens)
-                    if reset:
-                        st["prompt_reset_since"] = len(st["all_tokens"])
-                    st["seek"] = new_seek
+                    done = self._advance_stream(s, st, pulled, topts, temps)
                     slot_stream[s] = None
-                    if st["seek"] < st["content_frames"]:
-                        pending.append(st)
-                    else:
+                    if done:
                         st["done"] = True
+                    else:
+                        pending.append(st)
             snap = new_snap
             self.stats["rounds"] += 1
 
-        out = []
-        for st in streams:
-            segs = st["segments"]
-            out.append({
-                "text": "".join(seg.text for seg in segs),
-                "segments": [_dc.asdict(seg) for seg in segs],
-                "language": st["language"],
-                "duration": st["duration"],
-            })
-        return out
+        return [self._stream_output(st) for st in streams]
+
+    def _advance_stream(self, s: int, st: dict, pulled, topts, temps) -> bool:
+        """Consume slot ``s``'s finished window into stream ``st``: the
+        fallback gate/ladder, finish_window segment + seek + prompt-carry
+        bookkeeping. Returns True when the stream has no more windows."""
+        import time as _time
+
+        from ..pipeline.transcribe import finish_window, gate_needs_fallback
+
+        result = self._stream_result(s, pulled)
+        self.stats["windows"] += 1
+        if gate_needs_fallback(result, topts):
+            t1 = _time.perf_counter()
+            result = self._fallback_ladder(st, result, topts, temps)
+            self.stats["fallback_s"] += _time.perf_counter() - t1
+            self.stats["fallbacks"] += 1
+        enc_arg = self._slot_enc(s) if topts.word_timestamps else None
+        segments, new_seek, new_tokens, reset = finish_window(
+            self.model, result, st["seek"], st["content_frames"],
+            self._n_frames, topts, len(st["segments"]),
+            st["language"], enc=enc_arg,
+        )
+        st["segments"].extend(segments)
+        st["all_tokens"].extend(new_tokens)
+        if reset:
+            st["prompt_reset_since"] = len(st["all_tokens"])
+        st["seek"] = new_seek
+        return st["seek"] >= st["content_frames"]
+
+    @staticmethod
+    def _stream_output(st: dict) -> dict:
+        import dataclasses as _dc
+
+        segs = st["segments"]
+        return {
+            "text": "".join(seg.text for seg in segs),
+            "segments": [_dc.asdict(seg) for seg in segs],
+            "language": st["language"],
+            "duration": st["duration"],
+        }
+
+    def _prepare_streams(self, topts) -> list:
+        """Validate stream options, size the slot pool for wrapped prompts,
+        and align the rule masks/timestamp cap with ``topts``. Returns the
+        temperature ladder. Shared by ``transcribe_streams`` and the
+        queue-fed ``EngineServer`` (parallel/server.py)."""
+        temps = ([topts.temperature]
+                 if isinstance(topts.temperature, (int, float))
+                 else list(topts.temperature))
+        if temps[0] != 0:
+            raise ValueError("engine streams require a t=0 first ladder rung")
+
+        # The slot pool must fit the longest wrapped prompt; growing it is
+        # only possible before the pool exists.
+        no_prompt = len(self.initial_tokens)
+        p_max = self.cfg.n_text_ctx // 2 + no_prompt + 2
+        w_max = -(-p_max // 32) * 32
+        needed = min(w_max + self.max_new + 8, self.cfg.n_text_ctx)
+        if needed > self.pool_ctx:
+            if self._state is not None:
+                raise RuntimeError(
+                    "engine pool already sized without prompt budget; use a "
+                    "fresh SlotEngine for transcribe_streams")
+            self.pool_ctx = self._align_pool_ctx(needed)
+        # Align the rule masks and timestamp cap with the stream options.
+        self.sup_mask, self.blank_mask = build_masks(
+            self.vocab, suppress_tokens=topts.suppress_tokens)
+        self.max_initial_index = None
+        if not topts.without_timestamps:
+            self.max_initial_index = round(1.0 / 0.02)
+        return temps
 
     # -- long-form scheduler hooks (overridden by BeamSlotEngine) --
 
