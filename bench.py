@@ -24,8 +24,42 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _backend_or_die() -> None:
+    """Initialize the jax backend under a watchdog.
+
+    The tunneled 'axon' TPU runtime retries an unreachable chip FOREVER
+    (no error, no timeout) — a dead tunnel would otherwise hang the bench
+    with no output at all. Probe jax.devices() on a daemon thread; on
+    timeout print the one required JSON line (value 0, error in detail)
+    and exit hard (the probe thread is unjoinable).
+    """
+    import threading
+
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(json.dumps({
+            "metric": "rtf_unavailable", "value": 0.0,
+            "unit": "audio_sec/sec/chip", "vs_baseline": 0.0,
+            "detail": {"error": f"jax backend init exceeded {timeout_s:.0f}s "
+                                "(TPU tunnel unreachable?)"},
+        }))
+        sys.stdout.flush()
+        os._exit(1)
+
+
 def main() -> int:
     _enable_compile_cache()
+    _backend_or_die()
     from whisper_tpu.utils.benchmark import run_benchmark, run_engine_benchmark
 
     if os.environ.get("BENCH_MODE") == "engine":

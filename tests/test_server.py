@@ -49,6 +49,36 @@ def test_engine_server_matches_transcribe_streams(model):
             s["tokens"] for s in r["segments"]]
 
 
+def test_engine_server_beam_groups(model):
+    """The queue-fed worker drives a BeamSlotEngine (cli serve --beam):
+    results match the beam engine's own transcribe_streams."""
+    from whisper_tpu.decoding.task import DecodingOptions
+    from whisper_tpu.parallel.beam_engine import BeamSlotEngine
+    from whisper_tpu.parallel.server import EngineServer
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    audios = [synthetic_audio(SR * 35, seed=1),
+              synthetic_audio(SR * 7, seed=4)]
+    topts = TranscribeOptions(temperature=0.0, beam_size=2,
+                              condition_on_previous_text=True,
+                              use_device_loop=True)
+
+    ref_engine = BeamSlotEngine(model, n_slots=2, chunk_steps=8,
+                                options=DecodingOptions(beam_size=2))
+    ref = ref_engine.transcribe_streams(audios, topts)
+
+    engine = BeamSlotEngine(model, n_slots=2, chunk_steps=8,
+                            options=DecodingOptions(beam_size=2))
+    with EngineServer(engine, topts) as srv:
+        futs = [srv.submit(a) for a in audios]
+        got = [f.result(timeout=600) for f in futs]
+
+    for r, g in zip(ref, got):
+        assert g["text"] == r["text"]
+        assert [s["tokens"] for s in g["segments"]] == [
+            s["tokens"] for s in r["segments"]]
+
+
 def test_engine_server_http_roundtrip(model):
     """HTTP layer: POST /transcribe with WAV bytes -> result JSON;
     /healthz and /stats respond; malformed bodies get 400."""
