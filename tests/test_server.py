@@ -79,6 +79,57 @@ def test_engine_server_beam_groups(model):
             s["tokens"] for s in r["segments"]]
 
 
+def test_parse_multipart():
+    from whisper_tpu.parallel.server import parse_multipart
+
+    boundary = "XbOuNdArYx"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; filename="a.wav"\r\n'
+        "Content-Type: audio/wav\r\n\r\n").encode() + b"RIFF\x00raw\r\nbytes" + (
+        f"\r\n--{boundary}\r\n"
+        'Content-Disposition: form-data; name="language"\r\n\r\n'
+        "en\r\n"
+        f"--{boundary}--\r\n").encode()
+    fields = parse_multipart(
+        body, f"multipart/form-data; boundary={boundary}")
+    assert fields["file"] == b"RIFF\x00raw\r\nbytes"
+    assert fields["language"] == b"en"
+    with pytest.raises(ValueError):
+        parse_multipart(body, "multipart/form-data")
+
+
+def test_openai_response_formats():
+    from whisper_tpu.parallel.server import openai_response
+
+    result = {
+        "text": "hello world", "language": "en", "duration": 3.0,
+        "segments": [{
+            "id": 0, "seek": 0, "t0": 0.0, "t1": 2.5, "text": " hello world",
+            "tokens": [1, 2], "temperature": 0.0, "avg_logprob": -0.1,
+            "compression_ratio": 0.9, "no_speech_prob": 0.01,
+            "token_data": None, "words": None,
+        }],
+    }
+    import json as _json
+
+    payload, ctype = openai_response(result, "json")
+    assert _json.loads(payload) == {"text": "hello world"}
+    payload, _ = openai_response(result, "verbose_json")
+    v = _json.loads(payload)
+    assert v["segments"][0]["start"] == 0.0
+    assert v["segments"][0]["end"] == 2.5
+    assert v["duration"] == 3.0
+    payload, ctype = openai_response(result, "text")
+    assert payload == "hello world\n" and ctype.startswith("text/plain")
+    payload, _ = openai_response(result, "srt")
+    assert payload.startswith("1\n00:00:00,000 --> 00:00:02,500")
+    payload, _ = openai_response(result, "vtt")
+    assert payload.startswith("WEBVTT")
+    with pytest.raises(ValueError):
+        openai_response(result, "flac")
+
+
 def test_engine_server_http_roundtrip(model):
     """HTTP layer: POST /transcribe with WAV bytes -> result JSON;
     /healthz and /stats respond; malformed bodies get 400."""
@@ -121,6 +172,92 @@ def test_engine_server_http_roundtrip(model):
             conn.request("GET", "/stats")
             stats = json.loads(conn.getresponse().read())
             assert stats["requests"] >= 1
+
+            # NDJSON streaming: segments line-by-line, then a summary.
+            conn.request("POST", "/transcribe?stream=1", body=wav_bytes)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.getheader("Content-Type") == "application/x-ndjson"
+            lines = [json.loads(ln) for ln in resp.read().splitlines()]
+            assert lines[-1]["done"] is True
+            segs = [ln["segment"] for ln in lines[:-1]]
+            assert len(segs) >= 1 and all("t0" in s for s in segs)
+            assert lines[-1]["duration"] == pytest.approx(6.0, abs=0.01)
+            conn.close()
+
+            # OpenAI-compatible endpoint: multipart file + response_format.
+            boundary = "XtEsTbOuNdX"
+            def mp(fields):
+                out = b""
+                for name, (fn, val) in fields.items():
+                    out += (f"--{boundary}\r\nContent-Disposition: form-data;"
+                            f' name="{name}"').encode()
+                    if fn:
+                        out += f'; filename="{fn}"'.encode()
+                    out += b"\r\n\r\n" + val + b"\r\n"
+                return out + f"--{boundary}--\r\n".encode()
+
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            hdrs = {"Content-Type":
+                    f"multipart/form-data; boundary={boundary}"}
+            conn.request("POST", "/v1/audio/transcriptions",
+                         body=mp({"file": ("a.wav", wav_bytes),
+                                  "response_format": (None, b"verbose_json"),
+                                  "language": (None, b"en")}),
+                         headers=hdrs)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            v = json.loads(resp.read())
+            assert v["language"] == "en" and "segments" in v
+            assert v["segments"][0]["start"] >= 0.0
+
+            conn.request("POST", "/v1/audio/transcriptions",
+                         body=mp({"file": ("a.wav", wav_bytes),
+                                  "response_format": (None, b"srt")}),
+                         headers=hdrs)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.read().decode().startswith("1\n00:00:00,")
+
+            conn.request("POST", "/v1/audio/transcriptions",
+                         body=mp({"response_format": (None, b"json")}),
+                         headers=hdrs)
+            assert conn.getresponse().status == 400  # no file field
+            conn.close()
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+
+def test_engine_server_busy_503(model):
+    """max_queue backpressure: excess submits raise ServerBusy and the HTTP
+    layer maps it to 503."""
+    import http.client
+
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.server import (EngineServer, ServerBusy,
+                                             make_http_server)
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    audio = synthetic_audio(SR * 6, seed=2)
+    engine = SlotEngine(model, n_slots=2, chunk_steps=8)
+    with EngineServer(engine, TranscribeOptions(temperature=0.0),
+                      max_queue=0) as srv:
+        with pytest.raises(ServerBusy):
+            srv.submit(audio)
+        httpd = make_http_server(srv, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            buf = io.BytesIO()
+            from scipy.io import wavfile
+            wavfile.write(buf, SR, (audio * 32767).astype(np.int16))
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", "/transcribe", body=buf.getvalue())
+            resp = conn.getresponse()
+            assert resp.status == 503
+            assert resp.getheader("Retry-After") == "1"
             conn.close()
         finally:
             httpd.shutdown()

@@ -335,7 +335,7 @@ def cmd_serve(args) -> int:
     topts = TranscribeOptions(language=args.language,
                               beam_size=args.beam or None,
                               word_timestamps=args.word_timestamps)
-    with EngineServer(engine, topts) as srv:
+    with EngineServer(engine, topts, max_queue=args.max_queue) as srv:
         httpd = make_http_server(srv, args.host, args.port)
         print(f"serving on http://{args.host}:{args.port} "
               f"(slots={args.slots}, beam={args.beam or 'greedy'}, "
@@ -506,6 +506,8 @@ def main(argv=None) -> int:
     p.add_argument("--beam", type=int, default=None,
                    help="beam size per stream (beam-group slots)")
     p.add_argument("--word-timestamps", action="store_true")
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="503 new requests past this many in flight")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

@@ -9,11 +9,18 @@ sliding-window loop per stream (the same ``_advance_stream`` bookkeeping as
 ``concurrent.futures.Future`` — so N HTTP handler threads block cheaply while
 the chip stays saturated across requests.
 
-``TranscriptionHTTPServer`` is the dependency-free stdlib front end:
+``make_http_server`` is the dependency-free stdlib front end:
 
-    POST /transcribe  (body: WAV bytes)      -> {text, segments, language, ...}
-    GET  /healthz                            -> {ok}
-    GET  /stats                              -> engine phase stats + queue depth
+    POST /transcribe  (body: WAV bytes)          -> {text, segments, language, ...}
+    POST /transcribe?stream=1                    -> NDJSON: one line per segment
+                                                    as it finalizes, then a
+                                                    summary line
+    POST /v1/audio/transcriptions (multipart)    -> OpenAI-audio-API-compatible
+                                                    (file, language, prompt,
+                                                    response_format: json|text|
+                                                    verbose_json|srt|vtt)
+    GET  /healthz                                -> {ok}
+    GET  /stats                                  -> engine phase stats + queue depth
 
 The parent whisper.cpp grew an ``examples/server`` for exactly this role; the
 reference stops at a hardcoded ``main()`` (main.rs:2065-2075). ``cli serve``
@@ -31,6 +38,11 @@ from typing import Optional
 import numpy as np
 
 
+class ServerBusy(RuntimeError):
+    """Raised by ``submit`` when the request queue is at ``max_queue``
+    (HTTP front end maps it to 503)."""
+
+
 class EngineServer:
     """Queue-fed long-form transcription over an engine's slot pool.
 
@@ -40,7 +52,8 @@ class EngineServer:
     resolve finished streams. When idle it blocks on the queue.
     """
 
-    def __init__(self, engine, options=None, poll_s: float = 0.05):
+    def __init__(self, engine, options=None, poll_s: float = 0.05,
+                 max_queue: Optional[int] = None):
         from ..pipeline.transcribe import TranscribeOptions
 
         self.engine = engine
@@ -49,19 +62,47 @@ class EngineServer:
         self._temps = engine._prepare_streams(self.topts)
         self._queue: queue.Queue = queue.Queue()
         self._poll_s = poll_s
+        self._max_queue = max_queue
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._idx = 0
 
     # -- client surface (any thread) --
 
-    def submit(self, audio: np.ndarray) -> Future:
+    def submit(self, audio: np.ndarray, on_segment=None,
+               language: Optional[str] = None,
+               initial_prompt: Optional[str] = None) -> Future:
         """Enqueue one request; the Future resolves to the transcribe-style
-        result dict ({text, segments, language, duration})."""
+        result dict ({text, segments, language, duration}).
+
+        ``on_segment`` (called on the worker thread with each segment dict
+        as its window finalizes) backs the streaming HTTP response — keep it
+        cheap (push to a queue). ``language``/``initial_prompt`` override
+        the server options per request; they only feed ``_init_stream``
+        (language detect + prompt tokenization), so mixing them across live
+        slots is safe."""
         if self._thread is None or not self._thread.is_alive():
             raise RuntimeError("EngineServer is not running; call start()")
         fut: Future = Future()
-        self._queue.put((audio, fut))
+        if self._max_queue is not None:
+            # Backpressure on IN-FLIGHT requests (queued + admitted), not
+            # raw queue depth — the worker drains the queue into its
+            # pending list immediately.
+            with self._inflight_lock:
+                if self._inflight >= self._max_queue:
+                    raise ServerBusy(
+                        f"{self._inflight} requests in flight "
+                        f"(max_queue={self._max_queue})")
+                self._inflight += 1
+
+            def _dec(_f):
+                with self._inflight_lock:
+                    self._inflight -= 1
+
+            fut.add_done_callback(_dec)
+        self._queue.put((audio, fut, on_segment, language, initial_prompt))
         return fut
 
     def transcribe(self, audio: np.ndarray, timeout: Optional[float] = None):
@@ -118,20 +159,31 @@ class EngineServer:
             # ingest requests; block only when fully idle
             try:
                 while True:
-                    audio, fut = self._queue.get(
+                    audio, fut, on_seg, lang, prompt = self._queue.get(
                         block=not busy, timeout=self._poll_s)
                     if self._stop.is_set() and not self._drain:
                         fut.cancel()
                         continue
                     if not fut.set_running_or_notify_cancel():
                         continue
+                    st_topts = topts
+                    if lang is not None or prompt is not None:
+                        import dataclasses as _dc
+
+                        st_topts = _dc.replace(
+                            topts,
+                            language=lang if lang is not None else topts.language,
+                            initial_prompt=(prompt if prompt is not None
+                                            else topts.initial_prompt))
                     try:
-                        st = eng._init_stream(self._idx, audio, topts)
+                        st = eng._init_stream(self._idx, audio, st_topts)
                     except Exception as e:  # noqa: BLE001 — bad request only
                         fut.set_exception(e)
                         continue
                     self._idx += 1
                     st["future"] = fut
+                    st["on_segment"] = on_seg
+                    st["emitted"] = 0
                     eng.stats["requests"] += 1
                     if st["done"]:  # shorter than one hop: no windows
                         fut.set_result(eng._stream_output(st))
@@ -184,12 +236,79 @@ class EngineServer:
                         slot_stream[s] = None
                         continue
                     slot_stream[s] = None
+                    if st.get("on_segment") is not None:
+                        import dataclasses as _dc
+
+                        for seg in st["segments"][st["emitted"]:]:
+                            try:
+                                st["on_segment"](_dc.asdict(seg))
+                            except Exception:  # noqa: BLE001 — client's problem
+                                pass
+                        st["emitted"] = len(st["segments"])
                     if done:
                         st["future"].set_result(eng._stream_output(st))
                     else:
                         pending.append(st)
             snap = new_snap
             eng.stats["rounds"] += 1
+
+
+def parse_multipart(body: bytes, content_type: str) -> dict:
+    """Minimal multipart/form-data parser (stdlib-only; ``cgi`` is gone in
+    3.13): {field name -> bytes}. Enough for the OpenAI audio API surface
+    (a ``file`` part + short text fields)."""
+    import re
+
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("multipart body without a boundary parameter")
+    boundary = b"--" + m.group(1).encode()
+    fields = {}
+    for part in body.split(boundary)[1:]:
+        if part[:2] in (b"--", b""):  # closing delimiter / preamble
+            continue
+        part = part.lstrip(b"\r\n")
+        head, _, value = part.partition(b"\r\n\r\n")
+        value = value.rstrip(b"\r\n")
+        dm = re.search(rb'name="([^"]+)"', head)
+        if dm:
+            fields[dm.group(1).decode()] = value
+    return fields
+
+
+def openai_response(result: dict, response_format: str):
+    """(payload, content_type) in the OpenAI audio-API shape for
+    ``response_format`` json|text|verbose_json|srt|vtt. Our segments carry
+    t0/t1 (whisper.cpp naming); verbose_json maps them to start/end."""
+    import io as _io
+
+    from ..utils.writers import write_srt, write_vtt
+
+    if response_format == "json":
+        return json.dumps({"text": result["text"]},
+                          ensure_ascii=False), "application/json"
+    if response_format == "verbose_json":
+        segs = [{
+            "id": s["id"], "seek": s["seek"], "start": s["t0"],
+            "end": s["t1"], "text": s["text"], "tokens": s["tokens"],
+            "temperature": s["temperature"],
+            "avg_logprob": s["avg_logprob"],
+            "compression_ratio": s["compression_ratio"],
+            "no_speech_prob": s["no_speech_prob"],
+            **({"words": s["words"]} if s.get("words") else {}),
+        } for s in result["segments"]]
+        return json.dumps({
+            "task": "transcribe", "language": result["language"],
+            "duration": result["duration"], "text": result["text"],
+            "segments": segs,
+        }, ensure_ascii=False), "application/json"
+    if response_format == "text":
+        return result["text"] + "\n", "text/plain; charset=utf-8"
+    if response_format in ("srt", "vtt"):
+        buf = _io.StringIO()
+        (write_srt if response_format == "srt" else write_vtt)(result, buf)
+        return buf.getvalue(), "text/plain; charset=utf-8"
+    raise ValueError(f"unknown response_format {response_format!r}")
 
 
 def make_http_server(server: EngineServer, host: str = "127.0.0.1",
@@ -202,10 +321,12 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
     from ..io.wav import load_wav_bytes
 
     class Handler(BaseHTTPRequestHandler):
-        def _reply(self, code: int, payload: dict) -> None:
-            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        def _reply(self, code: int, payload, ctype="application/json") -> None:
+            if isinstance(payload, dict):
+                payload = json.dumps(payload, ensure_ascii=False)
+            body = payload.encode("utf-8")
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -223,25 +344,139 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
             else:
                 self._reply(404, {"error": "not found"})
 
-        def do_POST(self):
-            if self.path.rstrip("/") not in ("/transcribe", "/v1/transcribe"):
-                self._reply(404, {"error": "not found"})
-                return
+        def _read_body(self):
             n = int(self.headers.get("Content-Length", 0))
             if n <= 0:
-                self._reply(400, {"error": "empty body; POST WAV bytes"})
-                return
-            data = self.rfile.read(n)
+                self._reply(400, {"error": "empty body"})
+                return None
+            return self.rfile.read(n)
+
+        def _submit(self, audio, on_segment=None, language=None,
+                    prompt=None):
+            """submit() with ServerBusy -> 503; returns the Future or None
+            (response already sent)."""
             try:
-                audio = load_wav_bytes(data)
+                return server.submit(audio, on_segment=on_segment,
+                                     language=language,
+                                     initial_prompt=prompt)
+            except ServerBusy as e:
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
+
+        def do_POST(self):
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            route = url.path.rstrip("/")
+            if route in ("/transcribe", "/v1/transcribe"):
+                data = self._read_body()
+                if data is None:
+                    return
+                try:
+                    audio = load_wav_bytes(data)
+                except Exception as e:  # noqa: BLE001
+                    self._reply(400, {"error": str(e)})
+                    return
+                q = parse_qs(url.query)
+                stream = (q.get("stream", ["0"])[0] not in ("0", "")
+                          or "ndjson" in (self.headers.get("Accept") or ""))
+                if stream:
+                    self._stream_response(audio)
+                    return
+                fut = self._submit(audio)
+                if fut is None:
+                    return
+                try:
+                    self._reply(200, fut.result())
+                except Exception as e:  # noqa: BLE001
+                    self._reply(500, {"error": str(e)})
+                return
+            if route == "/v1/audio/transcriptions":
+                self._openai_transcription()
+                return
+            self._reply(404, {"error": "not found"})
+
+        def _stream_response(self, audio) -> None:
+            """NDJSON: one line per segment as its window finalizes, then a
+            summary line. Close-delimited (no Content-Length)."""
+            done_q: queue.Queue = queue.Queue()
+            fut = self._submit(
+                audio, on_segment=lambda seg: done_q.put(("segment", seg)))
+            if fut is None:
+                return
+            fut.add_done_callback(lambda f: done_q.put(("done", f)))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            while True:
+                kind, item = done_q.get()
+                if kind == "segment":
+                    line = {"segment": item}
+                else:
+                    try:
+                        r = item.result()
+                        line = {"done": True, "text": r["text"],
+                                "language": r["language"],
+                                "duration": r["duration"]}
+                    except Exception as e:  # noqa: BLE001
+                        line = {"done": True, "error": str(e)}
+                try:
+                    self.wfile.write(
+                        (json.dumps(line, ensure_ascii=False) + "\n").encode())
+                    self.wfile.flush()
+                except BrokenPipeError:
+                    return  # client went away; the engine finishes anyway
+                if kind == "done":
+                    return
+
+        def _openai_transcription(self) -> None:
+            """OpenAI audio API: multipart/form-data with file, and optional
+            language / prompt / response_format (json default)."""
+            ctype = self.headers.get("Content-Type", "")
+            data = self._read_body()
+            if data is None:
+                return
+            if not ctype.startswith("multipart/form-data"):
+                self._reply(400, {"error": "expected multipart/form-data"})
+                return
+            try:
+                fields = parse_multipart(data, ctype)
+            except Exception as e:  # noqa: BLE001
+                self._reply(400, {"error": f"bad multipart body: {e}"})
+                return
+            if "file" not in fields:
+                self._reply(400, {"error": "missing 'file' field"})
+                return
+            try:
+                audio = load_wav_bytes(fields["file"])
             except Exception as e:  # noqa: BLE001
                 self._reply(400, {"error": str(e)})
                 return
+            fmt = fields.get("response_format", b"json").decode() or "json"
+            language = fields.get("language")
+            prompt = fields.get("prompt")
+            fut = self._submit(
+                audio,
+                language=language.decode() if language else None,
+                prompt=prompt.decode() if prompt else None)
+            if fut is None:
+                return
             try:
-                result = server.transcribe(audio)
+                result = fut.result()
+                payload, out_ctype = openai_response(result, fmt)
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+                return
             except Exception as e:  # noqa: BLE001
                 self._reply(500, {"error": str(e)})
                 return
-            self._reply(200, result)
+            self._reply(200, payload, out_ctype)
 
     return ThreadingHTTPServer((host, port), Handler)
