@@ -172,6 +172,9 @@ def test_engine_server_http_roundtrip(model):
             conn.request("GET", "/stats")
             stats = json.loads(conn.getresponse().read())
             assert stats["requests"] >= 1
+            lat = stats["latency"]
+            assert lat["n"] >= 1
+            assert 0 <= lat["queue_wait_mean_s"] <= lat["total_p99_s"]
 
             # NDJSON streaming: segments line-by-line, then a summary.
             conn.request("POST", "/transcribe?stream=1", body=wav_bytes)

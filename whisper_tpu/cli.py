@@ -340,11 +340,22 @@ def cmd_serve(args) -> int:
         print(f"serving on http://{args.host}:{args.port} "
               f"(slots={args.slots}, beam={args.beam or 'greedy'}, "
               f"quantize={args.quantize}) — POST /transcribe with WAV bytes")
+
+        # Graceful SIGTERM (systemd/k8s stop): break out of serve_forever
+        # on the main thread, then the context manager drains in-flight
+        # requests before the process exits.
+        import signal
+
+        def _term(signum, frame):
+            raise KeyboardInterrupt
+
+        prev = signal.signal(signal.SIGTERM, _term)
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:
-            pass
+            print("shutting down: draining in-flight requests")
         finally:
+            signal.signal(signal.SIGTERM, prev)
             httpd.server_close()
     return 0
 

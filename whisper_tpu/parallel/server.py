@@ -68,6 +68,11 @@ class EngineServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._idx = 0
+        # last-1000 per-request latencies (seconds): (queue wait to first
+        # slot, total submit->resolve). Percentiles via latency_stats().
+        from collections import deque
+
+        self._latencies: deque = deque(maxlen=1000)
 
     # -- client surface (any thread) --
 
@@ -102,8 +107,33 @@ class EngineServer:
                     self._inflight -= 1
 
             fut.add_done_callback(_dec)
-        self._queue.put((audio, fut, on_segment, language, initial_prompt))
+        import time as _time
+
+        self._queue.put((audio, fut, on_segment, language, initial_prompt,
+                         _time.monotonic()))
         return fut
+
+    def latency_stats(self) -> dict:
+        """Request latency over the last <=1000 resolved requests: p50/p95/
+        p99 total (submit -> result) and mean/max queue wait (submit ->
+        first slot)."""
+        lats = list(self._latencies)
+        if not lats:
+            return {"n": 0}
+        total = sorted(t for _, t in lats)
+        waits = [w for w, _ in lats]
+
+        def pct(p):
+            return total[min(len(total) - 1, int(p * len(total)))]
+
+        return {
+            "n": len(lats),
+            "total_p50_s": round(pct(0.50), 4),
+            "total_p95_s": round(pct(0.95), 4),
+            "total_p99_s": round(pct(0.99), 4),
+            "queue_wait_mean_s": round(sum(waits) / len(waits), 4),
+            "queue_wait_max_s": round(max(waits), 4),
+        }
 
     def transcribe(self, audio: np.ndarray, timeout: Optional[float] = None):
         return self.submit(audio).result(timeout)
@@ -159,8 +189,9 @@ class EngineServer:
             # ingest requests; block only when fully idle
             try:
                 while True:
-                    audio, fut, on_seg, lang, prompt = self._queue.get(
-                        block=not busy, timeout=self._poll_s)
+                    (audio, fut, on_seg, lang, prompt,
+                     t_sub) = self._queue.get(block=not busy,
+                                              timeout=self._poll_s)
                     if self._stop.is_set() and not self._drain:
                         fut.cancel()
                         continue
@@ -184,8 +215,11 @@ class EngineServer:
                     st["future"] = fut
                     st["on_segment"] = on_seg
                     st["emitted"] = 0
+                    st["t_sub"] = t_sub
                     eng.stats["requests"] += 1
                     if st["done"]:  # shorter than one hop: no windows
+                        self._latencies.append(
+                            (0.0, _time.monotonic() - t_sub))
                         fut.set_result(eng._stream_output(st))
                     else:
                         pending.append(st)
@@ -199,6 +233,7 @@ class EngineServer:
             for s in range(eng.n_slots):
                 if slot_stream[s] is None and pending:
                     st = pending.pop(0)
+                    st.setdefault("t_first_slot", _time.monotonic())
                     slot_stream[s] = st
                     slot_ticket[s] = next_ticket
                     next_ticket += 1
@@ -232,6 +267,7 @@ class EngineServer:
                     try:
                         done = eng._advance_stream(s, st, pulled, topts, temps)
                     except Exception as e:  # noqa: BLE001
+                        self._record_latency(st)
                         st["future"].set_exception(e)
                         slot_stream[s] = None
                         continue
@@ -246,11 +282,19 @@ class EngineServer:
                                 pass
                         st["emitted"] = len(st["segments"])
                     if done:
+                        self._record_latency(st)
                         st["future"].set_result(eng._stream_output(st))
                     else:
                         pending.append(st)
             snap = new_snap
             eng.stats["rounds"] += 1
+
+    def _record_latency(self, st: dict) -> None:
+        import time as _time
+
+        now = _time.monotonic()
+        self._latencies.append(
+            (st.get("t_first_slot", now) - st["t_sub"], now - st["t_sub"]))
 
 
 def parse_multipart(body: bytes, content_type: str) -> dict:
@@ -340,6 +384,7 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
             elif self.path == "/stats":
                 stats = dict(getattr(server.engine, "stats", {}) or {})
                 stats["queue_depth"] = server.queue_depth
+                stats["latency"] = server.latency_stats()
                 self._reply(200, stats)
             else:
                 self._reply(404, {"error": "not found"})
