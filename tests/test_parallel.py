@@ -196,3 +196,93 @@ def test_multiprocess_distributed_dryrun():
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
     assert "processes=2" in outs[0][0]
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_tp_slot_engine_matches_single_device(setup, quantize):
+    """Tensor-parallel SERVING: a SlotEngine over a (dp=1, tp=2) mesh —
+    params, KV pool, and cross pool head-sharded (int8 QuantKV scales
+    included); every engine program traced under the mesh — is
+    token-identical to the unsharded engine."""
+    from whisper_tpu.decoding.task import DecodingOptions
+    from whisper_tpu.io.vocab import make_vocab
+    from whisper_tpu.parallel.engine import SlotEngine
+
+    from fixtures import synthetic_tokens
+
+    cfg, params = setup
+
+    class _Model:
+        def __init__(self):
+            self.config = cfg
+            self.params = params
+            self.vocab = make_vocab(
+                cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+            self.filters = jnp.asarray(
+                np.random.default_rng(0).random(
+                    (cfg.n_mels, 201), np.float32) * 0.02)
+
+    model = _Model()
+    rng = np.random.default_rng(3)
+    audios = [rng.standard_normal(16000 + 5000 * i).astype(np.float32) * 0.3
+              for i in range(4)]
+    opts = DecodingOptions(sample_len=16)
+
+    ref = SlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+                     quantize=quantize).transcribe_many(audios)
+
+    mesh = make_mesh(2, tp=2)  # dp=1: slots stay local
+    engine = SlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+                        quantize=quantize, mesh=mesh)
+    got = engine.transcribe_many(audios)
+
+    # pools actually born sharded over tp (QuantKV leaves included)
+    for leaf in jax.tree.leaves((engine._state.cache_k,
+                                 engine._cross_pool_k)):
+        assert "tp" in leaf.sharding.spec
+
+    for r, g in zip(ref, got):
+        assert g.tokens == r.tokens
+        assert g.avg_logprob == pytest.approx(r.avg_logprob, rel=1e-4,
+                                              abs=1e-5)
+
+    with pytest.raises(ValueError):
+        SlotEngine(model, n_slots=2, mesh=make_mesh(4, tp=2))  # dp=2
+
+
+def test_tp_beam_engine_matches_single_device(setup):
+    """Beam groups under tensor parallel: the COW fork (lane-dot permute on
+    the sharded KV pool) and group top-k run under the mesh; results match
+    the unsharded beam engine token for token."""
+    from whisper_tpu.decoding.task import DecodingOptions
+    from whisper_tpu.io.vocab import make_vocab
+    from whisper_tpu.parallel.beam_engine import BeamSlotEngine
+
+    from fixtures import synthetic_tokens
+
+    cfg, params = setup
+
+    class _Model:
+        def __init__(self):
+            self.config = cfg
+            self.params = params
+            self.vocab = make_vocab(
+                cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+            self.filters = jnp.asarray(
+                np.random.default_rng(0).random(
+                    (cfg.n_mels, 201), np.float32) * 0.02)
+
+    model = _Model()
+    rng = np.random.default_rng(9)
+    audios = [rng.standard_normal(16000 + 7000 * i).astype(np.float32) * 0.3
+              for i in range(3)]
+    opts = DecodingOptions(beam_size=2, sample_len=12)
+
+    ref = BeamSlotEngine(model, n_slots=2, options=opts,
+                         chunk_steps=4).transcribe_many(audios)
+    engine = BeamSlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+                            mesh=make_mesh(2, tp=2))
+    got = engine.transcribe_many(audios)
+
+    for r, g in zip(ref, got):
+        assert g.tokens == r.tokens

@@ -317,6 +317,11 @@ def cmd_serve(args) -> int:
         from .model.quant import quantize_decoder_weights
 
         model.params = jax.jit(quantize_decoder_weights)(model.params)
+    mesh = None
+    if args.tp and args.tp > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.tp, tp=args.tp)  # dp=1: slots stay local
     if args.beam:
         from .parallel.beam_engine import BeamSlotEngine
 
@@ -324,14 +329,14 @@ def cmd_serve(args) -> int:
             model, n_slots=args.slots,
             options=DecodingOptions(language=args.language,
                                     beam_size=args.beam),
-            quantize=args.quantize)
+            quantize=args.quantize, mesh=mesh)
     else:
         from .parallel.engine import SlotEngine
 
         engine = SlotEngine(
             model, n_slots=args.slots,
             options=DecodingOptions(language=args.language),
-            quantize=args.quantize)
+            quantize=args.quantize, mesh=mesh)
     topts = TranscribeOptions(language=args.language,
                               beam_size=args.beam or None,
                               word_timestamps=args.word_timestamps)
@@ -519,6 +524,9 @@ def main(argv=None) -> int:
     p.add_argument("--word-timestamps", action="store_true")
     p.add_argument("--max-queue", type=int, default=None,
                    help="503 new requests past this many in flight")
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel serving over this many chips "
+                        "(heads/MLP/vocab sharded; slots stay local)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

@@ -32,7 +32,7 @@ from ..decoding.device_loop import LoopState, _apply_rules_device
 from ..decoding.result import DecodingResult, compression_ratio
 from ..decoding.task import DecodingOptions, DecodingTask
 from ..model.decoder import KVCache, decode_step, init_cache
-from .engine import SlotEngine, _encode_prefill
+from .engine import SlotEngine, _encode_prefill, _under_mesh
 
 NEG = jnp.float32(-1e30)
 
@@ -253,7 +253,8 @@ class BeamSlotEngine(SlotEngine):
     def __init__(self, model, n_slots: int = 8,
                  options: Optional[DecodingOptions] = None,
                  chunk_steps: int = 8, max_new_tokens: Optional[int] = None,
-                 use_flash: Optional[bool] = None, quantize: bool = False):
+                 use_flash: Optional[bool] = None, quantize: bool = False,
+                 mesh=None):
         options = options or DecodingOptions(beam_size=5)
         if not options.beam_size or options.beam_size < 2:
             raise ValueError("BeamSlotEngine needs options.beam_size >= 2")
@@ -270,7 +271,7 @@ class BeamSlotEngine(SlotEngine):
         super().__init__(model, n_slots=n_slots, options=greedy_opts,
                          chunk_steps=chunk_steps,
                          max_new_tokens=max_new_tokens, use_flash=use_flash,
-                         quantize=quantize)
+                         quantize=quantize, mesh=mesh)
         self.options = options
         task = DecodingTask(self.cfg, self.vocab, options)
         self.ranker = task.ranker
@@ -298,9 +299,10 @@ class BeamSlotEngine(SlotEngine):
             return -(-needed // 128) * 128
         return needed
 
+    @_under_mesh
     def _stream_chunk_snapshot(self, topts):
         self._state = _decode_chunk_beam(
-            self.model.params, self._state,
+            self.params, self._state,
             self._cross_pool_k, self._cross_pool_v,
             self.sup_mask, self.blank_mask, self.cfg,
             steps=self.chunk_steps, k=self.beam_size,
@@ -334,7 +336,7 @@ class BeamSlotEngine(SlotEngine):
 
     def _init_state(self, cache_dtype):
         S, k, cfg = self.n_slots + 1, self.beam_size, self.cfg
-        cache = self._fresh_cache(S * k, cache_dtype)
+        cache = self._shard_pool(self._fresh_cache(S * k, cache_dtype))
         eot = 50256 if cfg.n_vocab == 51864 else 50257
         self._state = BeamEngineState(
             cache_k=cache.k, cache_v=cache.v,
@@ -375,7 +377,7 @@ class BeamSlotEngine(SlotEngine):
         lengths_k = jnp.repeat(lengths, k)
         sot_k = jnp.repeat(sot_idx, k)
         ck, cv, cache, first_logits, nosp = _encode_prefill_beam(
-            self.model.params, wins, tokens_k, lengths_k, sot_k,
+            self.params, wins, tokens_k, lengths_k, sot_k,
             self.cfg, self.use_flash, self.quantize, self.pool_ctx,
             self._nosp_token(), k)
         if self._state is None:
@@ -387,8 +389,8 @@ class BeamSlotEngine(SlotEngine):
                         (a.shape[0], self.n_slots + 1) + a.shape[2:],
                         a.dtype), row)
 
-            self._cross_pool_k = pool_like(ck)
-            self._cross_pool_v = pool_like(cv)
+            self._cross_pool_k = self._shard_pool(pool_like(ck))
+            self._cross_pool_v = self._shard_pool(pool_like(cv))
         pad = [self.n_slots] * (bucket - len(slot_list))
         groups = np.array(list(slot_list) + pad, np.int32)
         row_ids = (groups[:, None] * k + np.arange(k)[None]).reshape(-1)
@@ -401,6 +403,7 @@ class BeamSlotEngine(SlotEngine):
 
     # -- scheduler --
 
+    @_under_mesh
     def transcribe_many(self, audios: Sequence[np.ndarray]) -> List[DecodingResult]:
         import time as _time
 
@@ -428,7 +431,7 @@ class BeamSlotEngine(SlotEngine):
                 t0 = _time.perf_counter()
                 st = self._state
                 self._state = _decode_chunk_beam(
-                    self.model.params, st,
+                    self.params, st,
                     self._cross_pool_k, self._cross_pool_v,
                     self.sup_mask, self.blank_mask, self.cfg,
                     steps=self.chunk_steps, k=self.beam_size,

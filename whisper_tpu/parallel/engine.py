@@ -235,6 +235,21 @@ def _snapshot(active, length, sum_logprobs, tokens_out, no_speech):
             jnp.copy(no_speech))
 
 
+def _under_mesh(fn):
+    """Run an engine method inside the engine's mesh context (no-op without
+    a mesh): every jit traced inside sees the (dp, tp) axes, so the param
+    shardings and decode_step's KV-layout constraints apply."""
+
+    @functools.wraps(fn)
+    def wrapped(self, *args, **kwargs):
+        if self.mesh is None:
+            return fn(self, *args, **kwargs)
+        with jax.set_mesh(self.mesh):
+            return fn(self, *args, **kwargs)
+
+    return wrapped
+
+
 class SlotEngine:
     """Greedy continuous-batching transcription over a fixed slot pool."""
 
@@ -247,6 +262,7 @@ class SlotEngine:
         max_new_tokens: Optional[int] = None,
         use_flash: Optional[bool] = None,
         quantize: bool = False,
+        mesh=None,
     ):
         if options is not None and (options.beam_size or (options.best_of or 1) != 1
                                     or options.temperature != 0):
@@ -255,6 +271,27 @@ class SlotEngine:
         self.cfg = model.config
         self.vocab = model.vocab
         self.n_slots = n_slots
+        # Tensor-parallel serving: a (dp=1, tp=N) Mesh shards attention
+        # heads / MLP hidden / vocab over tp for every engine program
+        # (decode_step pins the KV-pool layouts via constrain_cache/cross;
+        # sharding.py has the param specs). The slot axis stays unsharded —
+        # slots join/leave by row scatter, which must stay a local DMA.
+        self.mesh = mesh
+        self.params = model.params
+        if mesh is not None:
+            if mesh.shape.get("dp", 1) != 1:
+                raise ValueError(
+                    "SlotEngine shards tensor-parallel only; use a dp=1 "
+                    "mesh (slots are the batch axis and must stay local)")
+            from .sharding import shard_params
+
+            already = any(
+                isinstance(getattr(leaf, "sharding", None),
+                           jax.sharding.NamedSharding)
+                and leaf.sharding.mesh == mesh
+                for leaf in jax.tree.leaves(model.params))
+            self.params = (model.params if already
+                           else shard_params(model.params, mesh))
         self.chunk_steps = chunk_steps
         self.options = options or DecodingOptions()
         self.quantize = quantize  # int8 cross pool + KV pool (serving mode)
@@ -372,13 +409,29 @@ class SlotEngine:
         eot = 50256 if v == 51864 else 50257
         return (eot + 107 if v != 51866 else eot + 108) - 2
 
+    def _shard_pool(self, tree):
+        """Pin KV/cross pool leaves (heads on axis 2 in both the
+        slot-leading (S,L,H,D,C) cache and the layer-leading (L,S,H,D,Ta)
+        cross layout; 4-D leaves are int8 scales) to tp. Keeps the pools
+        born sharded so the donated carries never reshard."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(a):
+            spec = (P(None, None, "tp", None, None) if a.ndim == 5
+                    else P(None, None, "tp", None))
+            return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(put, tree)
+
     def _init_state(self, cache_dtype):
         # One extra TRASH row (index n_slots): bucket installs are always
         # full fixed-size scatters — unused entries land in the trash row,
         # so every admission compiles exactly one program per bucket size
         # instead of one per (bucket, fill-count) pair.
         S, cfg = self.n_slots + 1, self.cfg
-        cache = self._fresh_cache(S, cache_dtype)
+        cache = self._shard_pool(self._fresh_cache(S, cache_dtype))
         self._state = EngineState(
             cache_k=cache.k, cache_v=cache.v,
             logits=jnp.zeros((S, cfg.n_vocab), jnp.float32),
@@ -437,7 +490,7 @@ class SlotEngine:
             lengths = jnp.full((bucket,), self.init_len, jnp.int32)
             sot_idx = jnp.full((bucket,), self.sot_index, jnp.int32)
         ck, cv, cache, first_logits, nosp = _encode_prefill(
-            self.model.params, wins, tokens, lengths, sot_idx,
+            self.params, wins, tokens, lengths, sot_idx,
             self.cfg, self.use_flash, self.quantize, self.pool_ctx,
             self._nosp_token())
         if self._state is None:
@@ -451,8 +504,8 @@ class SlotEngine:
                     row,
                 )
 
-            self._cross_pool_k = pool_like(ck)
-            self._cross_pool_v = pool_like(cv)
+            self._cross_pool_k = self._shard_pool(pool_like(ck))
+            self._cross_pool_v = self._shard_pool(pool_like(cv))
         pad = [self.n_slots] * (bucket - len(slot_list))
         slot_vec = jnp.asarray(np.array(list(slot_list) + pad, np.int32))
         if max_news is None:
@@ -484,6 +537,7 @@ class SlotEngine:
 
     # -- the scheduler loop --
 
+    @_under_mesh
     def transcribe_many(self, audios: Sequence[np.ndarray]) -> List[DecodingResult]:
         """Drain a queue of independent 30 s-or-shorter streams; results are
         returned in submission order. Slots are refilled as they free up.
@@ -528,7 +582,7 @@ class SlotEngine:
             if any(r >= 0 for r in slot_req):
                 t0 = _time.perf_counter()
                 self._state = _decode_chunk(
-                    self.model.params, self._state,
+                    self.params, self._state,
                     self._cross_pool_k, self._cross_pool_v,
                     self.sup_mask, self.blank_mask, self.cfg,
                     steps=self.chunk_steps,
@@ -565,6 +619,7 @@ class SlotEngine:
 
     # -- long-form streams (whisper_full semantics through the engine) --
 
+    @_under_mesh
     def transcribe_streams(self, audios: Sequence[np.ndarray],
                            options=None, **kwargs) -> List[dict]:
         """Continuous-batching LONG-FORM transcription: every stream runs
@@ -740,11 +795,12 @@ class SlotEngine:
     def _align_pool_ctx(self, needed: int) -> int:
         return needed
 
+    @_under_mesh
     def _stream_chunk_snapshot(self, topts):
         """Dispatch one decode chunk (async) and return fresh-buffer device
         snapshots of the harvest arrays (pulled one round later)."""
         self._state = _decode_chunk(
-            self.model.params, self._state,
+            self.params, self._state,
             self._cross_pool_k, self._cross_pool_v,
             self.sup_mask, self.blank_mask, self.cfg,
             steps=self.chunk_steps,
@@ -764,6 +820,7 @@ class SlotEngine:
         active, length, sum_lp, toks, nosp = pulled
         return self._harvest(s, toks, length, sum_lp, nosp)
 
+    @_under_mesh
     def _slot_enc(self, s: int):
         """The slot's resident encoder memory as an ``enc``-like batch-1 view
         for finish_window's word-timing epilogue (the same rows the window
@@ -781,6 +838,7 @@ class SlotEngine:
                                  self._cross_pool_v),
         )
 
+    @_under_mesh
     def _init_stream(self, idx: int, audio: np.ndarray, topts) -> dict:
         """Host+device state for one long-form stream: the full padded mel
         (device-resident; windows are sliced per admission), the offline
@@ -817,10 +875,10 @@ class SlotEngine:
                 language = "en"
             else:
                 win = mel_window(mel, 0, self._n_frames)[None]
-                enc = encode(self.model.params, win, self.cfg,
+                enc = encode(self.params, win, self.cfg,
                              use_flash=self.use_flash)
                 langs, _ = detect_language(
-                    self.model.params, self.cfg, self.vocab,
+                    self.params, self.cfg, self.vocab,
                     enc.cross_k, enc.cross_v)
                 language = langs[0]
 
@@ -853,6 +911,7 @@ class SlotEngine:
             kwargs["beam_size"] = topts.beam_size
         return DecodingOptions(**kwargs)
 
+    @_under_mesh
     def _admit_stream_windows(self, join, topts) -> None:
         """Admit (slot, stream) pairs: slice each stream's current window
         from its resident mel, encode/prefill bucket-batched with per-row
@@ -908,6 +967,7 @@ class SlotEngine:
             if i < len(join):
                 jax.device_get(self._state.n_past[:1])
 
+    @_under_mesh
     def _fallback_ladder(self, st: dict, t0_result: DecodingResult,
                          topts, temps) -> DecodingResult:
         """Escalate a gated window through the remaining ladder rungs on
@@ -919,13 +979,13 @@ class SlotEngine:
         from ..pipeline.transcribe import gate_needs_fallback
 
         win = mel_window(st["mel"], st["seek"], self._n_frames)[None]
-        enc = encode(self.model.params, win, self.cfg,
+        enc = encode(self.params, win, self.cfg,
                      use_flash=self.use_flash)
         result = t0_result
         for t in temps[1:]:
             options = self._window_options(st, topts, t)
             result = decode_full(
-                self.model.params, self.cfg, self.vocab,
+                self.params, self.cfg, self.vocab,
                 enc.cross_k, enc.cross_v, options,
                 use_device_loop=jax.default_backend() == "tpu",
             )[0]
