@@ -231,6 +231,11 @@ def cmd_batch(args) -> int:
         from .model.quant import quantize_decoder_weights
 
         model.params = jax.jit(quantize_decoder_weights)(model.params)
+    mesh = None
+    if args.tp and args.tp > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.tp, tp=args.tp)
     loader = NativeAudioLoader(args.audio, n_threads=args.io_threads)
     audios = []
     for _, rate, audio in loader:
@@ -254,13 +259,13 @@ def cmd_batch(args) -> int:
                 model, n_slots=args.slots,
                 options=DecodingOptions(language=args.language,
                                         beam_size=args.beam),
-                quantize=args.quantize,
+                quantize=args.quantize, mesh=mesh,
             )
         else:
             engine = SlotEngine(
                 model, n_slots=args.slots,
                 options=DecodingOptions(language=args.language),
-                quantize=args.quantize,
+                quantize=args.quantize, mesh=mesh,
             )
         t0 = time.perf_counter()
         results = engine.transcribe_streams(
@@ -279,14 +284,14 @@ def cmd_batch(args) -> int:
                 options=DecodingOptions(language=args.language,
                                         beam_size=args.beam,
                                         without_timestamps=True),
-                quantize=args.quantize,
+                quantize=args.quantize, mesh=mesh,
             )
         else:
             engine = SlotEngine(
                 model, n_slots=args.slots,
                 options=DecodingOptions(language=args.language,
                                         without_timestamps=True),
-                quantize=args.quantize,
+                quantize=args.quantize, mesh=mesh,
             )
         t0 = time.perf_counter()
         results = engine.transcribe_many(audios)
@@ -500,6 +505,8 @@ def main(argv=None) -> int:
     p.add_argument("--word-timestamps", action="store_true",
                    help="word-level timestamps (long-form mode; DTW over "
                         "the slot's resident cross-attention rows)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel over this many chips")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("stream", help="simulated real-time transcription")
