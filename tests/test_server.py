@@ -176,6 +176,13 @@ def test_engine_server_http_roundtrip(model):
             assert lat["n"] >= 1
             assert 0 <= lat["queue_wait_mean_s"] <= lat["total_p99_s"]
 
+            conn.request("GET", "/metrics")
+            resp = conn.getresponse()
+            assert resp.getheader("Content-Type").startswith("text/plain")
+            body = resp.read().decode()
+            assert "whisper_requests 1" in body
+            assert 'whisper_request_latency_seconds{quantile="0.5"}' in body
+
             # NDJSON streaming: segments line-by-line, then a summary.
             conn.request("POST", "/transcribe?stream=1", body=wav_bytes)
             resp = conn.getresponse()

@@ -386,6 +386,29 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                 stats["queue_depth"] = server.queue_depth
                 stats["latency"] = server.latency_stats()
                 self._reply(200, stats)
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same numbers.
+                stats = dict(getattr(server.engine, "stats", {}) or {})
+                stats["queue_depth"] = server.queue_depth
+                lines = []
+                for k, v in stats.items():
+                    if isinstance(v, (int, float)):
+                        kind = "gauge" if k == "queue_depth" else "counter"
+                        lines.append(f"# TYPE whisper_{k} {kind}")
+                        lines.append(f"whisper_{k} {v}")
+                lat = server.latency_stats()
+                if lat.get("n"):
+                    lines.append("# TYPE whisper_request_latency_seconds "
+                                 "summary")
+                    for q, key in (("0.5", "total_p50_s"),
+                                   ("0.95", "total_p95_s"),
+                                   ("0.99", "total_p99_s")):
+                        lines.append("whisper_request_latency_seconds"
+                                     f'{{quantile="{q}"}} {lat[key]}')
+                    lines.append("whisper_request_latency_seconds_count "
+                                 f"{lat['n']}")
+                self._reply(200, "\n".join(lines) + "\n",
+                            "text/plain; version=0.0.4; charset=utf-8")
             else:
                 self._reply(404, {"error": "not found"})
 
