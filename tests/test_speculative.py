@@ -1,0 +1,118 @@
+"""Speculative greedy decoding (decoding/speculative.py): exactness at both
+acceptance extremes — a perfect draft (the target itself) and a useless one
+(different random weights) must both emit token-identical greedy output."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fixtures import micro_config, random_tensors, synthetic_tokens
+from whisper_tpu.decoding.speculative import decode_speculative
+from whisper_tpu.decoding.task import DecodingOptions, decode_full
+from whisper_tpu.io.vocab import make_vocab
+from whisper_tpu.model.encoder import encode
+from whisper_tpu.model.params import params_from_ggml
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = micro_config(n_vocab=51864)
+    params_t = jax.tree.map(
+        jnp.asarray, params_from_ggml(random_tensors(cfg, seed=11), cfg))
+    params_d = jax.tree.map(
+        jnp.asarray, params_from_ggml(random_tensors(cfg, seed=23), cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((1, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(
+        np.float32)
+    enc_t = encode(params_t, jnp.asarray(mel), cfg)
+    enc_d = encode(params_d, jnp.asarray(mel), cfg)
+    return cfg, vocab, params_t, enc_t, params_d, enc_d
+
+
+@pytest.mark.parametrize("opts_kwargs", [
+    dict(sample_len=24),
+    dict(sample_len=24, without_timestamps=True),
+])
+def test_perfect_draft_token_identity_and_speedup(setup, opts_kwargs):
+    """draft == target: 100% acceptance — identical tokens, and the target
+    runs far fewer forwards than tokens emitted."""
+    cfg, vocab, params_t, enc_t, _, _ = setup
+    opts = DecodingOptions(**opts_kwargs)
+
+    ref = decode_full(params_t, cfg, vocab, enc_t.cross_k, enc_t.cross_v,
+                      opts)[0]
+    got, stats = decode_speculative(
+        params_t, cfg, vocab, enc_t.cross_k, enc_t.cross_v,
+        params_t, cfg, enc_t.cross_k, enc_t.cross_v, opts, gamma=4)
+
+    assert got.tokens == ref.tokens
+    assert got.avg_logprob == pytest.approx(ref.avg_logprob, rel=1e-5,
+                                            abs=1e-6)
+    assert got.no_speech_prob == pytest.approx(ref.no_speech_prob, abs=1e-6)
+    n = len(got.tokens) + 1  # + EOT
+    # perfect draft: every proposal accepted; one verify forward covers
+    # gamma tokens, so target forwards << emitted tokens
+    assert stats["accepted"] == stats["proposed"]
+    assert stats["target_steps"] + stats["rounds"] <= n  # sanity
+    assert stats["target_steps"] < n / 2
+
+
+def test_useless_draft_token_identity(setup):
+    """Unrelated draft weights: near-zero acceptance — output must STILL be
+    token-identical to plain greedy (correctness never depends on the
+    draft)."""
+    cfg, vocab, params_t, enc_t, params_d, enc_d = setup
+    opts = DecodingOptions(sample_len=20)
+
+    ref = decode_full(params_t, cfg, vocab, enc_t.cross_k, enc_t.cross_v,
+                      opts)[0]
+    got, stats = decode_speculative(
+        params_t, cfg, vocab, enc_t.cross_k, enc_t.cross_v,
+        params_d, cfg, enc_d.cross_k, enc_d.cross_v, opts, gamma=3)
+
+    assert got.tokens == ref.tokens
+    assert got.avg_logprob == pytest.approx(ref.avg_logprob, rel=1e-5,
+                                            abs=1e-6)
+    assert stats["proposed"] > 0
+
+
+def test_speculative_rejects_non_greedy(setup):
+    cfg, vocab, params_t, enc_t, params_d, enc_d = setup
+    for bad in (DecodingOptions(beam_size=2),
+                DecodingOptions(temperature=0.7),
+                DecodingOptions(best_of=3, temperature=0.7)):
+        with pytest.raises(ValueError):
+            decode_speculative(
+                params_t, cfg, vocab, enc_t.cross_k, enc_t.cross_v,
+                params_d, cfg, enc_d.cross_k, enc_d.cross_v, bad)
+
+
+def test_transcribe_with_draft_matches_plain(tmp_path):
+    """pipeline.transcribe with model.draft set (speculative t=0 rung) is
+    segment-identical to plain transcribe across a multi-window long-form
+    run with prompt carry."""
+    from fixtures import synthetic_audio, write_synthetic_ggml
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+    cfg = micro_config(n_vocab=51864)
+    write_synthetic_ggml(tmp_path / "t.bin", cfg, seed=9)
+    write_synthetic_ggml(tmp_path / "d.bin", cfg, seed=31)
+    model = load_model(str(tmp_path / "t.bin"), use_native=False)
+    audio = synthetic_audio(16000 * 4, seed=2)
+    topts = TranscribeOptions(temperature=0.0,
+                              condition_on_previous_text=True,
+                              speculative_gamma=3)
+
+    ref = transcribe(model, audio, topts)
+
+    model.draft = load_model(str(tmp_path / "d.bin"), use_native=False)
+    got = transcribe(model, audio, topts)
+
+    assert got["text"] == ref["text"]
+    assert len(got["segments"]) > 1  # actually multi-window
+    assert [s["tokens"] for s in got["segments"]] == [
+        s["tokens"] for s in ref["segments"]]

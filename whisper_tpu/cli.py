@@ -43,6 +43,9 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quantize-weights", action="store_true",
                    help="int8 decoder weights (serving mode; slight accuracy cost)")
     p.add_argument("--gelu", choices=["erf", "tanh"], default="erf")
+    p.add_argument("--draft", default=None, metavar="DRAFT.bin",
+                   help="draft GGML checkpoint for speculative greedy "
+                        "decoding (same vocab; exact output)")
     p.add_argument("--flash", action="store_true", help="use Pallas flash attention")
     p.add_argument("--output-json", default=None, help="write result JSON here")
     p.add_argument("--output-format", "-f", default=None,
@@ -71,6 +74,9 @@ def cmd_transcribe(args) -> int:
         from .model.quant import quantize_decoder_weights
 
         model.params = jax.jit(quantize_decoder_weights)(model.params)
+    if args.draft:
+        # speculative greedy decoding: exact output, draft buys speed
+        model.draft = load_model(args.draft, dtype=dtype, gelu_impl=args.gelu)
     opts = TranscribeOptions(
         task=args.task,
         language=args.language,

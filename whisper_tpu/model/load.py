@@ -32,6 +32,10 @@ class WhisperModel:
     filters: jnp.ndarray              # (n_mel, 201) f32
     vocab: WhisperVocab
     timers: StageTimers = dataclasses.field(default_factory=StageTimers)
+    # Optional DRAFT model for speculative greedy decoding (same vocab,
+    # usually a distilled/smaller geometry). pipeline.transcribe routes its
+    # t=0 rung through decoding/speculative.py when set.
+    draft: Optional["WhisperModel"] = None
 
     @property
     def dtype(self):

@@ -60,12 +60,15 @@ class TranscribeOptions:
     # None -> auto: fused on-device decode loop on TPU (token-identical for
     # greedy; see decoding.device_loop), host loop elsewhere/for beam.
     use_device_loop: Optional[bool] = None
+    # Draft block size for speculative decoding (active when model.draft is
+    # set and the t=0 rung is greedy; decoding/speculative.py).
+    speculative_gamma: int = 4
     verbose: bool = False
 
 
 def _decode_with_fallback(
     model: WhisperModel, cross_k, cross_v, opts: TranscribeOptions,
-    prompt: List[int],
+    prompt: List[int], draft_enc=None,
 ) -> DecodingResult:
     temperatures = (
         [opts.temperature] if isinstance(opts.temperature, (int, float)) else list(opts.temperature)
@@ -93,10 +96,23 @@ def _decode_with_fallback(
             import jax
 
             use_device = jax.default_backend() == "tpu"
-        decode_result = decode_full(
-            model.params, model.config, model.vocab, cross_k, cross_v, options,
-            use_device_loop=use_device,
-        )[0]
+        if (draft_enc is not None and t == 0 and opts.beam_size is None
+                and model.draft is not None):
+            # Speculative greedy rung: exact (token-identical to plain
+            # greedy), the draft only buys verify-block throughput.
+            from ..decoding.speculative import decode_speculative
+
+            decode_result, _ = decode_speculative(
+                model.params, model.config, model.vocab, cross_k, cross_v,
+                model.draft.params, model.draft.config,
+                draft_enc.cross_k, draft_enc.cross_v, options,
+                gamma=opts.speculative_gamma,
+            )
+        else:
+            decode_result = decode_full(
+                model.params, model.config, model.vocab, cross_k, cross_v,
+                options, use_device_loop=use_device,
+            )[0]
         if not gate_needs_fallback(decode_result, opts):
             break
     return decode_result
@@ -236,10 +252,20 @@ def _window_step(
     with model.timers.stage("encode"):
         window = mel_window(mel, seek, n_frames_window)[None]
         enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
+        draft_enc = None
+        if model.draft is not None and opts.beam_size is None:
+            if model.draft.config.n_mels != cfg.n_mels:
+                raise ValueError(
+                    f"draft n_mels {model.draft.config.n_mels} != target "
+                    f"{cfg.n_mels}; pick a draft from the same mel family")
+            # the draft verifies against its OWN encoder memory
+            draft_enc = encode(model.draft.params, window,
+                               model.draft.config, use_flash=opts.use_flash)
 
     prompt = all_tokens[prompt_reset_since:] if opts.condition_on_previous_text else []
     with model.timers.stage("decode"):
-        result = _decode_with_fallback(model, enc.cross_k, enc.cross_v, opts, prompt)
+        result = _decode_with_fallback(model, enc.cross_k, enc.cross_v, opts,
+                                       prompt, draft_enc=draft_enc)
 
     return finish_window(
         model, result, seek, content_frames, n_frames_window, opts,
