@@ -98,6 +98,15 @@ def test_parse_multipart():
     with pytest.raises(ValueError):
         parse_multipart(body, "multipart/form-data")
 
+    # binary payloads legitimately END in CR/LF bytes (int16 PCM hits this
+    # ~1 in 128 uploads); only the single delimiter CRLF may be stripped
+    payload = b"RIFFdata\x00\r\n"
+    body2 = (f"--{boundary}\r\n"
+             'Content-Disposition: form-data; name="file"\r\n\r\n').encode() \
+        + payload + f"\r\n--{boundary}--\r\n".encode()
+    got = parse_multipart(body2, f"multipart/form-data; boundary={boundary}")
+    assert got["file"] == payload
+
 
 def test_openai_response_formats():
     from whisper_tpu.parallel.server import openai_response
@@ -239,6 +248,46 @@ def test_engine_server_http_roundtrip(model):
             httpd.server_close()
 
 
+def test_engine_server_worker_death_fails_futures(model):
+    """A fatal engine error must fail every outstanding future (not hang
+    clients), poison later submits, and flip /healthz to 503."""
+    import http.client
+
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.server import EngineServer, make_http_server
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    engine = SlotEngine(model, n_slots=2, chunk_steps=8)
+    srv = EngineServer(engine, TranscribeOptions(temperature=0.0)).start()
+
+    def boom(*a, **k):
+        raise RuntimeError("chip fell over")
+
+    engine._admit_stream_windows = boom
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        fut = srv.submit(synthetic_audio(SR * 6, seed=2))
+        with pytest.raises(RuntimeError, match="chip fell over"):
+            fut.result(timeout=120)
+        srv._thread.join(timeout=120)  # worker exits after the fatal error
+        with pytest.raises(RuntimeError, match="not running"):
+            srv.submit(synthetic_audio(SR * 6, seed=2))
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        assert resp.status == 503
+        import json
+        assert json.loads(resp.read())["ok"] is False
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        srv.stop()
+
+
 def test_engine_server_busy_503(model):
     """max_queue backpressure: excess submits raise ServerBusy and the HTTP
     layer maps it to 503."""
@@ -268,6 +317,11 @@ def test_engine_server_busy_503(model):
             resp = conn.getresponse()
             assert resp.status == 503
             assert resp.getheader("Retry-After") == "1"
+
+            # oversized Content-Length is rejected before reading the body
+            conn.request("POST", "/transcribe", body=b"",
+                         headers={"Content-Length": str(10**12)})
+            assert conn.getresponse().status == 413
             conn.close()
         finally:
             httpd.shutdown()

@@ -1,9 +1,14 @@
 """Speculative greedy decoding: a small DRAFT model proposes, the target
 verifies blocks of tokens in one forward.
 
-Greedy speculative decoding is exact: the emitted sequence is token-identical
-to plain greedy decoding of the target model (tests/test_speculative.py
-checks both the 100%-acceptance and ~0%-acceptance extremes). Each round
+Greedy speculative decoding is exact IN EXACT ARITHMETIC: the emitted
+sequence is token-identical to plain greedy decoding of the target model
+(tests/test_speculative.py checks both the 100%-acceptance and
+~0%-acceptance extremes, CPU fp32). One caveat on real hardware: the verify
+block is a T=gamma forward while plain greedy steps are T=1 forwards —
+different matmul tilings can round near-tied logits to a different argmax
+on TPU bf16, the same class of divergence as any batched-vs-single forward
+(on-chip identity should be spot-checked per deployment). Each round
 
   1. emits the already-known next token ``t_n`` (argmax of the target's
      rule-filtered logits — exactly the host loop's per-token block,
@@ -78,14 +83,13 @@ def decode_speculative(
     la_t, cache_t = decode_step(
         params_t, jnp.asarray(padded), jnp.int32(0), cache_t,
         cross_k_t, cross_v_t, cfg_t)
-    la_d, cache_d = decode_step(
+    _, cache_d = decode_step(
         params_d, jnp.asarray(padded), jnp.int32(0), cache_d,
         cross_k_d, cross_v_d, cfg_d)
     la_t = np.asarray(la_t, dtype=np.float32)
     probs_at_sot = np.exp(log_softmax(la_t[:, task.sot_index]))
     no_speech_prob = float(probs_at_sot[0, vocab.token_nosp])
     logits_t = la_t[:, true_len - 1]          # predicts the next token
-    logits_d = np.asarray(la_d, np.float32)[:, true_len - 1]
     n_t = n_d = true_len
 
     sum_logprobs = np.zeros(1, dtype=np.float64)

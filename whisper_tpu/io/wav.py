@@ -22,6 +22,17 @@ def convert_integer_to_float_audio(samples: np.ndarray) -> np.ndarray:
     return samples.astype(np.float32) / 32768.0
 
 
+def _finish_load(rate: int, audio: np.ndarray, target_rate: int,
+                 resample: bool, what: str) -> np.ndarray:
+    """Shared tail of every WAV ingest path: resample-or-reject to
+    ``target_rate`` (audio already mono f32)."""
+    if rate != target_rate:
+        if not resample:
+            raise AudioError(f"{what} is {rate} Hz, expected {target_rate} Hz")
+        audio = resample_poly(audio, target_rate, rate)
+    return audio
+
+
 def load_wav(path: str, target_rate: int = SAMPLE_RATE, resample: bool = True) -> np.ndarray:
     """Read a WAV file and return mono f32 PCM at ``target_rate``."""
     from ..runtime.native import native_load_wav
@@ -37,11 +48,7 @@ def load_wav(path: str, target_rate: int = SAMPLE_RATE, resample: bool = True) -
         except Exception as e:  # noqa: BLE001
             raise AudioError(f"cannot read WAV {path!r}: {e}") from e
         audio = _to_float_mono(data)
-    if rate != target_rate:
-        if not resample:
-            raise AudioError(f"{path!r} is {rate} Hz, expected {target_rate} Hz")
-        audio = resample_poly(audio, target_rate, rate)
-    return audio
+    return _finish_load(rate, audio, target_rate, resample, repr(path))
 
 
 def load_wav_bytes(data: bytes, target_rate: int = SAMPLE_RATE,
@@ -56,12 +63,8 @@ def load_wav_bytes(data: bytes, target_rate: int = SAMPLE_RATE,
         rate, raw = wavfile.read(_io.BytesIO(data))
     except Exception as e:  # noqa: BLE001
         raise AudioError(f"cannot parse WAV body: {e}") from e
-    audio = _to_float_mono(raw)
-    if rate != target_rate:
-        if not resample:
-            raise AudioError(f"WAV body is {rate} Hz, expected {target_rate} Hz")
-        audio = resample_poly(audio, target_rate, rate)
-    return audio
+    return _finish_load(rate, _to_float_mono(raw), target_rate, resample,
+                        "WAV body")
 
 
 def _to_float_mono(data: np.ndarray) -> np.ndarray:

@@ -67,6 +67,7 @@ class EngineServer:
         self._inflight_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._fatal: Optional[BaseException] = None
         self._idx = 0
         # last-1000 per-request latencies (seconds): (queue wait to first
         # slot, total submit->resolve). Percentiles via latency_stats().
@@ -89,7 +90,9 @@ class EngineServer:
         (language detect + prompt tokenization), so mixing them across live
         slots is safe."""
         if self._thread is None or not self._thread.is_alive():
-            raise RuntimeError("EngineServer is not running; call start()")
+            raise RuntimeError(
+                "EngineServer is not running; call start()"
+                + (f" (worker died: {self._fatal!r})" if self._fatal else ""))
         fut: Future = Future()
         if self._max_queue is not None:
             # Backpressure on IN-FLIGHT requests (queued + admitted), not
@@ -153,6 +156,15 @@ class EngineServer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        # items that raced past the worker's exit (or arrived after a fatal
+        # worker death) must not leave their futures hanging
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not item[1].done():
+                item[1].cancel()
 
     def __enter__(self):
         return self.start()
@@ -167,72 +179,80 @@ class EngineServer:
     # -- the worker loop (owns all jax calls) --
 
     def _run(self) -> None:
+        self._drain = True
+        self._fatal = None
+        pending: list = []       # initialized streams between windows
+        raw: list = []           # not-yet-initialized requests (host-only)
+        slot_stream = [None] * self.engine.n_slots
+        try:
+            self._run_loop(pending, raw, slot_stream)
+        except Exception as e:  # noqa: BLE001 — engine/jax died; fail fast
+            self._fatal = e
+        finally:
+            # Resolve EVERYTHING still outstanding so no client ever hangs
+            # on a dead worker: in-flight streams, raw requests, and any
+            # queue items that raced past the final empty check (submit()'s
+            # put can land after the worker decided to exit).
+            err = self._fatal or RuntimeError("EngineServer stopped")
+            for st in pending + [s for s in slot_stream if s is not None]:
+                if not st["future"].done():
+                    st["future"].set_exception(err)
+            for item in raw:
+                if not item[1].done():
+                    item[1].set_exception(err)
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if not item[1].done():
+                    item[1].cancel()
+
+    def _run_loop(self, pending: list, raw: list, slot_stream: list) -> None:
         import time as _time
 
         eng, topts, temps = self.engine, self.topts, self._temps
-        pending: list = []
-        slot_stream = [None] * eng.n_slots
         slot_ticket = [0] * eng.n_slots
         next_ticket = 1
         eng.stats = {"admit_s": 0.0, "chunk_s": 0.0, "pull_s": 0.0,
                      "fallback_s": 0.0, "rounds": 0, "windows": 0,
                      "fallbacks": 0, "requests": 0}
         snap = None
-        self._drain = True
 
         while True:
-            busy = (pending or snap is not None
+            busy = (raw or pending or snap is not None
                     or any(s is not None for s in slot_stream))
             if self._stop.is_set() and not busy and (
                     not self._drain or self._queue.empty()):
                 break
-            # ingest requests; block only when fully idle
+            # ingest requests (HOST memory only — device staging waits for a
+            # free slot, so queued bursts can't exhaust HBM); block only
+            # when fully idle
             try:
                 while True:
-                    (audio, fut, on_seg, lang, prompt,
-                     t_sub) = self._queue.get(block=not busy,
-                                              timeout=self._poll_s)
+                    item = self._queue.get(block=not busy,
+                                           timeout=self._poll_s)
                     if self._stop.is_set() and not self._drain:
-                        fut.cancel()
+                        item[1].cancel()
                         continue
-                    if not fut.set_running_or_notify_cancel():
-                        continue
-                    st_topts = topts
-                    if lang is not None or prompt is not None:
-                        import dataclasses as _dc
-
-                        st_topts = _dc.replace(
-                            topts,
-                            language=lang if lang is not None else topts.language,
-                            initial_prompt=(prompt if prompt is not None
-                                            else topts.initial_prompt))
-                    try:
-                        st = eng._init_stream(self._idx, audio, st_topts)
-                    except Exception as e:  # noqa: BLE001 — bad request only
-                        fut.set_exception(e)
-                        continue
-                    self._idx += 1
-                    st["future"] = fut
-                    st["on_segment"] = on_seg
-                    st["emitted"] = 0
-                    st["t_sub"] = t_sub
-                    eng.stats["requests"] += 1
-                    if st["done"]:  # shorter than one hop: no windows
-                        self._latencies.append(
-                            (0.0, _time.monotonic() - t_sub))
-                        fut.set_result(eng._stream_output(st))
-                    else:
-                        pending.append(st)
+                    raw.append(item)
                     busy = True
             except queue.Empty:
                 if not busy:
                     continue
 
-            # admit into freed slots (bucketed encode/prefill)
+            # admit into freed slots: window continuations first, then new
+            # requests (initialized here, at admission — mel upload,
+            # language detect, prompt tokenization)
             join = []
             for s in range(eng.n_slots):
-                if slot_stream[s] is None and pending:
-                    st = pending.pop(0)
+                while slot_stream[s] is None and (pending or raw):
+                    if pending:
+                        st = pending.pop(0)
+                    else:
+                        st = self._start_request(raw.pop(0))
+                        if st is None:  # bad request / too short: resolved
+                            continue
                     st.setdefault("t_first_slot", _time.monotonic())
                     slot_stream[s] = st
                     slot_ticket[s] = next_ticket
@@ -289,6 +309,43 @@ class EngineServer:
             snap = new_snap
             eng.stats["rounds"] += 1
 
+    def _start_request(self, item) -> Optional[dict]:
+        """Initialize one raw request (device mel staging, language detect,
+        prompt tokenization). Returns the stream dict, or None when the
+        request resolved immediately (bad input / shorter than one hop)."""
+        import time as _time
+
+        audio, fut, on_seg, lang, prompt, t_sub = item
+        if not fut.set_running_or_notify_cancel():
+            return None
+        eng, topts = self.engine, self.topts
+        st_topts = topts
+        if lang is not None or prompt is not None:
+            import dataclasses as _dc
+
+            st_topts = _dc.replace(
+                topts,
+                language=lang if lang is not None else topts.language,
+                initial_prompt=(prompt if prompt is not None
+                                else topts.initial_prompt))
+        try:
+            st = eng._init_stream(self._idx, audio, st_topts)
+        except Exception as e:  # noqa: BLE001 — bad request only
+            fut.set_exception(e)
+            return None
+        self._idx += 1
+        st["future"] = fut
+        st["on_segment"] = on_seg
+        st["emitted"] = 0
+        st["t_sub"] = t_sub
+        eng.stats["requests"] += 1
+        if st["done"]:  # shorter than one hop: no windows
+            dt = _time.monotonic() - t_sub
+            self._latencies.append((dt, dt))  # never slotted: all queue wait
+            fut.set_result(eng._stream_output(st))
+            return None
+        return st
+
     def _record_latency(self, st: dict) -> None:
         import time as _time
 
@@ -313,7 +370,11 @@ def parse_multipart(body: bytes, content_type: str) -> dict:
             continue
         part = part.lstrip(b"\r\n")
         head, _, value = part.partition(b"\r\n\r\n")
-        value = value.rstrip(b"\r\n")
+        # strip exactly ONE trailing CRLF (the part delimiter) — binary
+        # payloads legitimately end in 0x0d/0x0a bytes (e.g. int16 PCM),
+        # so rstrip would corrupt roughly 1-in-128 WAV uploads.
+        if value.endswith(b"\r\n"):
+            value = value[:-2]
         dm = re.search(rb'name="([^"]+)"', head)
         if dm:
             fields[dm.group(1).decode()] = value
@@ -356,10 +417,13 @@ def openai_response(result: dict, response_format: str):
 
 
 def make_http_server(server: EngineServer, host: str = "127.0.0.1",
-                     port: int = 8080):
+                     port: int = 8080,
+                     max_body_bytes: int = 256 * 1024 * 1024):
     """A ``ThreadingHTTPServer`` bound to ``host:port`` serving the
     EngineServer. Handler threads only parse WAVs and block on futures; all
-    jax work stays on the engine worker thread."""
+    jax work stays on the engine worker thread. Bodies past
+    ``max_body_bytes`` (default 256 MB ≈ 2.3 h of 16 kHz int16 WAV) get 413
+    before anything is read into memory."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from ..io.wav import load_wav_bytes
@@ -380,7 +444,12 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"ok": True})
+                alive = (server._thread is not None
+                         and server._thread.is_alive())
+                payload = {"ok": alive}
+                if server._fatal is not None:
+                    payload["error"] = repr(server._fatal)
+                self._reply(200 if alive else 503, payload)
             elif self.path == "/stats":
                 stats = dict(getattr(server.engine, "stats", {}) or {})
                 stats["queue_depth"] = server.queue_depth
@@ -416,6 +485,10 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
             n = int(self.headers.get("Content-Length", 0))
             if n <= 0:
                 self._reply(400, {"error": "empty body"})
+                return None
+            if n > max_body_bytes:
+                self._reply(413, {"error": f"body {n} bytes > limit "
+                                           f"{max_body_bytes}"})
                 return None
             return self.rfile.read(n)
 

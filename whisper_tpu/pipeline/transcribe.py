@@ -252,8 +252,10 @@ def _window_step(
     with model.timers.stage("encode"):
         window = mel_window(mel, seek, n_frames_window)[None]
         enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
+        temps0 = (opts.temperature if isinstance(opts.temperature, (int, float))
+                  else (opts.temperature or (1,))[0])
         draft_enc = None
-        if model.draft is not None and opts.beam_size is None:
+        if model.draft is not None and opts.beam_size is None and temps0 == 0:
             if model.draft.config.n_mels != cfg.n_mels:
                 raise ValueError(
                     f"draft n_mels {model.draft.config.n_mels} != target "
