@@ -144,3 +144,24 @@ def test_cli_info(tmp_path, capsys):
     assert main(["info", ckpt]) == 0
     out = capsys.readouterr().out
     assert "tensors" in out and "89" in out
+
+
+def test_cli_detect_language(tmp_path, capsys):
+    from scipy.io import wavfile
+
+    from whisper_tpu.cli import main
+
+    wav = str(tmp_path / "x.wav")
+    audio = synthetic_audio(SAMPLE_RATE * 2, seed=3)
+    wavfile.write(wav, SAMPLE_RATE, (audio * 32767).astype(np.int16))
+
+    ml = str(tmp_path / "ml.bin")
+    write_synthetic_ggml(ml, tiny_config(n_vocab=51865), seed=5)
+    assert main(["detect-language", ml, wav, "--top", "3"]) == 0
+    out = capsys.readouterr().out
+    assert wav in out and "=" in out  # "lang (xx=0.123, ...)"
+
+    en = str(tmp_path / "en.bin")
+    write_synthetic_ggml(en, tiny_config(), seed=9)
+    assert main(["detect-language", en, wav]) == 0
+    assert "English-only" in capsys.readouterr().out

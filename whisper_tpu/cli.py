@@ -376,6 +376,36 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_detect_language(args) -> int:
+    """Language identification only (whisper.cpp --detect-language /
+    openai whisper.detect_language): one encoder pass + one SOT-position
+    decoder forward per file; prints the top languages with probabilities."""
+    import jax.numpy as jnp
+
+    from .decoding.task import detect_language
+    from .frontend.mel import frame_count, log_mel_spectrogram, mel_window
+    from .io.wav import load_wav
+    from .model.encoder import encode
+    from .model.load import load_model
+
+    model = load_model(args.model, dtype=jnp.bfloat16)
+    if not model.config.is_multilingual:
+        print("model is English-only (.en); language is always en")
+        return 0
+    for path in args.audio:
+        audio = load_wav(path)
+        mel = log_mel_spectrogram(jnp.asarray(audio), model.filters,
+                                  frame_count(len(audio)))
+        win = mel_window(mel, 0, 2 * model.config.n_audio_ctx)[None]
+        enc = encode(model.params, win, model.config)
+        langs, probs = detect_language(model.params, model.config,
+                                       model.vocab, enc.cross_k, enc.cross_v)
+        top = sorted(probs[0].items(), key=lambda kv: -kv[1])[: args.top]
+        ranked = ", ".join(f"{k}={v:.3f}" for k, v in top)
+        print(f"== {path}: {langs[0]} ({ranked})")
+    return 0
+
+
 def cmd_stream(args) -> int:
     """Simulated real-time transcription: feed a WAV in chunks, print
     committed text as it stabilizes; final output == offline transcribe."""
@@ -514,6 +544,14 @@ def main(argv=None) -> int:
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel over this many chips")
     p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("detect-language",
+                       help="language identification only (first window)")
+    p.add_argument("model")
+    p.add_argument("audio", nargs="+")
+    p.add_argument("--top", type=int, default=5,
+                   help="print this many candidate languages")
+    p.set_defaults(fn=cmd_detect_language)
 
     p = sub.add_parser("stream", help="simulated real-time transcription")
     p.add_argument("model")
