@@ -116,3 +116,104 @@ def test_transcribe_with_draft_matches_plain(tmp_path):
     assert len(got["segments"]) > 1  # actually multi-window
     assert [s["tokens"] for s in got["segments"]] == [
         s["tokens"] for s in ref["segments"]]
+
+
+@pytest.mark.parametrize("perfect,use_ts", [(True, True), (True, False),
+                                            (False, True)])
+def test_device_speculative_matches_device_greedy(setup, perfect, use_ts):
+    """The fused on-device speculative loop (one jitted while_loop, ragged
+    per-row acceptance) is token-identical to decode_segment_device."""
+    from whisper_tpu.decoding.device_loop import (build_masks,
+                                                  decode_segment_device)
+    from whisper_tpu.decoding.device_speculative import (
+        decode_segment_speculative_device)
+    from whisper_tpu.io.vocab import make_vocab
+    from whisper_tpu.model.decoder import init_cache
+    from whisper_tpu.model.encoder import encode as _encode
+
+    cfg, vocab, params_t, _, params_d, _ = setup
+    if perfect:
+        params_d = params_t
+    B, SL, GAMMA = 3, 18, 4
+    rng = np.random.default_rng(6)
+    mel = rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(
+        np.float32)
+    enc_t = _encode(params_t, jnp.asarray(mel), cfg)
+    enc_d = _encode(params_d, jnp.asarray(mel), cfg)
+    sup, blank = build_masks(vocab)
+    init_tokens = jnp.asarray(
+        np.tile(np.array([vocab.token_sot], np.int32), (B, 1)))
+    ctx = 1 + SL + GAMMA + 4
+
+    ref_toks, ref_len, ref_lp, ref_nosp = decode_segment_device(
+        params_t, init_tokens, 1, 0, init_cache(cfg, B, ctx=ctx),
+        enc_t.cross_k, enc_t.cross_v, sup, blank, cfg,
+        sample_len=SL, use_timestamps=use_ts)
+
+    toks, lens, lps, nosp, rounds, accepted = (
+        decode_segment_speculative_device(
+            params_t, params_d, init_tokens, 1, 0,
+            init_cache(cfg, B, ctx=ctx), init_cache(cfg, B, ctx=ctx),
+            enc_t.cross_k, enc_t.cross_v, enc_d.cross_k, enc_d.cross_v,
+            sup, blank, cfg, cfg, sample_len=SL, gamma=GAMMA,
+            use_timestamps=use_ts))
+
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(ref_len))
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(ref_lp),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nosp), np.asarray(ref_nosp),
+                               rtol=1e-5, atol=1e-6)
+    if perfect:
+        # 100% acceptance: rounds are a fraction of emitted tokens
+        total = int(np.asarray(ref_len).sum()) + B  # + EOTs
+        assert int(rounds) < total / 2
+        assert int(accepted) > 0
+
+
+def test_device_speculative_full_wrapper_matches_decode_full(setup):
+    """decode_speculative_device_full == decode_full greedy with prompts
+    (bucketed prefill, openai budget clamp, result construction)."""
+    from whisper_tpu.decoding.device_speculative import (
+        decode_speculative_device_full)
+
+    cfg, vocab, params_t, enc_t, params_d, enc_d = setup
+    opts = DecodingOptions(sample_len=20, prompt=[311, 412, 513])
+
+    ref = decode_full(params_t, cfg, vocab, enc_t.cross_k, enc_t.cross_v,
+                      opts)
+    got, stats = decode_speculative_device_full(
+        params_t, cfg, vocab, enc_t.cross_k, enc_t.cross_v,
+        params_d, cfg, enc_d.cross_k, enc_d.cross_v, opts, gamma=3)
+
+    assert stats["rounds"] >= 1
+    for r, g in zip(ref, got):
+        assert g.tokens == r.tokens
+        assert g.avg_logprob == pytest.approx(r.avg_logprob, rel=1e-4,
+                                              abs=1e-5)
+        assert g.no_speech_prob == pytest.approx(r.no_speech_prob, abs=1e-5)
+
+
+def test_transcribe_with_draft_device_loop_matches_plain(tmp_path):
+    """pipeline.transcribe routes the t=0 rung through the FUSED device
+    speculative loop when use_device_loop=True — segment-identical to the
+    plain device-loop transcribe."""
+    from fixtures import synthetic_audio, write_synthetic_ggml
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+    cfg = micro_config(n_vocab=51864)
+    write_synthetic_ggml(tmp_path / "t.bin", cfg, seed=9)
+    write_synthetic_ggml(tmp_path / "d.bin", cfg, seed=31)
+    model = load_model(str(tmp_path / "t.bin"), use_native=False)
+    audio = synthetic_audio(16000 * 3, seed=5)
+    topts = TranscribeOptions(temperature=0.0, use_device_loop=True,
+                              speculative_gamma=3)
+
+    ref = transcribe(model, audio, topts)
+    model.draft = load_model(str(tmp_path / "d.bin"), use_native=False)
+    got = transcribe(model, audio, topts)
+
+    assert got["text"] == ref["text"]
+    assert [s["tokens"] for s in got["segments"]] == [
+        s["tokens"] for s in ref["segments"]]

@@ -149,22 +149,32 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         q_pos = n_past + jnp.arange(T)[:, None]                  # (T, 1)
         mask = key_pos <= q_pos                                  # causal + past
 
-    if ragged and T != 1:
-        raise NotImplementedError("per-row n_past decode requires T == 1")
-
     def _append(buf, new, scale_rank=False):
         """Write ``new`` at position n_past (scalar: slice; vector: per-row
-        scatter — the serving engine's slots each carry their own past).
+        scatter — the serving engine's slots each carry their own past; the
+        speculative verify block scatters T columns at per-row offsets).
         The cache is batch-leading (B, L, ...); ``layer`` indexes axis 1."""
         if not ragged:
             offs = (0, layer, 0, n_past) if scale_rank else (0, layer, 0, 0, n_past)
             return jax.lax.dynamic_update_slice(buf, new[:, None], offs)
         rows = jnp.arange(B)
-        lidx = jnp.full((B,), layer)
-        if scale_rank:  # new (B, H, 1) -> scatter at (b, layer, :, n_past[b])
-            return buf.at[rows, lidx, :, n_past].set(new[..., 0])
-        # new (B, H, D, 1) -> scatter at (b, layer, :, :, n_past[b])
-        return buf.at[rows, lidx, :, :, n_past].set(new[..., 0])
+        if T == 1:
+            lidx = jnp.full((B,), layer)
+            if scale_rank:  # new (B, H, 1) -> scatter at (b, layer, :, n_past[b])
+                return buf.at[rows, lidx, :, n_past].set(new[..., 0])
+            # new (B, H, D, 1) -> scatter at (b, layer, :, :, n_past[b])
+            return buf.at[rows, lidx, :, :, n_past].set(new[..., 0])
+        # ragged multi-token block (device speculative verify): columns
+        # n_past[b]..n_past[b]+T-1 per row. Advanced indices separated by
+        # slices put the broadcast (B, T) dims first, so new (B, ..., T)
+        # moves its column axis to position 1.
+        r = rows[:, None]
+        lidx = jnp.full((B, 1), layer)
+        cols = n_past[:, None] + jnp.arange(T)[None, :]
+        if scale_rank:  # new (B, H, T) -> (B, T, H)
+            return buf.at[r, lidx, :, cols].set(jnp.moveaxis(new, -1, 1))
+        # new (B, H, D, T) -> (B, T, H, D)
+        return buf.at[r, lidx, :, :, cols].set(jnp.moveaxis(new, -1, 1))
 
     def _slice_l(buf):
         return jax.lax.dynamic_index_in_dim(buf, layer, 1, keepdims=False)

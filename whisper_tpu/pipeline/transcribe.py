@@ -99,15 +99,28 @@ def _decode_with_fallback(
         if (draft_enc is not None and t == 0 and opts.beam_size is None
                 and model.draft is not None):
             # Speculative greedy rung: exact (token-identical to plain
-            # greedy), the draft only buys verify-block throughput.
-            from ..decoding.speculative import decode_speculative
+            # greedy), the draft only buys verify-block throughput. On
+            # device backends the FUSED loop runs (one jitted while_loop);
+            # the host loop is the reference path.
+            if use_device:
+                from ..decoding.device_speculative import (
+                    decode_speculative_device_full)
 
-            decode_result, _ = decode_speculative(
-                model.params, model.config, model.vocab, cross_k, cross_v,
-                model.draft.params, model.draft.config,
-                draft_enc.cross_k, draft_enc.cross_v, options,
-                gamma=opts.speculative_gamma,
-            )
+                decode_result = decode_speculative_device_full(
+                    model.params, model.config, model.vocab, cross_k,
+                    cross_v, model.draft.params, model.draft.config,
+                    draft_enc.cross_k, draft_enc.cross_v, options,
+                    gamma=opts.speculative_gamma,
+                )[0][0]
+            else:
+                from ..decoding.speculative import decode_speculative
+
+                decode_result, _ = decode_speculative(
+                    model.params, model.config, model.vocab, cross_k,
+                    cross_v, model.draft.params, model.draft.config,
+                    draft_enc.cross_k, draft_enc.cross_v, options,
+                    gamma=opts.speculative_gamma,
+                )
         else:
             decode_result = decode_full(
                 model.params, model.config, model.vocab, cross_k, cross_v,
