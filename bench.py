@@ -62,6 +62,21 @@ def main() -> int:
     _backend_or_die()
     from whisper_tpu.utils.benchmark import run_benchmark, run_engine_benchmark
 
+    if os.environ.get("BENCH_MODE") == "spec":
+        # Speculative A/B vs the greedy device loop, interleaved in one
+        # process. BENCH_DRAFT=self (acceptance-1 upper bound) | distil2
+        # (random 2-layer draft: worst-case overhead).
+        from whisper_tpu.utils.benchmark import run_speculative_benchmark
+
+        print(json.dumps(run_speculative_benchmark(
+            model_name=os.environ.get("BENCH_MODEL", "large-v3"),
+            batch=int(os.environ.get("BENCH_BATCH", "8")),
+            gamma=int(os.environ.get("BENCH_GAMMA", "4")),
+            draft=os.environ.get("BENCH_DRAFT", "self"),
+            seconds=int(os.environ.get("BENCH_SECONDS", "120")),
+        )))
+        return 0
+
     if os.environ.get("BENCH_MODE") == "engine":
         # Continuous-batching serving engine (slot pool, staggered streams).
         result = run_engine_benchmark(

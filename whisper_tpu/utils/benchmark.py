@@ -322,3 +322,157 @@ def run_benchmark(
             "device": str(jax.devices()[0]),
         },
     }
+
+
+def run_speculative_benchmark(
+    model_name: str = "large-v3",
+    batch: int = 8,
+    gamma: int = 4,
+    draft: str = "self",       # "self" (upper bound) | "distil2" (2-layer)
+    seconds: int = 120,
+    decode_tokens: int = 64,
+) -> dict:
+    """A/B the fused speculative loop against the plain greedy device loop
+    on identical windows, interleaved in one process (the axon variance
+    rule). With random weights only two draft choices are meaningful:
+    ``self`` (acceptance 1.0 — the mechanical upper bound of the verify-
+    block pipeline) and ``distil2`` (distil-whisper geometry, unrelated
+    random weights — acceptance ~0, the worst-case overhead bound). Real
+    draft checkpoints land between them."""
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import PRESETS
+    from ..decoding.device_loop import build_masks, decode_segment_device
+    from ..decoding.device_speculative import (
+        decode_segment_speculative_device)
+    from ..frontend.mel import frame_count, log_mel_spectrogram, mel_window
+    from ..model.decoder import init_cache
+    from ..model.encoder import encode
+    from ..model.load import random_model
+
+    cfg = PRESETS[model_name]
+    model = random_model(cfg, seed=0, dtype=jnp.bfloat16)
+    if draft == "self":
+        dmodel, dcfg = model, cfg
+    elif draft == "distil2":
+        dcfg = dataclasses.replace(cfg, n_text_layer=2)
+        dmodel = random_model(dcfg, seed=7, dtype=jnp.bfloat16)
+    elif draft == "prefix2":
+        # TRUE upper bound with realistic costs: zero the residual-branch
+        # output projections of target decoder layers >= 2 (the layers
+        # become compute-priced no-ops), and use the 2-layer prefix as the
+        # draft — identical predictions, so acceptance is exactly 1.0 while
+        # the target still pays full-depth matmul time.
+        dcfg = dataclasses.replace(cfg, n_text_layer=2)
+        p = jax.tree.map(lambda a: a, model.params)  # shallow copy
+        blocks = dict(p["decoder"]["blocks"])
+        for k in ("out_w", "out_b", "mlp1_w", "mlp1_b",
+                  "cross_out_w", "cross_out_b"):
+            blocks[k] = blocks[k].at[2:].set(0)
+        p["decoder"] = dict(p["decoder"], blocks=blocks)
+        model.params = p
+        dblocks = {k: v[:2] for k, v in blocks.items()}
+        dparams = {"encoder": p["encoder"],
+                   "decoder": dict(p["decoder"], blocks=dblocks)}
+        dmodel = dataclasses.replace(model, config=dcfg, params=dparams)
+    else:
+        raise ValueError(f"unknown draft {draft!r}")
+
+    vocab = model.vocab
+    use_flash = jax.default_backend() == "tpu"
+    sup, blank = build_masks(vocab)
+    init = [vocab.token_sot]
+    if cfg.is_multilingual:
+        init += [vocab.language_token("en"), vocab.token_transcribe]
+    init_tokens = jnp.asarray(np.tile(np.array(init, np.int32), (batch, 1)))
+    ctx = len(init) + decode_tokens + gamma + 8
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal(16000 * 30).astype(np.float32) * 0.1)
+    n_frames = 2 * cfg.n_audio_ctx
+
+    @jax.jit
+    def greedy_step(params, audio):
+        mel = log_mel_spectrogram(audio, model.filters,
+                                  frame_count(16000 * 30))
+        win = mel_window(mel, 0, n_frames)
+        mel_b = jnp.broadcast_to(win[None], (batch, cfg.n_mels, n_frames))
+        enc = encode(params, mel_b, cfg, use_flash=use_flash)
+        toks, lengths, _, _ = decode_segment_device(
+            params, init_tokens, len(init), 0,
+            init_cache(cfg, batch, dtype=jnp.bfloat16, ctx=ctx),
+            enc.cross_k, enc.cross_v, sup, blank, cfg,
+            sample_len=decode_tokens)
+        return toks, lengths
+
+    @jax.jit
+    def spec_step(params_t, params_d, audio):
+        mel = log_mel_spectrogram(audio, model.filters,
+                                  frame_count(16000 * 30))
+        win = mel_window(mel, 0, n_frames)
+        mel_b = jnp.broadcast_to(win[None], (batch, cfg.n_mels, n_frames))
+        enc_t = encode(params_t, mel_b, cfg, use_flash=use_flash)
+        if draft == "self":
+            ck_d, cv_d = enc_t.cross_k, enc_t.cross_v
+        elif draft == "prefix2":
+            # same encoder + same layer-0/1 cross projections: slice
+            ck_d, cv_d = enc_t.cross_k[:2], enc_t.cross_v[:2]
+        else:
+            enc_d = encode(params_d, mel_b, dcfg, use_flash=use_flash)
+            ck_d, cv_d = enc_d.cross_k, enc_d.cross_v
+        toks, lengths, _, _, rounds, accepted = (
+            decode_segment_speculative_device(
+                params_t, params_d, init_tokens, len(init), 0,
+                init_cache(cfg, batch, dtype=jnp.bfloat16, ctx=ctx),
+                init_cache(dcfg, batch, dtype=jnp.bfloat16, ctx=ctx),
+                enc_t.cross_k, enc_t.cross_v, ck_d, cv_d,
+                sup, blank, cfg, dcfg, sample_len=decode_tokens,
+                gamma=gamma))
+        return toks, lengths, rounds, accepted
+
+    def pull(x):  # axon: block_until_ready is a no-op; fetch a few elements
+        return np.asarray(x.ravel()[:4])
+
+    t0 = time.perf_counter()
+    g = greedy_step(model.params, audio); pull(g[0])
+    s = spec_step(model.params, dmodel.params, audio); pull(s[0])
+    compile_s = time.perf_counter() - t0
+    rounds, accepted = int(s[2]), int(s[3])
+
+    walls = {"greedy": 0.0, "spec": 0.0}
+    iters = 0
+    deadline = time.perf_counter() + max(5.0, seconds - compile_s)
+    while time.perf_counter() < deadline:
+        t = time.perf_counter()
+        g = greedy_step(model.params, audio); pull(g[0])
+        walls["greedy"] += time.perf_counter() - t
+        t = time.perf_counter()
+        s = spec_step(model.params, dmodel.params, audio); pull(s[0])
+        walls["spec"] += time.perf_counter() - t
+        iters += 1
+
+    audio_done = iters * batch * 30.0
+    rtf_spec = audio_done / walls["spec"]
+    rtf_greedy = audio_done / walls["greedy"]
+    emitted = int(np.asarray(g[1]).sum()) + batch
+    return {
+        "metric": f"rtf_{cfg.model_type}_spec_b{batch}_g{gamma}_{draft}",
+        "value": round(rtf_spec, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(rtf_spec / 100.0, 3),
+        "detail": {
+            "model": cfg.model_type, "draft": draft, "batch": batch,
+            "gamma": gamma, "iters": iters,
+            "rtf_greedy_same_process": round(rtf_greedy, 2),
+            "speedup_vs_greedy": round(rtf_spec / rtf_greedy, 3),
+            "rounds": rounds, "accepted": accepted,
+            "accepted_per_row_round": round(
+                accepted / max(rounds * batch, 1), 2),  # max = gamma-1
+            "tokens_emitted": emitted,
+            "compile_s": round(compile_s, 1),
+            "backend": jax.default_backend(),
+        },
+    }
