@@ -217,3 +217,42 @@ def test_transcribe_with_draft_device_loop_matches_plain(tmp_path):
     assert got["text"] == ref["text"]
     assert [s["tokens"] for s in got["segments"]] == [
         s["tokens"] for s in ref["segments"]]
+
+
+def test_device_speculative_int8_cache_matches_greedy(setup):
+    """Speculative verify blocks through the int8 KV cache (the ragged
+    multi-column quantized scatter): token-identical to the greedy device
+    loop on the same quantized cache. Scales are per-position, so block
+    appends quantize exactly like stepwise appends."""
+    from whisper_tpu.decoding.device_loop import (build_masks,
+                                                  decode_segment_device)
+    from whisper_tpu.decoding.device_speculative import (
+        decode_segment_speculative_device)
+    from whisper_tpu.model.decoder import KVCache
+    from whisper_tpu.model.encoder import encode as _encode
+    from whisper_tpu.model.quant import init_quant_cache
+
+    cfg, vocab, params_t, enc_t, _, _ = setup
+    B, SL, GAMMA = 2, 14, 3
+    rng = np.random.default_rng(8)
+    mel = rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(
+        np.float32)
+    enc = _encode(params_t, jnp.asarray(mel), cfg)
+    sup, blank = build_masks(vocab)
+    init_tokens = jnp.asarray(
+        np.tile(np.array([vocab.token_sot], np.int32), (B, 1)))
+    ctx = 1 + SL + GAMMA + 4
+
+    def qcache():
+        return KVCache(*init_quant_cache(cfg, B, ctx=ctx))
+
+    ref = decode_segment_device(
+        params_t, init_tokens, 1, 0, qcache(), enc.cross_k, enc.cross_v,
+        sup, blank, cfg, sample_len=SL)
+    got = decode_segment_speculative_device(
+        params_t, params_t, init_tokens, 1, 0, qcache(), qcache(),
+        enc.cross_k, enc.cross_v, enc.cross_k, enc.cross_v,
+        sup, blank, cfg, cfg, sample_len=SL, gamma=GAMMA)
+
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
