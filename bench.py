@@ -64,7 +64,8 @@ def main() -> int:
 
     if os.environ.get("BENCH_MODE") == "spec":
         # Speculative A/B vs the greedy device loop, interleaved in one
-        # process. BENCH_DRAFT=self (acceptance-1 upper bound) | distil2
+        # process. BENCH_DRAFT=prefix2 (cheap-draft acceptance-1 upper
+        # bound) | self (full-priced draft, acceptance 1) | distil2
         # (random 2-layer draft: worst-case overhead).
         from whisper_tpu.utils.benchmark import run_speculative_benchmark
 

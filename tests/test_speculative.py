@@ -119,7 +119,7 @@ def test_transcribe_with_draft_matches_plain(tmp_path):
 
 
 @pytest.mark.parametrize("perfect,use_ts", [(True, True), (True, False),
-                                            (False, True)])
+                                            (False, True), (False, False)])
 def test_device_speculative_matches_device_greedy(setup, perfect, use_ts):
     """The fused on-device speculative loop (one jitted while_loop, ragged
     per-row acceptance) is token-identical to decode_segment_device."""
@@ -219,11 +219,14 @@ def test_transcribe_with_draft_device_loop_matches_plain(tmp_path):
         s["tokens"] for s in ref["segments"]]
 
 
-def test_device_speculative_int8_cache_matches_greedy(setup):
+@pytest.mark.parametrize("perfect", [True, False])
+def test_device_speculative_int8_cache_matches_greedy(setup, perfect):
     """Speculative verify blocks through the int8 KV cache (the ragged
     multi-column quantized scatter): token-identical to the greedy device
     loop on the same quantized cache. Scales are per-position, so block
-    appends quantize exactly like stepwise appends."""
+    appends quantize exactly like stepwise appends. The imperfect-draft
+    case exercises stale rejected data+scale columns being overwritten by
+    the next round's block at per-row offsets."""
     from whisper_tpu.decoding.device_loop import (build_masks,
                                                   decode_segment_device)
     from whisper_tpu.decoding.device_speculative import (
@@ -232,12 +235,15 @@ def test_device_speculative_int8_cache_matches_greedy(setup):
     from whisper_tpu.model.encoder import encode as _encode
     from whisper_tpu.model.quant import init_quant_cache
 
-    cfg, vocab, params_t, enc_t, _, _ = setup
+    cfg, vocab, params_t, enc_t, params_d, enc_d = setup
+    if perfect:
+        params_d = params_t
     B, SL, GAMMA = 2, 14, 3
     rng = np.random.default_rng(8)
     mel = rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(
         np.float32)
     enc = _encode(params_t, jnp.asarray(mel), cfg)
+    encd = _encode(params_d, jnp.asarray(mel), cfg)
     sup, blank = build_masks(vocab)
     init_tokens = jnp.asarray(
         np.tile(np.array([vocab.token_sot], np.int32), (B, 1)))
@@ -250,9 +256,22 @@ def test_device_speculative_int8_cache_matches_greedy(setup):
         params_t, init_tokens, 1, 0, qcache(), enc.cross_k, enc.cross_v,
         sup, blank, cfg, sample_len=SL)
     got = decode_segment_speculative_device(
-        params_t, params_t, init_tokens, 1, 0, qcache(), qcache(),
-        enc.cross_k, enc.cross_v, enc.cross_k, enc.cross_v,
+        params_t, params_d, init_tokens, 1, 0, qcache(), qcache(),
+        enc.cross_k, enc.cross_v, encd.cross_k, encd.cross_v,
         sup, blank, cfg, cfg, sample_len=SL, gamma=GAMMA)
 
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+def test_device_speculative_rejects_bad_gamma(setup):
+    from whisper_tpu.decoding.device_speculative import (
+        decode_speculative_device_full)
+
+    cfg, vocab, params_t, enc_t, params_d, enc_d = setup
+    for g in (0, 1):
+        with pytest.raises(ValueError, match="gamma"):
+            decode_speculative_device_full(
+                params_t, cfg, vocab, enc_t.cross_k, enc_t.cross_v,
+                params_d, cfg, enc_d.cross_k, enc_d.cross_v,
+                DecodingOptions(sample_len=4), gamma=g)

@@ -381,7 +381,9 @@ def cmd_detect_language(args) -> int:
     openai whisper.detect_language): one encoder pass + one SOT-position
     decoder forward per file; prints the top languages with probabilities."""
     import jax.numpy as jnp
+    import numpy as np
 
+    from .config import N_SAMPLES_PER_CHUNK
     from .decoding.task import detect_language
     from .frontend.mel import frame_count, log_mel_spectrogram, mel_window
     from .io.wav import load_wav
@@ -393,7 +395,11 @@ def cmd_detect_language(args) -> int:
         print("model is English-only (.en); language is always en")
         return 0
     for path in args.audio:
-        audio = load_wav(path)
+        # Pad the AUDIO by 30 s like pipeline.transcribe: the pad region
+        # must be the log-mel silence floor (~-1.05 after normalization),
+        # not mel_window's 0.0 fill — zero-filled windows skew the language
+        # distribution on short clips (measured: different argmax).
+        audio = np.pad(load_wav(path), (0, N_SAMPLES_PER_CHUNK))
         mel = log_mel_spectrogram(jnp.asarray(audio), model.filters,
                                   frame_count(len(audio)))
         win = mel_window(mel, 0, 2 * model.config.n_audio_ctx)[None]

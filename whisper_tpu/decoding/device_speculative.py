@@ -40,8 +40,6 @@ from ..config import WhisperConfig
 from ..model.decoder import KVCache, decode_step
 from .device_loop import LoopState, _apply_rules_device
 
-NEG = jnp.float32(-1e30)
-
 
 class SpecState(NamedTuple):
     cache_tk: jnp.ndarray
@@ -82,6 +80,8 @@ def decode_segment_speculative_device(
 ):
     """Returns (tokens (B, sample_len), lengths, sum_logprobs,
     no_speech_probs, rounds, accepted)."""
+    if gamma < 2:  # static: fails at trace time with a clear message
+        raise ValueError("gamma >= 2 (gamma-1 draft proposals per round)")
     v = cfg_t.n_vocab
     eot = 50256 if v == 51864 else 50257
     beg = eot + 107 if v != 51866 else eot + 108
@@ -249,9 +249,8 @@ def decode_speculative_device_full(
     Returns (List[DecodingResult], stats)."""
     import numpy as np
 
-    from .device_loop import build_masks
-    from .result import DecodingResult, compression_ratio
-    from .task import DecodingTask, _cache_dtype, _cross_batch, _pad_to_bucket
+    from .task import (_cache_dtype, _cross_batch, _device_decode_prologue,
+                       _greedy_device_results)
     from ..model.decoder import init_cache
 
     if options.beam_size is not None or (options.best_of or 1) != 1:
@@ -260,22 +259,12 @@ def decode_speculative_device_full(
         raise ValueError("speculative decoding requires temperature == 0")
     if cfg_t.n_vocab != cfg_d.n_vocab:
         raise ValueError("draft and target must share the vocabulary")
+    if gamma < 2:
+        raise ValueError("gamma >= 2 (gamma-1 draft proposals per round)")
 
-    task = DecodingTask(cfg_t, vocab, options)
     n_audio = _cross_batch(cross_k_t)
-    sup_mask, blank_mask = build_masks(
-        vocab, suppress_tokens=options.suppress_tokens)
-    if not options.suppress_blank:
-        blank_mask = jnp.zeros_like(blank_mask)
-    init = np.tile(np.array(task.initial_tokens, np.int32), (n_audio, 1))
-    padded, true_len = _pad_to_bucket(init)
-    max_initial_index = None
-    if (options.max_initial_timestamp is not None
-            and not options.without_timestamps):
-        max_initial_index = round(options.max_initial_timestamp / 0.02)
-    # openai's budget arithmetic (see task._decode_full_device)
-    sample_len = max(0, min(task.sample_len,
-                            cfg_t.n_text_ctx - true_len + 1))
+    (task, padded, true_len, sup_mask, blank_mask, max_initial_index,
+     sample_len) = _device_decode_prologue(cfg_t, vocab, options, n_audio)
     # + gamma: verify blocks write up to gamma-1 columns past the last
     # accepted position before the loop notices every row finished.
     ctx = padded.shape[1] + sample_len + gamma + 8
@@ -293,17 +282,7 @@ def decode_speculative_device_full(
             use_timestamps=not options.without_timestamps,
             max_initial_index=max_initial_index,
         ))
-    toks, lengths = np.asarray(toks), np.asarray(lengths)
-    sum_lp, nosp = np.asarray(sum_lp), np.asarray(nosp)
-    results = []
-    for i in range(n_audio):
-        seq = [int(t) for t in toks[i, : lengths[i]]]
-        text = vocab.decode(seq).strip()
-        results.append(DecodingResult(
-            tokens=seq, text=text,
-            avg_logprob=float(sum_lp[i]) / (len(seq) + 1),
-            no_speech_prob=float(nosp[i]), temperature=0.0,
-            compression_ratio=compression_ratio(text),
-        ))
+    results = _greedy_device_results(toks, lengths, sum_lp, nosp, vocab,
+                                     temperature=0.0)
     stats = {"rounds": int(rounds), "accepted": int(accepted)}
     return results, stats

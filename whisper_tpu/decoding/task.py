@@ -332,31 +332,65 @@ def decode_full(
     return task.run(cross_k, cross_v, use_topk_device=use_device_loop)
 
 
+def _device_decode_prologue(config, vocab, options: DecodingOptions,
+                            n_rows: int):
+    """Shared setup for every FUSED device decode wrapper (greedy, beam,
+    speculative): masks, tiled+bucketed prompt rows, timestamp cap, and the
+    openai context-budget clamp. One place on purpose — the clamp is
+    subtle: the host loop samples, appends, THEN breaks when
+    tokens.shape[-1] > n_text_ctx, so up to n_text_ctx - true_len + 1
+    tokens are sampled (the final token comes from logits at position
+    n_text_ctx - 1 and is never forwarded; the wasted forward's pe/KV
+    writes clamp harmlessly — callers size caches past the budget)."""
+    from .device_loop import build_masks
+
+    task = DecodingTask(config, vocab, options)
+    sup_mask, blank_mask = build_masks(
+        vocab, suppress_tokens=options.suppress_tokens)
+    if not options.suppress_blank:
+        blank_mask = jnp.zeros_like(blank_mask)
+    init = np.tile(np.array(task.initial_tokens, np.int32), (n_rows, 1))
+    padded, true_len = _pad_to_bucket(init)
+    max_initial_index = None
+    if (options.max_initial_timestamp is not None
+            and not options.without_timestamps):
+        max_initial_index = round(options.max_initial_timestamp / 0.02)
+    sample_len = max(0, min(task.sample_len, config.n_text_ctx - true_len + 1))
+    return (task, padded, true_len, sup_mask, blank_mask,
+            max_initial_index, sample_len)
+
+
+def _greedy_device_results(toks, lengths, sum_lp, nosp, vocab,
+                           temperature: float) -> List[DecodingResult]:
+    """Host-side DecodingResult construction shared by the greedy and
+    speculative device wrappers (same avg_logprob len+1 convention as the
+    host loop)."""
+    toks = np.asarray(toks)
+    lengths = np.asarray(lengths)
+    sum_lp = np.asarray(sum_lp)
+    nosp = np.asarray(nosp)
+    results = []
+    for i in range(toks.shape[0]):
+        seq = [int(t) for t in toks[i, : lengths[i]]]
+        text = vocab.decode(seq).strip()
+        results.append(DecodingResult(
+            tokens=seq, text=text,
+            avg_logprob=float(sum_lp[i]) / (len(seq) + 1),
+            no_speech_prob=float(nosp[i]),
+            temperature=temperature,
+            compression_ratio=compression_ratio(text),
+        ))
+    return results
+
+
 def _decode_full_device(
     params, config, vocab, cross_k, cross_v, options: DecodingOptions
 ) -> List[DecodingResult]:
-    from .device_loop import build_masks, decode_segment_device
+    from .device_loop import decode_segment_device
 
-    task = DecodingTask(config, vocab, options)  # reuses token-sequence logic
     n_audio = _cross_batch(cross_k)
-    sup_mask, blank_mask = build_masks(vocab, suppress_tokens=options.suppress_tokens)
-    if not options.suppress_blank:
-        blank_mask = jnp.zeros_like(blank_mask)
-    init = np.tile(np.array(task.initial_tokens, np.int32), (n_audio, 1))
-    padded, true_len = _pad_to_bucket(init)
-    max_initial_index = None
-    if options.max_initial_timestamp is not None and not options.without_timestamps:
-        max_initial_index = round(options.max_initial_timestamp / 0.02)
-    # Clamp to the context budget with openai's exact arithmetic: the host
-    # loop samples, appends, THEN breaks when tokens.shape[-1] > n_text_ctx
-    # — so up to n_text_ctx - true_len + 1 tokens are sampled (the final
-    # token is sampled from logits at position n_text_ctx - 1 and never
-    # forwarded). The r2 clamp used the PADDED prefill width, silently
-    # shortening prompted windows by the pad slack + 1 vs the host loop.
-    # The final wasted forward's pe lookup / KV write clamp harmlessly
-    # (nothing reads after it); the cache is right-sized below so no live
-    # slot is ever clamped over.
-    sample_len = max(0, min(task.sample_len, config.n_text_ctx - true_len + 1))
+    (task, padded, true_len, sup_mask, blank_mask, max_initial_index,
+     sample_len) = _device_decode_prologue(config, vocab, options, n_audio)
     # Right-size the cache: the segment can't exceed prefill + sample budget.
     cache = init_cache(
         config, n_audio, dtype=_cache_dtype(cross_k),
@@ -379,50 +413,21 @@ def _decode_full_device(
         temperature=options.temperature,
         seed=options.seed,
     )
-    toks = np.asarray(toks)
-    lengths = np.asarray(lengths)
-    sum_lp = np.asarray(sum_lp)
-    nosp = np.asarray(nosp)
-    results = []
-    for i in range(n_audio):
-        seq = [int(t) for t in toks[i, : lengths[i]]]
-        avg_logprob = float(sum_lp[i]) / (len(seq) + 1)
-        text = vocab.decode(seq).strip()
-        results.append(
-            DecodingResult(
-                tokens=seq,
-                text=text,
-                avg_logprob=avg_logprob,
-                no_speech_prob=float(nosp[i]),
-                temperature=options.temperature,
-                compression_ratio=compression_ratio(text),
-            )
-        )
-    return results
+    return _greedy_device_results(toks, lengths, sum_lp, nosp, vocab,
+                                  options.temperature)
 
 
 def _decode_full_device_beam(
     params, config, vocab, cross_k, cross_v, options: DecodingOptions
 ) -> List[DecodingResult]:
     from .device_beam import beam_decode_device
-    from .device_loop import build_masks
 
     k = options.beam_size
-    task = DecodingTask(config, vocab, options)
     n_audio = _cross_batch(cross_k)
     ck, cv = cross_k, cross_v  # group-shared: decode_step folds the beam axis
-
-    sup_mask, blank_mask = build_masks(vocab, suppress_tokens=options.suppress_tokens)
-    if not options.suppress_blank:
-        blank_mask = jnp.zeros_like(blank_mask)
-    max_initial_index = None
-    if options.max_initial_timestamp is not None and not options.without_timestamps:
-        max_initial_index = round(options.max_initial_timestamp / 0.02)
-
-    init = np.tile(np.array(task.initial_tokens, np.int32), (n_audio * k, 1))
-    padded, true_len = _pad_to_bucket(init)
-    # Same openai budget arithmetic as _decode_full_device.
-    sample_len = max(0, min(task.sample_len, config.n_text_ctx - true_len + 1))
+    (task, padded, true_len, sup_mask, blank_mask, max_initial_index,
+     sample_len) = _device_decode_prologue(config, vocab, options,
+                                           n_audio * k)
     # No ctx padding: the lane-dot fork copy (kernels/beam_gather.
     # lane_dot_permute) has no row-alignment requirement, and the exact-size
     # cache measured 21.4 vs 23.4 ms/step at ctx 75-vs-128 (fork-step cost

@@ -334,11 +334,13 @@ def run_speculative_benchmark(
 ) -> dict:
     """A/B the fused speculative loop against the plain greedy device loop
     on identical windows, interleaved in one process (the axon variance
-    rule). With random weights only two draft choices are meaningful:
-    ``self`` (acceptance 1.0 — the mechanical upper bound of the verify-
-    block pipeline) and ``distil2`` (distil-whisper geometry, unrelated
-    random weights — acceptance ~0, the worst-case overhead bound). Real
-    draft checkpoints land between them."""
+    rule). Three synthetic drafts: ``prefix2`` (target layers >= 2 zeroed
+    into compute-priced no-ops, 2-layer prefix drafts — acceptance exactly
+    1.0 with a genuinely cheap draft: the TRUE mechanical upper bound),
+    ``self`` (draft == target: acceptance 1.0 but full-priced draft), and
+    ``distil2`` (unrelated random 2-layer draft: acceptance ~0, the
+    worst-case overhead bound). Real draft checkpoints land between
+    prefix2 and distil2."""
     import dataclasses
     import time
 
