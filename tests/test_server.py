@@ -202,6 +202,22 @@ def test_engine_server_http_roundtrip(model):
             segs = [ln["segment"] for ln in lines[:-1]]
             assert len(segs) >= 1 and all("t0" in s for s in segs)
             assert lines[-1]["duration"] == pytest.approx(6.0, abs=0.01)
+
+            # long-form: a >30 s stream delivers segments INCREMENTALLY
+            # (first segment line readable before the request completes)
+            long_buf = io.BytesIO()
+            wavfile.write(long_buf, SR,
+                          (synthetic_audio(SR * 35, seed=7)
+                           * 32767).astype(np.int16))
+            conn.request("POST", "/transcribe?stream=1",
+                         body=long_buf.getvalue())
+            resp = conn.getresponse()
+            first = json.loads(resp.readline())
+            assert "segment" in first  # arrived before the summary line
+            rest = [json.loads(ln) for ln in resp.read().splitlines()]
+            assert rest[-1]["done"] is True
+            assert rest[-1]["duration"] == pytest.approx(35.0, abs=0.01)
+            assert 1 + sum("segment" in ln for ln in rest) >= 2
             conn.close()
 
             # OpenAI-compatible endpoint: multipart file + response_format.
