@@ -47,6 +47,8 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
                    help="draft GGML checkpoint for speculative greedy "
                         "decoding (same vocab; exact output)")
     p.add_argument("--flash", action="store_true", help="use Pallas flash attention")
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel over this many chips (latency mode)")
     p.add_argument("--output-json", default=None, help="write result JSON here")
     p.add_argument("--output-format", "-f", default=None,
                    choices=["txt", "srt", "vtt", "tsv", "json", "all"],
@@ -77,6 +79,18 @@ def cmd_transcribe(args) -> int:
     if args.draft:
         # speculative greedy decoding: exact output, draft buys speed
         model.draft = load_model(args.draft, dtype=dtype, gelu_impl=args.gelu)
+    mesh_ctx = None
+    if args.tp and args.tp > 1:
+        # tensor-parallel single-stream transcription (latency mode):
+        # params Megatron-sharded, the whole pipeline traced under the mesh
+        # (decode_step pins the KV/cross layouts).
+        from .parallel.mesh import make_mesh
+        from .parallel.sharding import shard_params
+
+        mesh_ctx = make_mesh(args.tp, tp=args.tp)
+        model.params = shard_params(model.params, mesh_ctx)
+        if model.draft is not None:
+            model.draft.params = shard_params(model.draft.params, mesh_ctx)
     opts = TranscribeOptions(
         task=args.task,
         language=args.language,
@@ -100,10 +114,16 @@ def cmd_transcribe(args) -> int:
     else:
         _transcribe_fn = transcribe
 
+    import contextlib
+
+    import jax as _jax
+
     all_results = {}
     for path in args.audio:
         t0 = time.perf_counter()
-        result = _transcribe_fn(model, path, opts)
+        with (_jax.set_mesh(mesh_ctx) if mesh_ctx is not None
+              else contextlib.nullcontext()):
+            result = _transcribe_fn(model, path, opts)
         wall = time.perf_counter() - t0
         rtf = result["duration"] / wall if wall > 0 else float("inf")
         all_results[path] = result
