@@ -342,3 +342,130 @@ def test_engine_server_busy_503(model):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_translations_task_override():
+    """Per-request task: submit(task='translate') matches a dedicated
+    translate engine run, survives into later windows, and the OpenAI
+    /v1/audio/translations endpoint serves it (verbose_json says so)."""
+    import dataclasses as _dc
+    import http.client
+    import json
+
+    from scipy.io import wavfile
+
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.server import EngineServer, make_http_server
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    import tempfile
+    from fixtures import micro_config
+
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/ggml-micro-ml.bin"
+        write_synthetic_ggml(path, micro_config(n_vocab=51865), seed=17)
+        ml = load_model(path, use_native=False)
+    assert ml.vocab.is_multilingual
+
+    # micro model: n_audio_ctx=64 -> 1.28 s windows; 4 s audio = multi-window
+    audio = synthetic_audio(SR * 4, seed=21)
+    topts = TranscribeOptions(temperature=0.0,
+                              condition_on_previous_text=True)
+
+    ref_tr = SlotEngine(ml, n_slots=2, chunk_steps=8).transcribe_streams(
+        [audio], topts)[0]
+    ref_xl = SlotEngine(ml, n_slots=2, chunk_steps=8).transcribe_streams(
+        [audio], _dc.replace(topts, task="translate"))[0]
+
+    engine = SlotEngine(ml, n_slots=2, chunk_steps=8)
+    with EngineServer(engine, topts) as srv:
+        with pytest.raises(ValueError, match="unknown task"):
+            srv.submit(audio, task="summarize")
+        # both tasks live in the same engine at once
+        fut_xl = srv.submit(audio, task="translate")
+        fut_tr = srv.submit(audio)
+        got_xl, got_tr = fut_xl.result(timeout=600), fut_tr.result(timeout=600)
+        assert [s["tokens"] for s in got_xl["segments"]] == [
+            s["tokens"] for s in ref_xl["segments"]]
+        assert [s["tokens"] for s in got_tr["segments"]] == [
+            s["tokens"] for s in ref_tr["segments"]]
+
+        httpd = make_http_server(srv, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            buf = io.BytesIO()
+            wavfile.write(buf, SR, (audio * 32767).astype(np.int16))
+            boundary = "XtRaNsLaTeX"
+            body = (
+                f"--{boundary}\r\nContent-Disposition: form-data;"
+                f' name="file"; filename="a.wav"\r\n\r\n'.encode()
+                + buf.getvalue()
+                + f"\r\n--{boundary}\r\nContent-Disposition: form-data;"
+                f' name="response_format"\r\n\r\nverbose_json'
+                f"\r\n--{boundary}--\r\n".encode())
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("POST", "/v1/audio/translations", body=body,
+                         headers={"Content-Type":
+                                  f"multipart/form-data; boundary={boundary}"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            v = json.loads(resp.read())
+            assert v["task"] == "translate"
+            assert v["text"] == ref_xl["text"]
+            conn.close()
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+
+def test_multi_engine_server_dp(model):
+    """Data-parallel serving: two engine replicas, each pinned to its own
+    device by a (1,1) mesh, behind one MultiEngineServer. Results are
+    identical to a single engine, requests spread across replicas, and
+    health/stats aggregate."""
+    import jax
+
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.mesh import make_mesh
+    from whisper_tpu.parallel.server import EngineServer, MultiEngineServer
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    audios = [synthetic_audio(SR * (4 + 2 * i), seed=i) for i in range(4)]
+    topts = TranscribeOptions(temperature=0.0)
+
+    ref = SlotEngine(model, n_slots=2, chunk_steps=8).transcribe_streams(
+        audios, topts)
+
+    devs = jax.devices()
+    assert len(devs) >= 2
+    members = []
+    for d in devs[:2]:
+        mesh = make_mesh(1, tp=1, devices=[d])
+        eng = SlotEngine(model, n_slots=2, chunk_steps=8, mesh=mesh)
+        members.append(EngineServer(eng, topts))
+    with MultiEngineServer(members) as srv:
+        futs = [srv.submit(a) for a in audios]
+        got = [f.result(timeout=600) for f in futs]
+        health = srv.health()
+        stats = srv.stats_dict()
+
+    for r, g in zip(ref, got):
+        assert g["text"] == r["text"]
+        assert [s["tokens"] for s in g["segments"]] == [
+            s["tokens"] for s in r["segments"]]
+
+    # least-loaded routing spreads a burst across replicas
+    reqs = [m.engine.stats["requests"] for m in members]
+    assert sum(reqs) == 4 and all(r >= 1 for r in reqs)
+    # replica params/pools actually live on distinct devices
+    pools = [next(iter(
+        jax.tree.leaves(m.engine.params))).devices() for m in members]
+    assert pools[0] != pools[1]
+
+    assert health["ok"] is True and health["replicas_ok"] == 2
+    assert stats["requests"] == 4 and stats["replicas"] == 2
+    assert stats["latency"]["n"] == 4
+    assert len(stats["engines"]) == 2

@@ -348,30 +348,60 @@ def cmd_serve(args) -> int:
         from .model.quant import quantize_decoder_weights
 
         model.params = jax.jit(quantize_decoder_weights)(model.params)
-    mesh = None
-    if args.tp and args.tp > 1:
-        from .parallel.mesh import make_mesh
+    dp = max(1, args.dp or 1)
+    tp = args.tp or 1
 
-        mesh = make_mesh(args.tp, tp=args.tp)  # dp=1: slots stay local
-    if args.beam:
-        from .parallel.beam_engine import BeamSlotEngine
+    def build_engine(mesh):
+        if args.beam:
+            from .parallel.beam_engine import BeamSlotEngine
 
-        engine = BeamSlotEngine(
-            model, n_slots=args.slots,
-            options=DecodingOptions(language=args.language,
-                                    beam_size=args.beam),
-            quantize=args.quantize, mesh=mesh)
-    else:
+            return BeamSlotEngine(
+                model, n_slots=args.slots,
+                options=DecodingOptions(language=args.language,
+                                        task=args.task,
+                                        beam_size=args.beam),
+                quantize=args.quantize, mesh=mesh)
         from .parallel.engine import SlotEngine
 
-        engine = SlotEngine(
+        return SlotEngine(
             model, n_slots=args.slots,
-            options=DecodingOptions(language=args.language),
+            options=DecodingOptions(language=args.language, task=args.task),
             quantize=args.quantize, mesh=mesh)
+
     topts = TranscribeOptions(language=args.language,
+                              task=args.task,
                               beam_size=args.beam or None,
                               word_timestamps=args.word_timestamps)
-    with EngineServer(engine, topts, max_queue=args.max_queue) as srv:
+    if dp > 1:
+        # dp serving: one engine replica per tp group of chips, requests
+        # routed to the least-loaded replica (parallel/server.py). Each
+        # replica gets a (1, tp) mesh over its own device slice so its
+        # params/pools/programs live on its chips only.
+        import jax
+
+        from .parallel.mesh import make_mesh
+        from .parallel.server import MultiEngineServer
+
+        devs = jax.devices()
+        if len(devs) < dp * tp:
+            raise SystemExit(
+                f"--dp {dp} --tp {tp} needs {dp * tp} devices; backend has "
+                f"{len(devs)}")
+        servers = []
+        for i in range(dp):
+            mesh = make_mesh(tp, tp=tp, devices=devs[i * tp:(i + 1) * tp])
+            servers.append(EngineServer(build_engine(mesh), topts,
+                                        max_queue=args.max_queue))
+        srv_cm = MultiEngineServer(servers)
+    else:
+        mesh = None
+        if tp > 1:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(tp, tp=tp)  # dp=1: slots stay local
+        srv_cm = EngineServer(build_engine(mesh), topts,
+                              max_queue=args.max_queue)
+    with srv_cm as srv:
         httpd = make_http_server(srv, args.host, args.port)
         print(f"serving on http://{args.host}:{args.port} "
               f"(slots={args.slots}, beam={args.beam or 'greedy'}, "
@@ -595,6 +625,10 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--language", default=None)
+    p.add_argument("--task", default="transcribe",
+                   choices=["transcribe", "translate"],
+                   help="default decode task (per-request override via "
+                        "/v1/audio/translations)")
     p.add_argument("--quantize", action="store_true", help="int8 serving mode")
     p.add_argument("--beam", type=int, default=None,
                    help="beam size per stream (beam-group slots)")
@@ -604,6 +638,10 @@ def main(argv=None) -> int:
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel serving over this many chips "
                         "(heads/MLP/vocab sharded; slots stay local)")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel serving: this many independent "
+                        "engine replicas (each over its own tp group of "
+                        "chips), requests routed to the least-loaded")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

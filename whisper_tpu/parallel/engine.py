@@ -891,11 +891,16 @@ class SlotEngine:
             "prompt_reset_since": 0, "segments": [],
             "done": content_frames <= 0,
             "duration": len(audio) / 16000.0,
+            # per-stream option override: the serving daemon inits streams
+            # with request-level TranscribeOptions (task/language/prompt),
+            # which must survive into every later window + fallback decode
+            "topts": topts,
         }
 
     def _window_options(self, st: dict, topts, temperature: float):
         """The DecodingOptions the OFFLINE ladder would use for this window
         at this temperature (transcribe._decode_with_fallback kwargs)."""
+        topts = st.get("topts") or topts
         prompt = (st["all_tokens"][st["prompt_reset_since"]:]
                   if topts.condition_on_previous_text else [])
         kwargs = dict(

@@ -19,6 +19,9 @@ the chip stays saturated across requests.
                                                     (file, language, prompt,
                                                     response_format: json|text|
                                                     verbose_json|srt|vtt)
+    POST /v1/audio/translations (multipart)      -> same surface, decoded with
+                                                    the translate task token
+                                                    (X -> English)
     GET  /healthz                                -> {ok}
     GET  /stats                                  -> engine phase stats + queue depth
 
@@ -79,42 +82,69 @@ class EngineServer:
 
     def submit(self, audio: np.ndarray, on_segment=None,
                language: Optional[str] = None,
-               initial_prompt: Optional[str] = None) -> Future:
+               initial_prompt: Optional[str] = None,
+               task: Optional[str] = None) -> Future:
         """Enqueue one request; the Future resolves to the transcribe-style
         result dict ({text, segments, language, duration}).
 
         ``on_segment`` (called on the worker thread with each segment dict
         as its window finalizes) backs the streaming HTTP response — keep it
-        cheap (push to a queue). ``language``/``initial_prompt`` override
-        the server options per request; they only feed ``_init_stream``
-        (language detect + prompt tokenization), so mixing them across live
-        slots is safe."""
+        cheap (push to a queue). ``language``/``initial_prompt``/``task``
+        override the server options per request; they only feed the stream's
+        own options (``_init_stream`` stores them on the stream dict, and
+        ``_window_options`` reads them back for every window + fallback
+        decode), so mixing them across live slots is safe."""
+        if task is not None and task not in ("transcribe", "translate"):
+            raise ValueError(f"unknown task {task!r}")
         if self._thread is None or not self._thread.is_alive():
             raise RuntimeError(
                 "EngineServer is not running; call start()"
                 + (f" (worker died: {self._fatal!r})" if self._fatal else ""))
         fut: Future = Future()
-        if self._max_queue is not None:
-            # Backpressure on IN-FLIGHT requests (queued + admitted), not
-            # raw queue depth — the worker drains the queue into its
-            # pending list immediately.
+        # Track IN-FLIGHT requests (queued + admitted), not raw queue depth
+        # — the worker drains the queue into its pending list immediately.
+        # Always counted: backpressure uses it when max_queue is set, and
+        # MultiEngineServer routes new requests by it.
+        with self._inflight_lock:
+            if (self._max_queue is not None
+                    and self._inflight >= self._max_queue):
+                raise ServerBusy(
+                    f"{self._inflight} requests in flight "
+                    f"(max_queue={self._max_queue})")
+            self._inflight += 1
+
+        def _dec(_f):
             with self._inflight_lock:
-                if self._inflight >= self._max_queue:
-                    raise ServerBusy(
-                        f"{self._inflight} requests in flight "
-                        f"(max_queue={self._max_queue})")
-                self._inflight += 1
+                self._inflight -= 1
 
-            def _dec(_f):
-                with self._inflight_lock:
-                    self._inflight -= 1
-
-            fut.add_done_callback(_dec)
+        fut.add_done_callback(_dec)
         import time as _time
 
         self._queue.put((audio, fut, on_segment, language, initial_prompt,
-                         _time.monotonic()))
+                         task, _time.monotonic()))
         return fut
+
+    @property
+    def inflight(self) -> int:
+        """Requests submitted but not yet resolved (queued + admitted)."""
+        with self._inflight_lock:
+            return self._inflight
+
+    def health(self) -> dict:
+        """{"ok": worker alive, "error": repr} — the HTTP /healthz body."""
+        alive = self._thread is not None and self._thread.is_alive()
+        payload = {"ok": alive}
+        if self._fatal is not None:
+            payload["error"] = repr(self._fatal)
+        return payload
+
+    def stats_dict(self) -> dict:
+        """Engine phase stats + queue depth + latency percentiles — the
+        HTTP /stats body."""
+        stats = dict(getattr(self.engine, "stats", {}) or {})
+        stats["queue_depth"] = self.queue_depth
+        stats["latency"] = self.latency_stats()
+        return stats
 
     def latency_stats(self) -> dict:
         """Request latency over the last <=1000 resolved requests: p50/p95/
@@ -315,17 +345,18 @@ class EngineServer:
         request resolved immediately (bad input / shorter than one hop)."""
         import time as _time
 
-        audio, fut, on_seg, lang, prompt, t_sub = item
+        audio, fut, on_seg, lang, prompt, task, t_sub = item
         if not fut.set_running_or_notify_cancel():
             return None
         eng, topts = self.engine, self.topts
         st_topts = topts
-        if lang is not None or prompt is not None:
+        if lang is not None or prompt is not None or task is not None:
             import dataclasses as _dc
 
             st_topts = _dc.replace(
                 topts,
                 language=lang if lang is not None else topts.language,
+                task=task if task is not None else topts.task,
                 initial_prompt=(prompt if prompt is not None
                                 else topts.initial_prompt))
         try:
@@ -352,6 +383,109 @@ class EngineServer:
         now = _time.monotonic()
         self._latencies.append(
             (st.get("t_first_slot", now) - st["t_sub"], now - st["t_sub"]))
+
+
+class MultiEngineServer:
+    """Data-parallel serving: one ``EngineServer`` per engine replica, each
+    replica owning its own chip (or tp group of chips) via a 1-dp mesh.
+
+    This is the dp axis of the serving story: tensor parallelism shards ONE
+    engine's programs over a tp mesh (latency), while request-level data
+    parallelism runs INDEPENDENT engine replicas and routes each request to
+    the least-loaded one (throughput) — no collectives cross replicas, so
+    replicas scale linearly over chips the way independent whisper.cpp
+    processes would over sockets, but inside one daemon with one queue
+    discipline. ``cli serve --dp N`` builds it; the HTTP front end is
+    unchanged (it only needs submit/health/stats_dict).
+    """
+
+    def __init__(self, servers):
+        if not servers:
+            raise ValueError("MultiEngineServer needs at least one member")
+        self.servers = list(servers)
+        self.topts = self.servers[0].topts
+
+    # -- lifecycle --
+
+    def start(self) -> "MultiEngineServer":
+        for s in self.servers:
+            s.start()
+        return self
+
+    def stop(self, drain: bool = True) -> None:
+        for s in self.servers:
+            s.stop(drain=drain)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- client surface --
+
+    def submit(self, audio, **kwargs) -> Future:
+        """Route to the member with the fewest in-flight requests (ties ->
+        lowest index). Dead members are skipped so one crashed replica
+        degrades capacity instead of failing the daemon; if ALL are dead,
+        delegate to member 0 for its usual not-running error."""
+        live = [s for s in self.servers
+                if s._thread is not None and s._thread.is_alive()]
+        target = min(live, key=lambda s: s.inflight) if live \
+            else self.servers[0]
+        return target.submit(audio, **kwargs)
+
+    def transcribe(self, audio, timeout=None):
+        return self.submit(audio).result(timeout)
+
+    @property
+    def queue_depth(self) -> int:
+        return sum(s.queue_depth for s in self.servers)
+
+    @property
+    def inflight(self) -> int:
+        return sum(s.inflight for s in self.servers)
+
+    def health(self) -> dict:
+        """ok while ANY replica is serving; per-replica detail included."""
+        members = [s.health() for s in self.servers]
+        return {"ok": any(m["ok"] for m in members),
+                "replicas": len(members),
+                "replicas_ok": sum(m["ok"] for m in members),
+                "members": members}
+
+    def latency_stats(self) -> dict:
+        """Percentiles over the members' pooled recent-request samples."""
+        pooled = [lat for s in self.servers for lat in s._latencies]
+        if not pooled:
+            return {"n": 0}
+        total = sorted(t for _, t in pooled)
+        waits = [w for w, _ in pooled]
+
+        def pct(p):
+            return total[min(len(total) - 1, int(p * len(total)))]
+
+        return {
+            "n": len(pooled),
+            "total_p50_s": round(pct(0.50), 4),
+            "total_p95_s": round(pct(0.95), 4),
+            "total_p99_s": round(pct(0.99), 4),
+            "queue_wait_mean_s": round(sum(waits) / len(waits), 4),
+            "queue_wait_max_s": round(max(waits), 4),
+        }
+
+    def stats_dict(self) -> dict:
+        """Counters summed across replicas (+ per-replica breakdown)."""
+        per = [s.stats_dict() for s in self.servers]
+        agg: dict = {}
+        for p in per:
+            for k, v in p.items():
+                if isinstance(v, (int, float)):
+                    agg[k] = agg.get(k, 0) + v
+        agg["replicas"] = len(per)
+        agg["latency"] = self.latency_stats()
+        agg["engines"] = per
+        return agg
 
 
 def parse_multipart(body: bytes, content_type: str) -> dict:
@@ -381,7 +515,8 @@ def parse_multipart(body: bytes, content_type: str) -> dict:
     return fields
 
 
-def openai_response(result: dict, response_format: str):
+def openai_response(result: dict, response_format: str,
+                    task: str = "transcribe"):
     """(payload, content_type) in the OpenAI audio-API shape for
     ``response_format`` json|text|verbose_json|srt|vtt. Our segments carry
     t0/t1 (whisper.cpp naming); verbose_json maps them to start/end."""
@@ -403,7 +538,7 @@ def openai_response(result: dict, response_format: str):
             **({"words": s["words"]} if s.get("words") else {}),
         } for s in result["segments"]]
         return json.dumps({
-            "task": "transcribe", "language": result["language"],
+            "task": task, "language": result["language"],
             "duration": result["duration"], "text": result["text"],
             "segments": segs,
         }, ensure_ascii=False), "application/json"
@@ -444,21 +579,15 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                alive = (server._thread is not None
-                         and server._thread.is_alive())
-                payload = {"ok": alive}
-                if server._fatal is not None:
-                    payload["error"] = repr(server._fatal)
-                self._reply(200 if alive else 503, payload)
+                payload = server.health()
+                self._reply(200 if payload["ok"] else 503, payload)
             elif self.path == "/stats":
-                stats = dict(getattr(server.engine, "stats", {}) or {})
-                stats["queue_depth"] = server.queue_depth
-                stats["latency"] = server.latency_stats()
-                self._reply(200, stats)
+                self._reply(200, server.stats_dict())
             elif self.path == "/metrics":
                 # Prometheus text exposition of the same numbers.
-                stats = dict(getattr(server.engine, "stats", {}) or {})
-                stats["queue_depth"] = server.queue_depth
+                stats = server.stats_dict()
+                stats.pop("latency", None)
+                stats.pop("engines", None)
                 lines = []
                 for k, v in stats.items():
                     if isinstance(v, (int, float)):
@@ -493,13 +622,13 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
             return self.rfile.read(n)
 
         def _submit(self, audio, on_segment=None, language=None,
-                    prompt=None):
+                    prompt=None, task=None):
             """submit() with ServerBusy -> 503; returns the Future or None
             (response already sent)."""
             try:
                 return server.submit(audio, on_segment=on_segment,
                                      language=language,
-                                     initial_prompt=prompt)
+                                     initial_prompt=prompt, task=task)
             except ServerBusy as e:
                 self.send_response(503)
                 self.send_header("Retry-After", "1")
@@ -541,6 +670,11 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
             if route == "/v1/audio/transcriptions":
                 self._openai_transcription()
                 return
+            if route == "/v1/audio/translations":
+                # OpenAI translations endpoint: same multipart surface,
+                # decode with the translate task token (X -> English)
+                self._openai_transcription(task="translate")
+                return
             self._reply(404, {"error": "not found"})
 
         def _stream_response(self, audio) -> None:
@@ -577,9 +711,10 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                 if kind == "done":
                     return
 
-        def _openai_transcription(self) -> None:
+        def _openai_transcription(self, task=None) -> None:
             """OpenAI audio API: multipart/form-data with file, and optional
-            language / prompt / response_format (json default)."""
+            language / prompt / response_format (json default). ``task``
+            pins the decode task ("translate" for /v1/audio/translations)."""
             ctype = self.headers.get("Content-Type", "")
             data = self._read_body()
             if data is None:
@@ -606,12 +741,14 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
             fut = self._submit(
                 audio,
                 language=language.decode() if language else None,
-                prompt=prompt.decode() if prompt else None)
+                prompt=prompt.decode() if prompt else None,
+                task=task)
             if fut is None:
                 return
             try:
                 result = fut.result()
-                payload, out_ctype = openai_response(result, fmt)
+                payload, out_ctype = openai_response(
+                    result, fmt, task=task or server.topts.task)
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
                 return
