@@ -269,3 +269,32 @@ def test_engine_streams_word_timestamps_match_offline(tmp_path):
         for rs, gs in zip(r["segments"], g["segments"]):
             assert gs["tokens"] == rs["tokens"]
             assert gs["words"] == rs["words"]
+
+
+def test_engine_warmup_precompiles(model, caplog):
+    """engine.warmup() (cli serve --warmup) compiles every serving program
+    up front: a subsequent stream run in the same 30 s mel size class
+    triggers ZERO new XLA compiles."""
+    import logging
+
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    topts = TranscribeOptions(temperature=0.0)
+    engine = SlotEngine(model, n_slots=2, chunk_steps=4)
+    engine.warmup(topts)
+
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING):
+            rng = np.random.default_rng(3)
+            audios = [
+                (rng.standard_normal(16000 * 4) * 0.1).astype(np.float32),
+                (rng.standard_normal(16000 * 6) * 0.1).astype(np.float32),
+            ]
+            res = engine.transcribe_streams(audios, topts)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    assert len(res) == 2 and all(r["text"] is not None for r in res)
+    compiles = [r.getMessage() for r in caplog.records
+                if "ompiling" in r.getMessage()]
+    assert not compiles, compiles

@@ -469,3 +469,98 @@ def test_multi_engine_server_dp(model):
     assert stats["requests"] == 4 and stats["replicas"] == 2
     assert stats["latency"]["n"] == 4
     assert len(stats["engines"]) == 2
+
+
+def test_engine_server_cancel(model):
+    """cancel(): an admitted long-form stream stops at its next window
+    boundary (future -> CancelledError, slot freed for later work); a
+    queued request is dropped before it starts; cancelling a finished
+    future returns False."""
+    import threading as _th
+    from concurrent.futures import CancelledError
+
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.server import EngineServer
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    long_audio = synthetic_audio(SR * 95, seed=11)
+    short_audio = synthetic_audio(SR * 6, seed=3)
+    topts = TranscribeOptions(temperature=0.0)
+
+    ref_short = SlotEngine(model, n_slots=1, chunk_steps=8)\
+        .transcribe_streams([short_audio], topts)[0]
+
+    engine = SlotEngine(model, n_slots=1, chunk_steps=8)
+    with EngineServer(engine, topts) as srv:
+        first_seg = _th.Event()
+        fut_long = srv.submit(long_audio,
+                              on_segment=lambda seg: first_seg.set())
+        fut_q = srv.submit(short_audio)   # queued behind the only slot
+        assert first_seg.wait(timeout=600)
+        # cancel the admitted stream mid-flight and the queued one before
+        # it starts
+        assert srv.cancel(fut_q) is True
+        assert srv.cancel(fut_long) is True
+        with pytest.raises(CancelledError):
+            fut_q.result(timeout=600)
+        with pytest.raises(CancelledError):
+            fut_long.result(timeout=600)
+        # the slot is actually free again: a new request completes normally
+        got = srv.submit(short_audio).result(timeout=600)
+        assert [s["tokens"] for s in got["segments"]] == [
+            s["tokens"] for s in ref_short["segments"]]
+        done_fut = srv.submit(short_audio)
+        done_fut.result(timeout=600)
+        assert srv.cancel(done_fut) is False
+    assert srv.inflight == 0
+
+
+def test_multi_engine_server_http(model):
+    """The HTTP front end over a MultiEngineServer: healthz shows replica
+    state, /metrics exposes aggregated counters, POST /transcribe works."""
+    import http.client
+    import json
+
+    import jax
+    from scipy.io import wavfile
+
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.mesh import make_mesh
+    from whisper_tpu.parallel.server import (EngineServer, MultiEngineServer,
+                                             make_http_server)
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    audio = synthetic_audio(SR * 6, seed=2)
+    buf = io.BytesIO()
+    wavfile.write(buf, SR, (audio * 32767).astype(np.int16))
+
+    members = [
+        EngineServer(SlotEngine(model, n_slots=2, chunk_steps=8,
+                                mesh=make_mesh(1, tp=1, devices=[d])),
+                     TranscribeOptions(temperature=0.0))
+        for d in jax.devices()[:2]
+    ]
+    with MultiEngineServer(members) as srv:
+        httpd = make_http_server(srv, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("GET", "/healthz")
+            h = json.loads(conn.getresponse().read())
+            assert h["ok"] is True and h["replicas_ok"] == 2
+
+            conn.request("POST", "/transcribe", body=buf.getvalue())
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert "text" in json.loads(resp.read())
+
+            conn.request("GET", "/metrics")
+            body = conn.getresponse().read().decode()
+            assert "# TYPE whisper_replicas gauge" in body
+            assert "whisper_requests 1" in body
+            conn.close()
+        finally:
+            httpd.shutdown()
+            httpd.server_close()

@@ -401,6 +401,16 @@ def cmd_serve(args) -> int:
             mesh = make_mesh(tp, tp=tp)  # dp=1: slots stay local
         srv_cm = EngineServer(build_engine(mesh), topts,
                               max_queue=args.max_queue)
+    if args.warmup:
+        import time as _time
+
+        engines = ([s.engine for s in srv_cm.servers]
+                   if dp > 1 else [srv_cm.engine])
+        for i, eng in enumerate(engines):
+            t0 = _time.perf_counter()
+            eng.warmup(topts)
+            print(f"warmup: replica {i} programs compiled in "
+                  f"{_time.perf_counter() - t0:.1f}s")
     with srv_cm as srv:
         httpd = make_http_server(srv, args.host, args.port)
         print(f"serving on http://{args.host}:{args.port} "
@@ -642,6 +652,9 @@ def main(argv=None) -> int:
                    help="data-parallel serving: this many independent "
                         "engine replicas (each over its own tp group of "
                         "chips), requests routed to the least-loaded")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile all serving programs before binding the "
+                        "port (first request pays queueing, not tracing)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

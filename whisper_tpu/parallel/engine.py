@@ -713,6 +713,30 @@ class SlotEngine:
 
         return [self._stream_output(st) for st in streams]
 
+    def warmup(self, options=None, seconds: float = 2.0):
+        """Compile the serving programs BEFORE taking traffic: one
+        transcribe_streams run per admission bucket size (<= n_slots), which
+        traces the per-bucket mel-window/encode/prefill/install programs,
+        the decode chunk, the stream snapshot + pull, and (multilingual,
+        language unpinned) the language-detect program. ``cli serve
+        --warmup`` calls this so the first request pays queueing, not
+        minutes of tracing. Compiles land in the persistent jax cache, so a
+        restarted daemon warms from disk.
+
+        Streams longer than one window and prompt-carry widths beyond the
+        first 32-token class still trace their (cheap) host-side variants
+        on first use; the expensive programs are all shape-stable and
+        covered here. Silence is enough — programs are shape-specialized,
+        not value-specialized."""
+        if options is None and getattr(self, "beam_size", None):
+            from ..pipeline.transcribe import TranscribeOptions
+
+            options = TranscribeOptions(beam_size=self.beam_size)
+        audio = np.zeros(max(1, int(16000 * seconds)), np.int16)
+        for k in sorted(b for b in self._ADMIT_BUCKETS if b <= self.n_slots):
+            self.transcribe_streams([audio] * k, options)
+        return self
+
     def _advance_stream(self, s: int, st: dict, pulled, topts, temps) -> bool:
         """Consume slot ``s``'s finished window into stream ``st``: the
         fallback gate/ladder, finish_window segment + seek + prompt-carry

@@ -68,6 +68,7 @@ class EngineServer:
         self._max_queue = max_queue
         self._inflight = 0
         self._inflight_lock = threading.Lock()
+        self._cancelled: set = set()  # futures marked by cancel()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._fatal: Optional[BaseException] = None
@@ -116,13 +117,43 @@ class EngineServer:
         def _dec(_f):
             with self._inflight_lock:
                 self._inflight -= 1
+                self._cancelled.discard(_f)
 
         fut.add_done_callback(_dec)
+        fut._engine_server = self  # cancel() routing under MultiEngineServer
         import time as _time
 
         self._queue.put((audio, fut, on_segment, language, initial_prompt,
                          task, _time.monotonic()))
         return fut
+
+    def cancel(self, fut: Future) -> bool:
+        """Stop work on an in-flight submit (e.g. the HTTP client
+        disconnected). Queued requests are dropped before they start;
+        admitted streams are dropped at their next WINDOW boundary — the
+        engine decodes in fixed chunks, so mid-window rows finish their
+        current window and then free for reuse. The future resolves with
+        CancelledError. Returns False when the result already landed."""
+        from concurrent.futures import CancelledError  # noqa: F401
+
+        with self._inflight_lock:
+            if fut.done():
+                return False
+            self._cancelled.add(fut)
+        return True
+
+    def _pop_cancelled(self, fut: Future) -> bool:
+        """Worker-side check: consume a cancel() mark and resolve the
+        future. True -> drop the stream/request."""
+        from concurrent.futures import CancelledError
+
+        with self._inflight_lock:
+            if fut not in self._cancelled:
+                return False
+            self._cancelled.discard(fut)
+        if not fut.done():
+            fut.set_exception(CancelledError())
+        return True
 
     @property
     def inflight(self) -> int:
@@ -279,8 +310,13 @@ class EngineServer:
                 while slot_stream[s] is None and (pending or raw):
                     if pending:
                         st = pending.pop(0)
+                        if self._pop_cancelled(st["future"]):
+                            continue
                     else:
-                        st = self._start_request(raw.pop(0))
+                        item = raw.pop(0)
+                        if self._pop_cancelled(item[1]):
+                            continue
+                        st = self._start_request(item)
                         if st is None:  # bad request / too short: resolved
                             continue
                     st.setdefault("t_first_slot", _time.monotonic())
@@ -313,6 +349,9 @@ class EngineServer:
                     st = stream_map[s]
                     if (st is None or active[s] or slot_stream[s] is not st
                             or slot_ticket[s] != tick_map[s]):
+                        continue
+                    if self._pop_cancelled(st["future"]):
+                        slot_stream[s] = None  # freed for the next admit
                         continue
                     try:
                         done = eng._advance_stream(s, st, pulled, topts, temps)
@@ -437,6 +476,11 @@ class MultiEngineServer:
 
     def transcribe(self, audio, timeout=None):
         return self.submit(audio).result(timeout)
+
+    def cancel(self, fut) -> bool:
+        """Route cancel() to the replica that owns the future."""
+        owner = getattr(fut, "_engine_server", None)
+        return owner.cancel(fut) if owner is not None else False
 
     @property
     def queue_depth(self) -> int:
@@ -591,7 +635,8 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                 lines = []
                 for k, v in stats.items():
                     if isinstance(v, (int, float)):
-                        kind = "gauge" if k == "queue_depth" else "counter"
+                        kind = ("gauge" if k in ("queue_depth", "replicas")
+                                else "counter")
                         lines.append(f"# TYPE whisper_{k} {kind}")
                         lines.append(f"whisper_{k} {v}")
                 lat = server.latency_stats()
@@ -707,7 +752,10 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                         (json.dumps(line, ensure_ascii=False) + "\n").encode())
                     self.wfile.flush()
                 except BrokenPipeError:
-                    return  # client went away; the engine finishes anyway
+                    # client went away: stop decoding its stream — the slot
+                    # frees at the next window boundary
+                    server.cancel(fut)
+                    return
                 if kind == "done":
                     return
 
