@@ -564,3 +564,58 @@ def test_multi_engine_server_http(model):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_engine_server_request_deadline(model):
+    """Server-side deadlines: an expired queued request resolves
+    TimeoutError without decoding; an in-flight long-form stream expires at
+    a scheduling boundary and frees its slot; HTTP maps the expiry to 504
+    via ?timeout=."""
+    import http.client
+    import json
+
+    from scipy.io import wavfile
+
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.server import EngineServer, make_http_server
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    short = synthetic_audio(SR * 6, seed=3)
+    long_audio = synthetic_audio(SR * 95, seed=11)
+    topts = TranscribeOptions(temperature=0.0)
+
+    engine = SlotEngine(model, n_slots=1, chunk_steps=8)
+    with EngineServer(engine, topts) as srv:
+        # expired before it could start
+        fut = srv.submit(short, timeout_s=1e-6)
+        with pytest.raises(TimeoutError):
+            fut.result(timeout=600)
+        # a long stream with a tight deadline expires at a scheduling
+        # boundary (queued or window end, whichever it hits first)...
+        fut_long = srv.submit(long_audio, timeout_s=2.0)
+        with pytest.raises(TimeoutError):
+            fut_long.result(timeout=600)
+        # ...and the slot is free again for normal work
+        got = srv.submit(short).result(timeout=600)
+        assert got["duration"] == pytest.approx(6.0, abs=0.01)
+
+        httpd = make_http_server(srv, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            buf = io.BytesIO()
+            wavfile.write(buf, SR, (short * 32767).astype(np.int16))
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("POST", "/transcribe?timeout=0.000001",
+                         body=buf.getvalue())
+            resp = conn.getresponse()
+            assert resp.status == 504
+            assert "deadline" in json.loads(resp.read())["error"]
+            conn.request("POST", "/transcribe?timeout=notanumber",
+                         body=buf.getvalue())
+            assert conn.getresponse().status == 400
+            conn.close()
+        finally:
+            httpd.shutdown()
+            httpd.server_close()

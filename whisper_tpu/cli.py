@@ -390,8 +390,9 @@ def cmd_serve(args) -> int:
         servers = []
         for i in range(dp):
             mesh = make_mesh(tp, tp=tp, devices=devs[i * tp:(i + 1) * tp])
-            servers.append(EngineServer(build_engine(mesh), topts,
-                                        max_queue=args.max_queue))
+            servers.append(EngineServer(
+                build_engine(mesh), topts, max_queue=args.max_queue,
+                request_timeout_s=args.request_timeout))
         srv_cm = MultiEngineServer(servers)
     else:
         mesh = None
@@ -400,7 +401,8 @@ def cmd_serve(args) -> int:
 
             mesh = make_mesh(tp, tp=tp)  # dp=1: slots stay local
         srv_cm = EngineServer(build_engine(mesh), topts,
-                              max_queue=args.max_queue)
+                              max_queue=args.max_queue,
+                              request_timeout_s=args.request_timeout)
     if args.warmup:
         import time as _time
 
@@ -655,6 +657,10 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", action="store_true",
                    help="compile all serving programs before binding the "
                         "port (first request pays queueing, not tracing)")
+    p.add_argument("--request-timeout", type=float, default=None,
+                   help="server-side deadline in seconds per request "
+                        "(overridable per request via ?timeout=; expired "
+                        "requests get 504)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

@@ -56,11 +56,13 @@ class EngineServer:
     """
 
     def __init__(self, engine, options=None, poll_s: float = 0.05,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 request_timeout_s: Optional[float] = None):
         from ..pipeline.transcribe import TranscribeOptions
 
         self.engine = engine
         self.topts = options or TranscribeOptions()
+        self.request_timeout_s = request_timeout_s
         engine._check_stream_options(self.topts)
         self._temps = engine._prepare_streams(self.topts)
         self._queue: queue.Queue = queue.Queue()
@@ -84,7 +86,8 @@ class EngineServer:
     def submit(self, audio: np.ndarray, on_segment=None,
                language: Optional[str] = None,
                initial_prompt: Optional[str] = None,
-               task: Optional[str] = None) -> Future:
+               task: Optional[str] = None,
+               timeout_s: Optional[float] = None) -> Future:
         """Enqueue one request; the Future resolves to the transcribe-style
         result dict ({text, segments, language, duration}).
 
@@ -94,7 +97,12 @@ class EngineServer:
         override the server options per request; they only feed the stream's
         own options (``_init_stream`` stores them on the stream dict, and
         ``_window_options`` reads them back for every window + fallback
-        decode), so mixing them across live slots is safe."""
+        decode), so mixing them across live slots is safe.
+
+        ``timeout_s`` (default: the server's ``request_timeout_s``) is a
+        server-side deadline: past it the request resolves with
+        TimeoutError — before starting if still queued, else at the
+        stream's next window boundary (same granularity as cancel())."""
         if task is not None and task not in ("transcribe", "translate"):
             raise ValueError(f"unknown task {task!r}")
         if self._thread is None or not self._thread.is_alive():
@@ -123,8 +131,12 @@ class EngineServer:
         fut._engine_server = self  # cancel() routing under MultiEngineServer
         import time as _time
 
+        if timeout_s is None:
+            timeout_s = self.request_timeout_s
+        deadline = (_time.monotonic() + timeout_s
+                    if timeout_s is not None else None)
         self._queue.put((audio, fut, on_segment, language, initial_prompt,
-                         task, _time.monotonic()))
+                         task, deadline, _time.monotonic()))
         return fut
 
     def cancel(self, fut: Future) -> bool:
@@ -134,26 +146,31 @@ class EngineServer:
         engine decodes in fixed chunks, so mid-window rows finish their
         current window and then free for reuse. The future resolves with
         CancelledError. Returns False when the result already landed."""
-        from concurrent.futures import CancelledError  # noqa: F401
-
         with self._inflight_lock:
             if fut.done():
                 return False
             self._cancelled.add(fut)
         return True
 
-    def _pop_cancelled(self, fut: Future) -> bool:
-        """Worker-side check: consume a cancel() mark and resolve the
-        future. True -> drop the stream/request."""
+    def _pop_cancelled(self, fut: Future, deadline=None) -> bool:
+        """Worker-side check: consume a cancel() mark or an expired
+        deadline and resolve the future. True -> drop the stream/request."""
+        import time as _time
         from concurrent.futures import CancelledError
 
         with self._inflight_lock:
-            if fut not in self._cancelled:
-                return False
+            marked = fut in self._cancelled
             self._cancelled.discard(fut)
-        if not fut.done():
-            fut.set_exception(CancelledError())
-        return True
+        if marked:
+            if not fut.done():
+                fut.set_exception(CancelledError())
+            return True
+        if deadline is not None and _time.monotonic() > deadline:
+            if not fut.done():
+                fut.set_exception(TimeoutError(
+                    "request exceeded its server-side deadline"))
+            return True
+        return False
 
     @property
     def inflight(self) -> int:
@@ -310,11 +327,12 @@ class EngineServer:
                 while slot_stream[s] is None and (pending or raw):
                     if pending:
                         st = pending.pop(0)
-                        if self._pop_cancelled(st["future"]):
+                        if self._pop_cancelled(st["future"],
+                                               st.get("deadline")):
                             continue
                     else:
                         item = raw.pop(0)
-                        if self._pop_cancelled(item[1]):
+                        if self._pop_cancelled(item[1], item[6]):
                             continue
                         st = self._start_request(item)
                         if st is None:  # bad request / too short: resolved
@@ -350,7 +368,7 @@ class EngineServer:
                     if (st is None or active[s] or slot_stream[s] is not st
                             or slot_ticket[s] != tick_map[s]):
                         continue
-                    if self._pop_cancelled(st["future"]):
+                    if self._pop_cancelled(st["future"], st.get("deadline")):
                         slot_stream[s] = None  # freed for the next admit
                         continue
                     try:
@@ -384,7 +402,7 @@ class EngineServer:
         request resolved immediately (bad input / shorter than one hop)."""
         import time as _time
 
-        audio, fut, on_seg, lang, prompt, task, t_sub = item
+        audio, fut, on_seg, lang, prompt, task, deadline, t_sub = item
         if not fut.set_running_or_notify_cancel():
             return None
         eng, topts = self.engine, self.topts
@@ -408,6 +426,7 @@ class EngineServer:
         st["on_segment"] = on_seg
         st["emitted"] = 0
         st["t_sub"] = t_sub
+        st["deadline"] = deadline
         eng.stats["requests"] += 1
         if st["done"]:  # shorter than one hop: no windows
             dt = _time.monotonic() - t_sub
@@ -667,13 +686,14 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
             return self.rfile.read(n)
 
         def _submit(self, audio, on_segment=None, language=None,
-                    prompt=None, task=None):
+                    prompt=None, task=None, timeout_s=None):
             """submit() with ServerBusy -> 503; returns the Future or None
             (response already sent)."""
             try:
                 return server.submit(audio, on_segment=on_segment,
                                      language=language,
-                                     initial_prompt=prompt, task=task)
+                                     initial_prompt=prompt, task=task,
+                                     timeout_s=timeout_s)
             except ServerBusy as e:
                 self.send_response(503)
                 self.send_header("Retry-After", "1")
@@ -699,16 +719,24 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                     self._reply(400, {"error": str(e)})
                     return
                 q = parse_qs(url.query)
+                try:
+                    timeout_s = float(q["timeout"][0]) if "timeout" in q \
+                        else None
+                except ValueError:
+                    self._reply(400, {"error": "bad timeout parameter"})
+                    return
                 stream = (q.get("stream", ["0"])[0] not in ("0", "")
                           or "ndjson" in (self.headers.get("Accept") or ""))
                 if stream:
-                    self._stream_response(audio)
+                    self._stream_response(audio, timeout_s=timeout_s)
                     return
-                fut = self._submit(audio)
+                fut = self._submit(audio, timeout_s=timeout_s)
                 if fut is None:
                     return
                 try:
                     self._reply(200, fut.result())
+                except TimeoutError as e:
+                    self._reply(504, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001
                     self._reply(500, {"error": str(e)})
                 return
@@ -722,12 +750,13 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                 return
             self._reply(404, {"error": "not found"})
 
-        def _stream_response(self, audio) -> None:
+        def _stream_response(self, audio, timeout_s=None) -> None:
             """NDJSON: one line per segment as its window finalizes, then a
             summary line. Close-delimited (no Content-Length)."""
             done_q: queue.Queue = queue.Queue()
             fut = self._submit(
-                audio, on_segment=lambda seg: done_q.put(("segment", seg)))
+                audio, on_segment=lambda seg: done_q.put(("segment", seg)),
+                timeout_s=timeout_s)
             if fut is None:
                 return
             fut.add_done_callback(lambda f: done_q.put(("done", f)))
