@@ -619,3 +619,64 @@ def test_engine_server_request_deadline(model):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_engine_server_queued_deadline_not_starved(model):
+    """A queued request's deadline (or cancel) must resolve promptly even
+    while long streams hold every slot — the worker sweeps waiting requests
+    each round, not only at slot-admission time. The OpenAI endpoints honor
+    ?timeout= and map expiry to 504."""
+    import http.client
+    import json
+    import time as _time
+
+    from scipy.io import wavfile
+
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.server import EngineServer, make_http_server
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    long_audio = synthetic_audio(SR * 95, seed=11)
+    short = synthetic_audio(SR * 6, seed=3)
+
+    engine = SlotEngine(model, n_slots=1, chunk_steps=8)
+    with EngineServer(engine, TranscribeOptions(temperature=0.0)) as srv:
+        fut_long = srv.submit(long_audio)         # occupies the only slot
+        _time.sleep(0.5)                          # let it admit
+        t0 = _time.monotonic()
+        fut_q = srv.submit(short, timeout_s=1.0)  # stuck behind it
+        with pytest.raises(TimeoutError):
+            fut_q.result(timeout=600)
+        waited = _time.monotonic() - t0
+        assert not fut_long.done()  # expired while the long stream still ran
+        # resolves within a few scheduler rounds of the deadline, not after
+        # the long stream finishes (CPU decode of 95 s audio takes far
+        # longer than this bound)
+        assert waited < 30.0, waited
+        srv.cancel(fut_long)
+
+        httpd = make_http_server(srv, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            buf = io.BytesIO()
+            wavfile.write(buf, SR, (short * 32767).astype(np.int16))
+            boundary = "XtImEoUtX"
+            body = (
+                f"--{boundary}\r\nContent-Disposition: form-data;"
+                f' name="file"; filename="a.wav"\r\n\r\n'.encode()
+                + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode())
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request(
+                "POST", "/v1/audio/transcriptions?timeout=0.000001",
+                body=body,
+                headers={"Content-Type":
+                         f"multipart/form-data; boundary={boundary}"})
+            resp = conn.getresponse()
+            assert resp.status == 504
+            assert "deadline" in json.loads(resp.read())["error"]
+            conn.close()
+        finally:
+            httpd.shutdown()
+            httpd.server_close()

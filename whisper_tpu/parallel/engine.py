@@ -733,7 +733,13 @@ class SlotEngine:
 
             options = TranscribeOptions(beam_size=self.beam_size)
         audio = np.zeros(max(1, int(16000 * seconds)), np.int16)
-        for k in sorted(b for b in self._ADMIT_BUCKETS if b <= self.n_slots):
+        # every bucket size <= n_slots, PLUS n_slots itself: when n_slots is
+        # not itself a bucket (e.g. 6), a full-house admission picks the
+        # smallest COVERING bucket (8) — run k=n_slots so that program
+        # compiles too instead of on the first busy burst
+        ks = sorted({b for b in self._ADMIT_BUCKETS if b <= self.n_slots}
+                    | {self.n_slots})
+        for k in ks:
             self.transcribe_streams([audio] * k, options)
         return self
 

@@ -2,7 +2,13 @@
 
 ``EngineServer`` drives a ``SlotEngine`` (or ``BeamSlotEngine``) from a
 thread-safe queue on ONE dedicated worker thread — the only thread that
-touches jax (the TPU runtime is not thread-safe for concurrent dispatch).
+touches THIS engine's jax state (slot pools and scheduler bookkeeping are
+single-owner by design; HTTP handler threads never dispatch). Under
+``MultiEngineServer`` each replica has its own worker thread over its own
+device slice — jax/PJRT supports concurrent dispatch from multiple threads
+to disjoint devices. (On the tunneled single-chip 'axon' runtime only one
+jax client should run at all, but dp needs >=2 devices so the case cannot
+arise there.)
 Requests admit into slots as they free up, long audio runs the whisper_full
 sliding-window loop per stream (the same ``_advance_stream`` bookkeeping as
 ``transcribe_streams``), and each request resolves a
@@ -46,6 +52,29 @@ class ServerBusy(RuntimeError):
     (HTTP front end maps it to 503)."""
 
 
+def _latency_percentiles(lats: list) -> dict:
+    """p50/p95/p99 total (submit -> result) and mean/max queue wait
+    (submit -> first slot) over [(wait, total), ...] samples. Callers pass
+    a SNAPSHOT (``list(deque)`` holds the GIL through the copy) — iterating
+    a live deque races the worker's appends."""
+    if not lats:
+        return {"n": 0}
+    total = sorted(t for _, t in lats)
+    waits = [w for w, _ in lats]
+
+    def pct(p):
+        return total[min(len(total) - 1, int(p * len(total)))]
+
+    return {
+        "n": len(lats),
+        "total_p50_s": round(pct(0.50), 4),
+        "total_p95_s": round(pct(0.95), 4),
+        "total_p99_s": round(pct(0.99), 4),
+        "queue_wait_mean_s": round(sum(waits) / len(waits), 4),
+        "queue_wait_max_s": round(max(waits), 4),
+    }
+
+
 class EngineServer:
     """Queue-fed long-form transcription over an engine's slot pool.
 
@@ -64,7 +93,10 @@ class EngineServer:
         self.topts = options or TranscribeOptions()
         self.request_timeout_s = request_timeout_s
         engine._check_stream_options(self.topts)
-        self._temps = engine._prepare_streams(self.topts)
+        # rule masks / temperature ladder are (re)built by the worker at
+        # start() — NOT here — so an engine.warmup() run between
+        # construction and start() (with its own options) cannot leave
+        # stale suppress masks behind
         self._queue: queue.Queue = queue.Queue()
         self._poll_s = poll_s
         self._max_queue = max_queue
@@ -195,26 +227,9 @@ class EngineServer:
         return stats
 
     def latency_stats(self) -> dict:
-        """Request latency over the last <=1000 resolved requests: p50/p95/
-        p99 total (submit -> result) and mean/max queue wait (submit ->
-        first slot)."""
-        lats = list(self._latencies)
-        if not lats:
-            return {"n": 0}
-        total = sorted(t for _, t in lats)
-        waits = [w for w, _ in lats]
-
-        def pct(p):
-            return total[min(len(total) - 1, int(p * len(total)))]
-
-        return {
-            "n": len(lats),
-            "total_p50_s": round(pct(0.50), 4),
-            "total_p95_s": round(pct(0.95), 4),
-            "total_p99_s": round(pct(0.99), 4),
-            "queue_wait_mean_s": round(sum(waits) / len(waits), 4),
-            "queue_wait_max_s": round(max(waits), 4),
-        }
+        """Request latency over the last <=1000 resolved requests
+        (percentiles via ``_latency_percentiles``)."""
+        return _latency_percentiles(list(self._latencies))
 
     def transcribe(self, audio: np.ndarray, timeout: Optional[float] = None):
         return self.submit(audio).result(timeout)
@@ -259,6 +274,7 @@ class EngineServer:
     def _run(self) -> None:
         self._drain = True
         self._fatal = None
+        self._temps = self.engine._prepare_streams(self.topts)
         pending: list = []       # initialized streams between windows
         raw: list = []           # not-yet-initialized requests (host-only)
         slot_stream = [None] * self.engine.n_slots
@@ -318,6 +334,17 @@ class EngineServer:
             except queue.Empty:
                 if not busy:
                     continue
+
+            # sweep cancelled/expired WAITING requests every round — not
+            # only at slot-admission pop — so a queued request's cancel()
+            # or deadline resolves promptly even while long streams hold
+            # every slot for minutes (and stops counting toward the
+            # max_queue backpressure)
+            raw[:] = [it for it in raw
+                      if not self._pop_cancelled(it[1], it[6])]
+            pending[:] = [st for st in pending
+                          if not self._pop_cancelled(st["future"],
+                                                     st.get("deadline"))]
 
             # admit into freed slots: window continuations first, then new
             # requests (initialized here, at admission — mel upload,
@@ -518,24 +545,11 @@ class MultiEngineServer:
                 "members": members}
 
     def latency_stats(self) -> dict:
-        """Percentiles over the members' pooled recent-request samples."""
-        pooled = [lat for s in self.servers for lat in s._latencies]
-        if not pooled:
-            return {"n": 0}
-        total = sorted(t for _, t in pooled)
-        waits = [w for w, _ in pooled]
-
-        def pct(p):
-            return total[min(len(total) - 1, int(p * len(total)))]
-
-        return {
-            "n": len(pooled),
-            "total_p50_s": round(pct(0.50), 4),
-            "total_p95_s": round(pct(0.95), 4),
-            "total_p99_s": round(pct(0.99), 4),
-            "queue_wait_mean_s": round(sum(waits) / len(waits), 4),
-            "queue_wait_max_s": round(max(waits), 4),
-        }
+        """Percentiles over the members' pooled recent-request samples
+        (each member's deque snapshotted before pooling — see
+        ``_latency_percentiles``)."""
+        return _latency_percentiles(
+            [lat for s in self.servers for lat in list(s._latencies)])
 
     def stats_dict(self) -> dict:
         """Counters summed across replicas (+ per-replica breakdown)."""
@@ -649,7 +663,7 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
             elif self.path == "/metrics":
                 # Prometheus text exposition of the same numbers.
                 stats = server.stats_dict()
-                stats.pop("latency", None)
+                lat = stats.pop("latency", None) or {}
                 stats.pop("engines", None)
                 lines = []
                 for k, v in stats.items():
@@ -658,7 +672,6 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                                 else "counter")
                         lines.append(f"# TYPE whisper_{k} {kind}")
                         lines.append(f"whisper_{k} {v}")
-                lat = server.latency_stats()
                 if lat.get("n"):
                     lines.append("# TYPE whisper_request_latency_seconds "
                                  "summary")
@@ -709,6 +722,13 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
 
             url = urlparse(self.path)
             route = url.path.rstrip("/")
+            q = parse_qs(url.query)
+            try:
+                timeout_s = float(q["timeout"][0]) if "timeout" in q \
+                    else None
+            except ValueError:
+                self._reply(400, {"error": "bad timeout parameter"})
+                return
             if route in ("/transcribe", "/v1/transcribe"):
                 data = self._read_body()
                 if data is None:
@@ -717,13 +737,6 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                     audio = load_wav_bytes(data)
                 except Exception as e:  # noqa: BLE001
                     self._reply(400, {"error": str(e)})
-                    return
-                q = parse_qs(url.query)
-                try:
-                    timeout_s = float(q["timeout"][0]) if "timeout" in q \
-                        else None
-                except ValueError:
-                    self._reply(400, {"error": "bad timeout parameter"})
                     return
                 stream = (q.get("stream", ["0"])[0] not in ("0", "")
                           or "ndjson" in (self.headers.get("Accept") or ""))
@@ -741,12 +754,13 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                     self._reply(500, {"error": str(e)})
                 return
             if route == "/v1/audio/transcriptions":
-                self._openai_transcription()
+                self._openai_transcription(timeout_s=timeout_s)
                 return
             if route == "/v1/audio/translations":
                 # OpenAI translations endpoint: same multipart surface,
                 # decode with the translate task token (X -> English)
-                self._openai_transcription(task="translate")
+                self._openai_transcription(task="translate",
+                                           timeout_s=timeout_s)
                 return
             self._reply(404, {"error": "not found"})
 
@@ -780,15 +794,16 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                     self.wfile.write(
                         (json.dumps(line, ensure_ascii=False) + "\n").encode())
                     self.wfile.flush()
-                except BrokenPipeError:
-                    # client went away: stop decoding its stream — the slot
-                    # frees at the next window boundary
+                except (BrokenPipeError, ConnectionResetError):
+                    # client went away (FIN -> EPIPE or RST -> ECONNRESET):
+                    # stop decoding its stream — the slot frees at the next
+                    # window boundary
                     server.cancel(fut)
                     return
                 if kind == "done":
                     return
 
-        def _openai_transcription(self, task=None) -> None:
+        def _openai_transcription(self, task=None, timeout_s=None) -> None:
             """OpenAI audio API: multipart/form-data with file, and optional
             language / prompt / response_format (json default). ``task``
             pins the decode task ("translate" for /v1/audio/translations)."""
@@ -819,13 +834,16 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                 audio,
                 language=language.decode() if language else None,
                 prompt=prompt.decode() if prompt else None,
-                task=task)
+                task=task, timeout_s=timeout_s)
             if fut is None:
                 return
             try:
                 result = fut.result()
                 payload, out_ctype = openai_response(
                     result, fmt, task=task or server.topts.task)
+            except TimeoutError as e:
+                self._reply(504, {"error": str(e)})
+                return
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
                 return
