@@ -165,3 +165,44 @@ def test_cli_detect_language(tmp_path, capsys):
     write_synthetic_ggml(en, tiny_config(), seed=9)
     assert main(["detect-language", en, wav]) == 0
     assert "English-only" in capsys.readouterr().out
+
+
+def test_clip_range_offset_duration(model):
+    """whisper.cpp offset_ms/duration_ms semantics: absolute timestamps,
+    loop bounded to the clip, no-op when unset, empty past the end."""
+    audio = synthetic_audio(SAMPLE_RATE * 35)
+    base = TranscribeOptions(temperature=0.0,
+                             condition_on_previous_text=False)
+
+    full = transcribe(model, audio, base)
+    # offset 0 / duration covering everything is exactly the plain run
+    same = transcribe(model, audio, dataclasses.replace(
+        base, offset_ms=0, duration_ms=10 ** 9))
+    assert same["segments"] == full["segments"]
+
+    off = transcribe(model, audio, dataclasses.replace(
+        base, offset_ms=31_000))
+    assert off["segments"], "clip inside the audio must decode"
+    assert all(seg["t0"] >= 31.0 for seg in off["segments"])
+    assert all(seg["seek"] >= 3100 for seg in off["segments"])
+
+    dur = transcribe(model, audio, dataclasses.replace(
+        base, duration_ms=20_000))
+    assert dur["segments"]
+    # no window may START past the clip end (the last window can extend)
+    assert all(seg["seek"] < 2000 for seg in dur["segments"])
+
+    past = transcribe(model, audio, dataclasses.replace(
+        base, offset_ms=60_000))
+    assert past["segments"] == [] and past["text"] == ""
+
+    # chunk-parallel path honors the same clip range
+    from whisper_tpu.pipeline.chunked import transcribe_chunked
+
+    coff = transcribe_chunked(model, audio, dataclasses.replace(
+        base, offset_ms=31_000))
+    assert coff["segments"] and all(
+        seg["t0"] >= 31.0 for seg in coff["segments"])
+    cpast = transcribe_chunked(model, audio, dataclasses.replace(
+        base, offset_ms=60_000))
+    assert cpast["segments"] == []

@@ -39,6 +39,12 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
                         "no prompt conditioning; fastest for long audio)")
     p.add_argument("--audio-ctx", type=int, default=None,
                    help="encoder context override for short audio (speed)")
+    p.add_argument("--offset-ms", type=int, default=0,
+                   help="start transcription at this time "
+                        "(whisper.cpp offset_ms; timestamps stay absolute)")
+    p.add_argument("--duration-ms", type=int, default=None,
+                   help="transcribe only this span past the offset "
+                        "(whisper.cpp duration_ms)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--quantize-weights", action="store_true",
                    help="int8 decoder weights (serving mode; slight accuracy cost)")
@@ -104,6 +110,8 @@ def cmd_transcribe(args) -> int:
         mel_mode=args.mel_mode,
         use_flash=args.flash,
         audio_ctx=args.audio_ctx,
+        offset_ms=args.offset_ms,
+        duration_ms=args.duration_ms,
         verbose=args.verbose,
     )
     if args.temperature is not None:
@@ -403,6 +411,13 @@ def cmd_serve(args) -> int:
         srv_cm = EngineServer(build_engine(mesh), topts,
                               max_queue=args.max_queue,
                               request_timeout_s=args.request_timeout)
+    if args.profiler_port:
+        # on-demand device profiling: connect TensorBoard (or
+        # jax.profiler.trace) to this port to capture live serving traces
+        import jax
+
+        jax.profiler.start_server(args.profiler_port)
+        print(f"jax profiler listening on :{args.profiler_port}")
     if args.warmup:
         import time as _time
 
@@ -661,6 +676,9 @@ def main(argv=None) -> int:
                    help="server-side deadline in seconds per request "
                         "(overridable per request via ?timeout=; expired "
                         "requests get 504)")
+    p.add_argument("--profiler-port", type=int, default=None,
+                   help="start a jax profiler server on this port "
+                        "(TensorBoard-connectable live device traces)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

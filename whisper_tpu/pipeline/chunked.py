@@ -75,10 +75,20 @@ def transcribe_chunked(
             center=center, fold=not center,
         )
     content_frames = mel.shape[-1] - N_FRAMES
+    # clip range (whisper.cpp offset_ms/duration_ms; 10 ms frames)
+    seek_start = max(0, opts.offset_ms // 10)
+    if opts.duration_ms is not None:
+        content_frames = min(content_frames,
+                             seek_start + opts.duration_ms // 10)
     overlap_frames = int(overlap_seconds * SAMPLE_RATE / HOP_LENGTH)
     overlap_frames = max(0, min(overlap_frames, N_FRAMES - 100))
     stride = N_FRAMES - overlap_frames
-    offsets = list(range(0, max(content_frames, 1), stride))
+    if seek_start and seek_start >= content_frames:
+        offsets = []  # clip starts past the audio: nothing to decode
+    else:
+        # seek_start=0 keeps the historical one-window floor for short clips
+        offsets = list(range(seek_start, max(content_frames, seek_start + 1),
+                             stride))
 
     language = opts.language or ("en" if not cfg.is_multilingual else None)
     window_results: List[tuple] = []  # (offset_frames, [Segment])

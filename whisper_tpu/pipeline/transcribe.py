@@ -54,6 +54,12 @@ class TranscribeOptions:
     # 1803-1807): encode only the first audio_ctx positions — a large speedup
     # for audio much shorter than 30 s, at slight accuracy cost.
     audio_ctx: Optional[int] = None
+    # Clip range (whisper.cpp whisper_full_params offset_ms/duration_ms; the
+    # reference's mel_offset window machinery, main.rs:1799,1816-1833):
+    # start the sliding loop at offset_ms and stop duration_ms later.
+    # Segment timestamps stay ABSOLUTE (seek-based), matching whisper.cpp.
+    offset_ms: int = 0
+    duration_ms: Optional[int] = None
     suppress_tokens: Optional[Sequence[int]] = (-1,)
     mel_mode: str = "openai"  # "openai" (center) | "reference" (whisper.cpp-1.0.3)
     use_flash: bool = False
@@ -186,14 +192,21 @@ def transcribe(
     content_frames = mel.shape[-1] - n_frames_window
     content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
 
-    # Language detection on the first window (multilingual only).
+    # Clip range: frames are HOP_LENGTH/SAMPLE_RATE = 10 ms each
+    # (whisper.cpp: seek_start = offset_ms/10, seek_end bounds the loop)
+    seek_start = max(0, opts.offset_ms // 10)
+    if opts.duration_ms is not None:
+        content_frames = min(content_frames,
+                             seek_start + opts.duration_ms // 10)
+
+    # Language detection on the first window of the CLIP (multilingual only).
     language = opts.language
     if language is None:
         if not cfg.is_multilingual:
             language = "en"
         else:
             with model.timers.stage("lang_id"):
-                window = mel_window(mel, 0, n_frames_window)[None]
+                window = mel_window(mel, seek_start, n_frames_window)[None]
                 enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
                 langs, _ = detect_language(
                     model.params, cfg, vocab, enc.cross_k, enc.cross_v
@@ -209,7 +222,7 @@ def transcribe(
         initial_prompt_tokens = _tokenize_prompt(vocab, opts.initial_prompt)
         all_tokens.extend(initial_prompt_tokens)
 
-    seek = 0
+    seek = seek_start
     while seek < content_frames:
         segments, seek, new_tokens, reset_prompt = _window_step(
             model, mel, seek, content_frames, n_frames_window, opts,
