@@ -174,3 +174,41 @@ def test_temperature_sampling_reproducible(setup):
     r2 = decode_full(params, cfg, vocab, enc.cross_k, enc.cross_v, opts)[0]
     assert r1.tokens == r2.tokens
     assert r1.temperature == 0.8
+
+
+def test_option_contract_and_prefix_truncation():
+    """openai's _verify_options contract (incompatible combos raise) and its
+    exact prefix-truncation arithmetic (sample_len > n_ctx//2 yields an
+    EMPTY prefix, never the untruncated one)."""
+    from whisper_tpu.decoding.task import DecodingTask
+
+    cfg = micro_config()
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+
+    with pytest.raises(ValueError, match="can't be given together"):
+        DecodingTask(cfg, vocab, DecodingOptions(beam_size=5, best_of=8))
+    with pytest.raises(ValueError, match="temperature 0"):
+        DecodingTask(cfg, vocab,
+                     DecodingOptions(beam_size=5, temperature=0.5))
+    with pytest.raises(ValueError, match="greedy sampling"):
+        DecodingTask(cfg, vocab, DecodingOptions(best_of=5, temperature=0.0))
+    with pytest.raises(ValueError, match="patience requires"):
+        DecodingTask(cfg, vocab, DecodingOptions(patience=2.0))
+
+    prefix = list(range(100, 110))
+    # sample_len small: keep the last (n_ctx//2 - sample_len) prefix tokens
+    keep = cfg.n_text_ctx // 2 - 8
+    t = DecodingTask(cfg, vocab,
+                     DecodingOptions(sample_len=8, prefix=prefix))
+    got = t.initial_tokens[len(t.sot_sequence):]
+    assert got == prefix[-keep:]
+    # sample_len past n_ctx//2: openai's prefix[-neg:] slice DROPS the
+    # first (overshoot) tokens...
+    t = DecodingTask(cfg, vocab, DecodingOptions(
+        sample_len=cfg.n_text_ctx // 2 + 4, prefix=prefix))
+    assert t.initial_tokens[len(t.sot_sequence):] == prefix[4:]
+    # ...down to an EMPTY prefix once the overshoot covers it (the old
+    # 'or prefix' fallback wrongly restored all 10 tokens here)
+    t = DecodingTask(cfg, vocab, DecodingOptions(
+        sample_len=cfg.n_text_ctx // 2 + len(prefix), prefix=prefix))
+    assert t.initial_tokens == t.sot_sequence

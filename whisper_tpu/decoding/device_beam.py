@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import WhisperConfig
+from ..io.vocab import device_special_ids
 from ..model.decoder import KVCache, decode_step
 from .device_loop import LoopState, _apply_rules_device
 
@@ -217,10 +218,7 @@ def beam_decode_device(
                 fin_tokens (G,k,SL), fin_scores (G,k), fin_len (G,k),
                 fin_count (G,), steps, no_speech_probs (G,))."""
     v = cfg.n_vocab
-    eot = 50256 if v == 51864 else 50257
-    beg = eot + 107 if v != 51866 else eot + 108
-    not_ = beg - 1
-    nosp = beg - 2
+    eot, beg, not_, nosp = device_special_ids(v)
     k = beam_size
     GK = init_tokens.shape[0]
     G = GK // k

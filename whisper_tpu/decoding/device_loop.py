@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import WhisperConfig
+from ..io.vocab import device_special_ids
 from ..model.decoder import KVCache, decode_step
 
 NEG = jnp.float32(-1e30)
@@ -124,10 +125,7 @@ def decode_segment_device(
     One compiled program per (P-bucket, sample_len, flags) combination.
     """
     v = cfg.n_vocab
-    eot = 50256 if v == 51864 else 50257
-    beg = eot + 107 if v != 51866 else eot + 108
-    not_ = beg - 1
-    nosp = beg - 2
+    eot, beg, not_, nosp = device_special_ids(v)
     B = init_tokens.shape[0]
 
     logits_all, cache = decode_step(

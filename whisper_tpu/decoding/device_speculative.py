@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import WhisperConfig
+from ..io.vocab import device_special_ids
 from ..model.decoder import KVCache, decode_step
 from .device_loop import LoopState, _apply_rules_device
 
@@ -83,10 +84,7 @@ def decode_segment_speculative_device(
     if gamma < 2:  # static: fails at trace time with a clear message
         raise ValueError("gamma >= 2 (gamma-1 draft proposals per round)")
     v = cfg_t.n_vocab
-    eot = 50256 if v == 51864 else 50257
-    beg = eot + 107 if v != 51866 else eot + 108
-    not_ = beg - 1
-    nosp = beg - 2
+    eot, beg, not_, nosp = device_special_ids(v)
     B = init_tokens.shape[0]
     rows = jnp.arange(B)
     consts = (eot, beg, not_, v)

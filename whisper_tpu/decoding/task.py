@@ -92,8 +92,15 @@ class DecodingTask:
         self.options = options
         self.params_ref = params  # model params pytree used by run()
 
+        # option-compatibility contract (openai decoding.py _verify_options)
+        if options.beam_size is not None and options.best_of is not None:
+            raise ValueError("beam_size and best_of can't be given together")
         if options.beam_size is not None and options.temperature > 0:
             raise ValueError("beam search is only valid at temperature 0")
+        if options.temperature == 0 and options.best_of is not None:
+            raise ValueError("best_of with greedy sampling is not compatible")
+        if options.patience is not None and options.beam_size is None:
+            raise ValueError("patience requires beam_size to be given")
 
         self.n_group = options.beam_size or options.best_of or 1
         self.sample_len = options.sample_len or config.n_text_ctx // 2
@@ -146,7 +153,13 @@ class DecodingTask:
         if self.options.prefix is not None:
             prefix = list(self.options.prefix)
             if self.sample_len is not None:
-                prefix = prefix[-(self.config.n_text_ctx // 2 - self.sample_len) :] or prefix
+                # openai's exact arithmetic (decoding.py _get_initial_tokens):
+                # prefix[-max_prefix_len:], INCLUDING its negative-length
+                # behavior — when sample_len overshoots n_text_ctx//2 the
+                # slice drops the first (sample_len - n_ctx//2) tokens, down
+                # to an empty prefix — never the untruncated fallback
+                max_prefix_len = self.config.n_text_ctx // 2 - self.sample_len
+                prefix = prefix[-max_prefix_len:]
             tokens = tokens + prefix
         if self.options.prompt is not None and len(self.options.prompt) > 0:
             prompt = list(self.options.prompt)
@@ -175,9 +188,7 @@ class DecodingTask:
         # folds the group axis into the query when the cross batch is smaller
         # than the token batch (rows are group-contiguous) — no tiling.
 
-        from .sequence import BeamSearchDecoder as _Beam
-
-        use_topk = use_topk_device and isinstance(self.decoder, _Beam)
+        use_topk = use_topk_device and isinstance(self.decoder, BeamSearchDecoder)
         if use_topk:
             from .device_loop import build_masks
 
@@ -197,16 +208,21 @@ class DecodingTask:
         tokens = np.tile(np.array(self.initial_tokens, np.int32), (n_seq, 1))
         cache = init_cache(cfg, n_seq, dtype=_cache_dtype(cross_k))
 
-        # Prefill (bucketed) — one forward for the whole prompt.
+        # Prefill (bucketed) — one forward for the whole prompt. Only TWO
+        # positions of the (n_seq, P, V) logits are ever used (SOT for the
+        # no-speech prob, true_len-1 to seed sampling): slice them on device
+        # before the host fetch — the full tensor is ~265 MB at beam-5
+        # large-v3 and the tunneled link stalls for minutes on >100 MB pulls.
         padded, true_len = _pad_to_bucket(tokens)
         logits_all, cache = decode_step(
             self.params_ref, jnp.asarray(padded), jnp.int32(0), cache, cross_k, cross_v, cfg
         )
-        logits_all = np.asarray(logits_all, dtype=np.float32)
+        two = np.asarray(
+            logits_all[:, (self.sot_index, true_len - 1)], dtype=np.float32)
         # no-speech prob from the SOT position (openai semantics).
-        probs_at_sot = np.exp(log_softmax(logits_all[:, self.sot_index]))
+        probs_at_sot = np.exp(log_softmax(two[:, 0]))
         no_speech_probs = probs_at_sot[:, v.token_nosp]
-        logits = logits_all[:, true_len - 1]
+        logits = two[:, 1]
         n_past = true_len
 
         sum_logprobs = np.zeros(n_seq, dtype=np.float64)
@@ -493,7 +509,10 @@ def detect_language(
     """Single forward from SOT; distribution over language tokens only
     (openai detect_language)."""
     n_audio = _cross_batch(cross_k)
-    cache = init_cache(config, n_audio, dtype=_cache_dtype(cross_k))
+    # one T=1 forward writes one KV column: a tiny ctx keeps the throwaway
+    # cache off the HBM budget (default n_text_ctx would transiently claim
+    # ~73 MB/row on large-v3 for a batched language-ID pass)
+    cache = init_cache(config, n_audio, dtype=_cache_dtype(cross_k), ctx=8)
     tokens = jnp.full((n_audio, 1), vocab.token_sot, dtype=jnp.int32)
     logits, _ = decode_step(params, tokens, jnp.int32(0), cache, cross_k, cross_v, config)
     logits = np.array(logits[:, 0], dtype=np.float32)  # mutable host copy

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
+from ..io.vocab import device_special_ids
 from ..model.decoder import KVCache, decode_step
 from .device_loop import LoopState, _apply_rules_device
 
@@ -43,9 +44,7 @@ def decode_step_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, KVCache]:
     """Returns (topk_logprobs (n,k), topk_ids (n,k), logprobs_fyi (n,2), cache')."""
     v = cfg.n_vocab
-    eot = 50256 if v == 51864 else 50257
-    beg = eot + 107 if v != 51866 else eot + 108
-    not_ = beg - 1
+    eot, beg, not_, _nosp = device_special_ids(v)
 
     logits, cache = decode_step(params, tokens, n_past, cache, cross_k, cross_v, cfg)
     logits = logits[:, -1].astype(jnp.float32)

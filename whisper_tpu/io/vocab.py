@@ -235,6 +235,19 @@ def build_special_ids(n_vocab: int) -> Dict[str, int]:
     )
 
 
+def device_special_ids(n_vocab: int) -> Tuple[int, int, int, int]:
+    """(eot, beg, not_, nosp) for the fused device decode paths.
+
+    Derived from ``build_special_ids`` so the jitted loops can never drift
+    from the host rule grammar: the loops previously hand-derived
+    ``beg = eot + 107 if n_vocab != 51866`` which disagrees with the vocab
+    layout for any future n_vocab > 51866 (langs >= 100 shift beg to +108).
+    """
+    ids = build_special_ids(n_vocab)
+    return (ids["token_eot"], ids["token_beg"],
+            ids["token_not"], ids["token_nosp"])
+
+
 def make_vocab(n_vocab_header: int, tokens: List[bytes], n_vocab_loaded: int) -> WhisperVocab:
     """Build the vocab from GGML file contents.
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
+from ..io.vocab import device_special_ids
 from ..decoding.device_beam import beam_update, cow_assign
 from ..decoding.device_loop import LoopState, _apply_rules_device
 from ..decoding.result import DecodingResult, compression_ratio
@@ -85,9 +86,7 @@ def _decode_chunk_beam(
     max_initial_index: Optional[int],
 ):
     v = cfg.n_vocab
-    eot = 50256 if v == 51864 else 50257
-    beg = eot + 107 if v != 51866 else eot + 108
-    not_ = beg - 1
+    eot, beg, not_, _nosp = device_special_ids(v)
     S = state.active.shape[0]
     Sk = S * k
     base = (jnp.arange(S, dtype=jnp.int32) * k)[:, None]
@@ -337,7 +336,7 @@ class BeamSlotEngine(SlotEngine):
     def _init_state(self, cache_dtype):
         S, k, cfg = self.n_slots + 1, self.beam_size, self.cfg
         cache = self._shard_pool(self._fresh_cache(S * k, cache_dtype))
-        eot = 50256 if cfg.n_vocab == 51864 else 50257
+        eot = device_special_ids(cfg.n_vocab)[0]
         self._state = BeamEngineState(
             cache_k=cache.k, cache_v=cache.v,
             logits=jnp.zeros((S * k, cfg.n_vocab), jnp.float32),
@@ -394,7 +393,7 @@ class BeamSlotEngine(SlotEngine):
         pad = [self.n_slots] * (bucket - len(slot_list))
         groups = np.array(list(slot_list) + pad, np.int32)
         row_ids = (groups[:, None] * k + np.arange(k)[None]).reshape(-1)
-        eot = 50256 if self.cfg.n_vocab == 51864 else 50257
+        eot = device_special_ids(self.cfg.n_vocab)[0]
         self._state, self._cross_pool_k, self._cross_pool_v = _beam_refill(
             self._state, self._cross_pool_k, self._cross_pool_v,
             jnp.asarray(groups), jnp.asarray(row_ids.astype(np.int32)),

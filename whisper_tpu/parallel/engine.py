@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
+from ..io.vocab import device_special_ids
 from ..decoding.device_loop import LoopState, _apply_rules_device, build_masks
 from ..decoding.result import DecodingResult, compression_ratio
 from ..decoding.task import (DecodingOptions, DecodingTask, _pad_to_bucket,
@@ -78,9 +79,7 @@ def _decode_chunk(
     max_initial_index: Optional[int],
 ):
     v = cfg.n_vocab
-    eot = 50256 if v == 51864 else 50257
-    beg = eot + 107 if v != 51866 else eot + 108
-    not_ = beg - 1
+    eot, beg, not_, _nosp = device_special_ids(v)
     S = state.logits.shape[0]
     rows = jnp.arange(S)
 
@@ -405,9 +404,7 @@ class SlotEngine:
         return init_cache(self.cfg, batch, dtype=dtype, ctx=self.pool_ctx)
 
     def _nosp_token(self) -> int:
-        v = self.cfg.n_vocab
-        eot = 50256 if v == 51864 else 50257
-        return (eot + 107 if v != 51866 else eot + 108) - 2
+        return device_special_ids(self.cfg.n_vocab)[3]
 
     def _shard_pool(self, tree):
         """Pin KV/cross pool leaves (heads on axis 2 in both the
@@ -935,15 +932,17 @@ class SlotEngine:
                   if topts.condition_on_previous_text else [])
         kwargs = dict(
             task=topts.task, language=st["language"],
-            temperature=temperature, patience=topts.patience,
+            temperature=temperature,
             length_penalty=topts.length_penalty, prompt=prompt or None,
             without_timestamps=topts.without_timestamps,
             suppress_tokens=topts.suppress_tokens,
         )
+        # patience rides with beam_size only (openai drops both at t>0)
         if temperature > 0:
             kwargs["best_of"] = topts.best_of
         else:
             kwargs["beam_size"] = topts.beam_size
+            kwargs["patience"] = topts.patience
         return DecodingOptions(**kwargs)
 
     @_under_mesh

@@ -85,12 +85,13 @@ def _decode_with_fallback(
             task=opts.task,
             language=opts.language,
             temperature=t,
-            patience=opts.patience,
             length_penalty=opts.length_penalty,
             prompt=prompt or None,
             without_timestamps=opts.without_timestamps,
             suppress_tokens=opts.suppress_tokens,
         )
+        # openai's transcribe drops beam_size AND patience at t>0 (patience
+        # without beam is a DecodingOptions contract violation)
         if t > 0:
             kwargs["best_of"] = opts.best_of
         else:
