@@ -6,7 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from fixtures import micro_config, random_tensors, synthetic_tokens
+from fixtures import (micro_config, random_tensors, synthetic_audio,
+                      synthetic_tokens)
 from whisper_tpu.decoding.task import DecodingOptions, decode_full
 from whisper_tpu.io.vocab import make_vocab
 from whisper_tpu.model.encoder import encode
@@ -298,3 +299,71 @@ def test_engine_warmup_precompiles(model, caplog):
     compiles = [r.getMessage() for r in caplog.records
                 if "ompiling" in r.getMessage()]
     assert not compiles, compiles
+
+
+def test_engine_streams_dont_clobber_option_masks(model):
+    """_prepare_streams re-derives the rule masks from per-call
+    TranscribeOptions; a later transcribe_many must decode with the
+    CONSTRUCTOR DecodingOptions masks again (suppress_blank=False and an
+    empty suppress list here), not the stream call's leftovers."""
+    from whisper_tpu.decoding.task import DecodingOptions
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    SR = 16000
+    audios = [synthetic_audio(SR * 6, seed=7), synthetic_audio(SR * 9, seed=8)]
+    opts = DecodingOptions(suppress_tokens=[], suppress_blank=False,
+                           without_timestamps=True)
+
+    ref = SlotEngine(model, n_slots=2, options=opts).transcribe_many(audios)
+
+    engine = SlotEngine(model, n_slots=2, options=opts)
+    engine.transcribe_streams([synthetic_audio(SR * 6, seed=1)],
+                              TranscribeOptions(temperature=0.0))
+    got = engine.transcribe_many(audios)
+    assert [r.tokens for r in got] == [r.tokens for r in ref]
+
+
+def test_engine_streams_offset_duration_match_offline(tmp_path):
+    """Engine streams honor offset_ms/duration_ms with the offline loop's
+    exact clip arithmetic (same segments as pipeline.transcribe)."""
+    from fixtures import tiny_config, write_synthetic_ggml
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+    path = tmp_path / "ggml-tiny-synth.bin"
+    write_synthetic_ggml(path, tiny_config(), seed=9)
+    model = load_model(str(path), use_native=False)
+
+    SR = 16000
+    audio = synthetic_audio(SR * 80, seed=2)
+    topts = TranscribeOptions(temperature=0.0, offset_ms=15_000,
+                              duration_ms=40_000,
+                              condition_on_previous_text=True)
+    ref = transcribe(model, audio, topts)
+
+    engine = SlotEngine(model, n_slots=2, chunk_steps=8)
+    got = engine.transcribe_streams([audio], topts)[0]
+    assert got["text"] == ref["text"]
+    assert len(got["segments"]) == len(ref["segments"])
+    for rs, gs in zip(ref["segments"], got["segments"]):
+        assert gs["tokens"] == rs["tokens"]
+        assert gs["t0"] == rs["t0"] and gs["t1"] == rs["t1"]
+        assert gs["seek"] == rs["seek"]
+    # a clip that ends before it starts produces no windows at all
+    empty = engine.transcribe_streams(
+        [audio], TranscribeOptions(temperature=0.0, offset_ms=90_000))[0]
+    assert empty["segments"] == []
+
+
+def test_engine_streams_reject_audio_ctx(model):
+    """audio_ctx cannot be honored per-stream (pools are sized at engine
+    construction) — must raise, not silently ignore."""
+    import pytest as _pytest
+
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    engine = SlotEngine(model, n_slots=2)
+    with _pytest.raises(ValueError, match="audio_ctx"):
+        engine.transcribe_streams(
+            [synthetic_audio(16000 * 6, seed=1)],
+            TranscribeOptions(temperature=0.0, audio_ctx=32))

@@ -286,3 +286,28 @@ def test_tp_beam_engine_matches_single_device(setup):
 
     for r, g in zip(ref, got):
         assert g.tokens == r.tokens
+
+
+def test_auto_engine_head_divisible_mesh():
+    """auto_engine passes the model config to make_mesh so the auto tp
+    divides the head counts (2-head micro model on 8 devices -> tp=2, not
+    an invalid 4), and rounds batch_size up to a dp multiple."""
+    from whisper_tpu.io.vocab import make_vocab
+    from whisper_tpu.parallel.serving import auto_engine
+
+    from fixtures import synthetic_tokens
+
+    cfg = micro_config(n_vocab=51864)  # 2 heads
+    tensors = random_tensors(cfg, seed=5)
+    params = jax.tree.map(jnp.asarray, params_from_ggml(tensors, cfg))
+
+    class _M:
+        config = cfg
+        vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab),
+                           cfg.n_vocab)
+        filters = jnp.zeros((cfg.n_mels, 201), jnp.float32)
+
+    _M.params = params
+    eng = auto_engine(_M, batch_size=6)
+    assert dict(eng.mesh.shape) == {"dp": 4, "tp": 2}
+    assert eng.batch_size == 8  # rounded up to a dp=4 multiple

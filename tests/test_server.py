@@ -680,3 +680,53 @@ def test_engine_server_queued_deadline_not_starved(model):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_parse_multipart_filename_before_name():
+    """RFC 7578 does not mandate Content-Disposition parameter order: a
+    part listing filename BEFORE name must not mis-key the field as the
+    filename (the name= regex must not match inside filename=)."""
+    from whisper_tpu.parallel.server import parse_multipart
+
+    boundary = "XbOuNdArYx"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; filename="a.wav"; name="file"\r\n'
+        "Content-Type: audio/wav\r\n\r\n").encode() + b"RIFFdata" + (
+        f"\r\n--{boundary}--\r\n").encode()
+    fields = parse_multipart(
+        body, f"multipart/form-data; boundary={boundary}")
+    assert fields == {"file": b"RIFFdata"}
+
+
+def test_engine_server_stop_nodrain_fast(model):
+    """stop(drain=False) is a FAST shutdown: it returns without finishing
+    in-flight long-form streams (no window re-admission for the remaining
+    audio) and resolves their futures with CancelledError."""
+    import threading as _th
+    import time as _time
+    from concurrent.futures import CancelledError
+
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.server import EngineServer
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions
+
+    # several minutes of audio on 1 slot: a drain-stop would take many
+    # windows; the fast path must not wait for them
+    long_audio = synthetic_audio(SR * 300, seed=11)
+    engine = SlotEngine(model, n_slots=1, chunk_steps=8)
+    srv = EngineServer(engine, TranscribeOptions(temperature=0.0)).start()
+    first_seg = _th.Event()
+    fut_long = srv.submit(long_audio,
+                          on_segment=lambda seg: first_seg.set())
+    fut_queued = srv.submit(long_audio)  # waits behind the only slot
+    assert first_seg.wait(timeout=600)  # stream is admitted and mid-flight
+    t0 = _time.monotonic()
+    srv.stop(drain=False)
+    # bounded by at most ~a window's chunks, not the whole 5 min stream;
+    # generous bound for slow CI — a full drain takes many times longer
+    assert _time.monotonic() - t0 < 120
+    with pytest.raises(CancelledError):
+        fut_long.result(timeout=5)
+    with pytest.raises(CancelledError):
+        fut_queued.result(timeout=5)

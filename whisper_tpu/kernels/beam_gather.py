@@ -142,8 +142,10 @@ def permute_rows_multi(arrays, rows: jnp.ndarray, interpret: bool | None = None)
         # Interpret mode (CPU tests) or unaligned minor dims: the
         # semantically-identical BlockSpec copy kernel. Raw HBM->HBM DMA
         # requires tile-aligned slices (Mosaic: "slice shape along the
-        # minor dim must be aligned to tiling (128)"), so beam callers pad
-        # the cache ctx to a 128 multiple (init_cache(pad_ctx=True)).
+        # minor dim must be aligned to tiling (128)"); production beam
+        # caches are exact-sized (no 128 padding — the lane-dot path has
+        # no alignment need), so standalone callers wanting the DMA route
+        # must opt in via init_cache(pad_ctx=True).
         return _permute_rows_blocked(arrays, rows, interpret)
     n = len(arrays)
     B = arrays[0].shape[0]

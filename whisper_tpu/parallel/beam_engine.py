@@ -274,7 +274,6 @@ class BeamSlotEngine(SlotEngine):
         self.options = options
         task = DecodingTask(self.cfg, self.vocab, options)
         self.ranker = task.ranker
-        self.pool_ctx = self._align_pool_ctx(self.pool_ctx)
 
     # -- long-form scheduler hooks (SlotEngine.transcribe_streams drives
     #    these; a slot is a beam GROUP, a window decodes with beam search
@@ -291,12 +290,7 @@ class BeamSlotEngine(SlotEngine):
             raise ValueError(
                 "patience is unsupported on the on-device beam; use "
                 "pipeline.transcribe with use_device_loop=False")
-
-    def _align_pool_ctx(self, needed: int) -> int:
-        # COW row copies need tile-aligned rows on TPU.
-        if jax.default_backend() == "tpu":
-            return -(-needed // 128) * 128
-        return needed
+        self._check_common_stream_options(topts)
 
     @_under_mesh
     def _stream_chunk_snapshot(self, topts):
@@ -400,67 +394,9 @@ class BeamSlotEngine(SlotEngine):
             ck, cv, cache.k, cache.v, first_logits,
             lengths, max_news, nosp, jnp.int32(eot))
 
-    # -- scheduler --
-
-    @_under_mesh
-    def transcribe_many(self, audios: Sequence[np.ndarray]) -> List[DecodingResult]:
-        import time as _time
-
-        queue = list(enumerate(audios))
-        results: List[Optional[DecodingResult]] = [None] * len(queue)
-        slot_req = [-1] * self.n_slots
-        queue.reverse()
-        self.stats = {"admit_s": 0.0, "chunk_s": 0.0, "pull_s": 0.0,
-                      "rounds": 0}
-        snap = None
-
-        while queue or any(r >= 0 for r in slot_req) or snap is not None:
-            join_slots, join_audios = [], []
-            for s in range(self.n_slots):
-                if slot_req[s] < 0 and queue:
-                    idx, audio = queue.pop()
-                    join_slots.append(s)
-                    join_audios.append(audio)
-                    slot_req[s] = idx
-            if join_slots:
-                t0 = _time.perf_counter()
-                self._admit_many(join_slots, join_audios)
-                self.stats["admit_s"] += _time.perf_counter() - t0
-            if any(r >= 0 for r in slot_req):
-                t0 = _time.perf_counter()
-                st = self._state
-                self._state = _decode_chunk_beam(
-                    self.params, st,
-                    self._cross_pool_k, self._cross_pool_v,
-                    self.sup_mask, self.blank_mask, self.cfg,
-                    steps=self.chunk_steps, k=self.beam_size,
-                    use_timestamps=not self.options.without_timestamps,
-                    max_initial_index=self.max_initial_index,
-                )
-                new_snap = (list(slot_req), _beam_snapshot(
-                    self._state.active, self._state.step, self._state.tokens,
-                    self._state.sum_lp, self._state.fin_tokens,
-                    self._state.fin_scores, self._state.fin_len,
-                    self._state.fin_count, self._state.no_speech))
-                self.stats["chunk_s"] += _time.perf_counter() - t0
-            else:
-                new_snap = None
-            if snap is not None:
-                req_map, arrs = snap
-                t0 = _time.perf_counter()
-                (active, step, tokens, sum_lp, fin_t, fin_s, fin_l, fin_c,
-                 nosp) = jax.device_get(arrs)
-                self.stats["pull_s"] += _time.perf_counter() - t0
-                for s in range(self.n_slots):
-                    if (req_map[s] >= 0 and not active[s]
-                            and slot_req[s] == req_map[s]):
-                        results[req_map[s]] = self._finalize_group(
-                            s, step, tokens, sum_lp, fin_t, fin_s, fin_l,
-                            fin_c, nosp)
-                        slot_req[s] = -1
-            snap = new_snap
-            self.stats["rounds"] += 1
-        return results  # type: ignore[return-value]
+    # -- scheduler: transcribe_many is INHERITED — SlotEngine's loop drives
+    #    the beam chunk/snapshot/finalize through the _stream_chunk_snapshot
+    #    and _stream_result hooks above, so there is exactly one scheduler --
 
     def _finalize_group(self, g, step, tokens, sum_lp, fin_t, fin_s, fin_l,
                         fin_c, nosp) -> DecodingResult:

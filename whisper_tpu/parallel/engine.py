@@ -317,6 +317,11 @@ class SlotEngine:
         if (self.options.max_initial_timestamp is not None
                 and not self.options.without_timestamps):
             self.max_initial_index = round(self.options.max_initial_timestamp / 0.02)
+        # transcribe_many restores these at entry: _prepare_streams
+        # re-derives the live masks from per-call TranscribeOptions, which
+        # must not silently leak into later constructor-options decodes
+        self._option_masks = (self.sup_mask, self.blank_mask,
+                              self.max_initial_index)
 
         self._n_frames = 2 * self.cfg.n_audio_ctx
         self._cross_pool_k = None  # lazily sized (L, S, H, D, Ta)
@@ -554,6 +559,10 @@ class SlotEngine:
         scheduler spends its budget."""
         import time as _time
 
+        # a prior transcribe_streams/warmup re-derived the rule masks from
+        # ITS TranscribeOptions; this path decodes with the constructor's
+        self.sup_mask, self.blank_mask, self.max_initial_index = \
+            self._option_masks
         queue = list(enumerate(audios))
         results: List[Optional[DecodingResult]] = [None] * len(queue)
         slot_req = [-1] * self.n_slots  # request index per slot
@@ -575,24 +584,16 @@ class SlotEngine:
                 t0 = _time.perf_counter()
                 self._admit_many(join_slots, join_audios)
                 self.stats["admit_s"] += _time.perf_counter() - t0
-            # dispatch one decode chunk for all slots (async)
+            # dispatch one decode chunk for all slots (async) and take
+            # fresh-buffer snapshots of the harvest arrays (the chunk
+            # donates the state, so next round's chunk invalidates the
+            # originals). _stream_chunk_snapshot/_stream_result are the
+            # same hooks the long-form scheduler uses — BeamSlotEngine
+            # overrides them, so THIS loop serves both engines.
             if any(r >= 0 for r in slot_req):
                 t0 = _time.perf_counter()
-                self._state = _decode_chunk(
-                    self.params, self._state,
-                    self._cross_pool_k, self._cross_pool_v,
-                    self.sup_mask, self.blank_mask, self.cfg,
-                    steps=self.chunk_steps,
-                    use_timestamps=not self.options.without_timestamps,
-                    max_initial_index=self.max_initial_index,
-                )
-                # Small COPIES of the harvest arrays (_decode_chunk donates
-                # the state, so next round's chunk invalidates these buffers
-                # — the snapshot must own fresh ones).
-                new_snap = (list(slot_req), _snapshot(
-                    self._state.active, self._state.length,
-                    self._state.sum_logprobs, self._state.tokens_out,
-                    self._state.no_speech))
+                new_snap = (list(slot_req),
+                            self._stream_chunk_snapshot(self.options))
                 self.stats["chunk_s"] += _time.perf_counter() - t0
             else:
                 new_snap = None
@@ -602,13 +603,13 @@ class SlotEngine:
             if snap is not None:
                 req_map, arrs = snap
                 t0 = _time.perf_counter()
-                active, length, sum_lp, toks, nosp = jax.device_get(arrs)
+                pulled = jax.device_get(arrs)
+                active = pulled[0]
                 self.stats["pull_s"] += _time.perf_counter() - t0
                 for s in range(self.n_slots):
                     if (req_map[s] >= 0 and not active[s]
                             and slot_req[s] == req_map[s]):
-                        results[req_map[s]] = self._harvest(
-                            s, toks, length, sum_lp, nosp)
+                        results[req_map[s]] = self._stream_result(s, pulled)
                         slot_req[s] = -1
             snap = new_snap
             self.stats["rounds"] += 1
@@ -818,6 +819,18 @@ class SlotEngine:
             raise ValueError(
                 "SlotEngine streams are greedy-first; beam windows belong to "
                 "BeamSlotEngine.transcribe_streams (or pipeline.transcribe)")
+        self._check_common_stream_options(topts)
+
+    def _check_common_stream_options(self, topts) -> None:
+        # the engine's cross pools and mel windows are sized for the model's
+        # full 2*n_audio_ctx frames at construction; a per-call audio_ctx
+        # override cannot be honored — reject rather than silently diverge
+        # from pipeline.transcribe (use the offline path for audio_ctx runs)
+        if topts.audio_ctx is not None:
+            raise ValueError(
+                "audio_ctx is not supported by engine streams (the slot "
+                "pools are sized for the full audio context at engine "
+                "construction); use pipeline.transcribe")
 
     def _align_pool_ctx(self, needed: int) -> int:
         return needed
@@ -895,13 +908,21 @@ class SlotEngine:
             frame_count(padded_len, center=center),
             center=center, fold=not center)
         content_frames = frame_count(offline_len, center=center) - self._n_frames
+        # Clip range, same arithmetic as the offline loop (transcribe.py:
+        # seek_start = offset_ms/10, duration clamps the end frame) so
+        # engine streams honor offset_ms/duration_ms instead of silently
+        # transcribing from 0:00.
+        seek_start = max(0, topts.offset_ms // 10)
+        if topts.duration_ms is not None:
+            content_frames = min(content_frames,
+                                 seek_start + topts.duration_ms // 10)
 
         language = topts.language
         if language is None:
             if not self.cfg.is_multilingual:
                 language = "en"
             else:
-                win = mel_window(mel, 0, self._n_frames)[None]
+                win = mel_window(mel, seek_start, self._n_frames)[None]
                 enc = encode(self.params, win, self.cfg,
                              use_flash=self.use_flash)
                 langs, _ = detect_language(
@@ -914,9 +935,9 @@ class SlotEngine:
             all_tokens.extend(_tokenize_prompt(self.vocab, topts.initial_prompt))
         return {
             "idx": idx, "mel": mel, "content_frames": content_frames,
-            "language": language, "seek": 0, "all_tokens": all_tokens,
+            "language": language, "seek": seek_start, "all_tokens": all_tokens,
             "prompt_reset_since": 0, "segments": [],
-            "done": content_frames <= 0,
+            "done": content_frames <= seek_start,
             "duration": len(audio) / 16000.0,
             # per-stream option override: the serving daemon inits streams
             # with request-level TranscribeOptions (task/language/prompt),

@@ -169,6 +169,18 @@ class EngineServer:
                     if timeout_s is not None else None)
         self._queue.put((audio, fut, on_segment, language, initial_prompt,
                          task, deadline, _time.monotonic()))
+        # The entry liveness check races a concurrent stop(): if the worker
+        # died between it and the put, stop()'s final drain may already have
+        # run and nothing would ever consume this item — drain-and-cancel
+        # ourselves (idempotent with stop()'s own drain).
+        if self._thread is None or not self._thread.is_alive():
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if not item[1].done():
+                    item[1].cancel()
         return fut
 
     def cancel(self, fut: Future) -> bool:
@@ -287,7 +299,13 @@ class EngineServer:
             # on a dead worker: in-flight streams, raw requests, and any
             # queue items that raced past the final empty check (submit()'s
             # put can land after the worker decided to exit).
-            err = self._fatal or RuntimeError("EngineServer stopped")
+            from concurrent.futures import CancelledError
+
+            # a non-drain stop abandons in-flight work by contract — those
+            # futures CANCEL; a fatal error or drain-stop races get the error
+            err = self._fatal or (
+                RuntimeError("EngineServer stopped") if self._drain
+                else CancelledError())
             for st in pending + [s for s in slot_stream if s is not None]:
                 if not st["future"].done():
                     st["future"].set_exception(err)
@@ -316,8 +334,11 @@ class EngineServer:
         while True:
             busy = (raw or pending or snap is not None
                     or any(s is not None for s in slot_stream))
-            if self._stop.is_set() and not busy and (
-                    not self._drain or self._queue.empty()):
+            # drain=False means FAST shutdown: exit even while streams are
+            # mid-flight (between-window continuations must not be
+            # re-admitted for hours) — _run's finally cancels their futures
+            if self._stop.is_set() and (
+                    not self._drain or (not busy and self._queue.empty())):
                 break
             # ingest requests (HOST memory only — device staging waits for a
             # free slot, so queued bursts can't exhaust HBM); block only
@@ -586,7 +607,9 @@ def parse_multipart(body: bytes, content_type: str) -> dict:
         # so rstrip would corrupt roughly 1-in-128 WAV uploads.
         if value.endswith(b"\r\n"):
             value = value[:-2]
-        dm = re.search(rb'name="([^"]+)"', head)
+        # must not match the 'name="' inside 'filename="..."' — RFC 7578
+        # does not mandate parameter order, so filename may come first
+        dm = re.search(rb'(?:^|[;\s])name="([^"]+)"', head)
         if dm:
             fields[dm.group(1).decode()] = value
     return fields
@@ -636,6 +659,7 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
     jax work stays on the engine worker thread. Bodies past
     ``max_body_bytes`` (default 256 MB ≈ 2.3 h of 16 kHz int16 WAV) get 413
     before anything is read into memory."""
+    from concurrent.futures import CancelledError as _FutCancelled
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from ..io.wav import load_wav_bytes
@@ -700,14 +724,17 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
 
         def _submit(self, audio, on_segment=None, language=None,
                     prompt=None, task=None, timeout_s=None):
-            """submit() with ServerBusy -> 503; returns the Future or None
-            (response already sent)."""
+            """submit() with ServerBusy/dead-worker -> 503; returns the
+            Future or None (response already sent)."""
             try:
                 return server.submit(audio, on_segment=on_segment,
                                      language=language,
                                      initial_prompt=prompt, task=task,
                                      timeout_s=timeout_s)
-            except ServerBusy as e:
+            except (ServerBusy, RuntimeError) as e:
+                # ServerBusy: queue full. RuntimeError: the engine worker
+                # died (submit()'s not-running error) — either way the
+                # client gets a retryable 503 instead of a dropped socket.
                 self.send_response(503)
                 self.send_header("Retry-After", "1")
                 body = json.dumps({"error": str(e)}).encode()
@@ -750,6 +777,11 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                     self._reply(200, fut.result())
                 except TimeoutError as e:
                     self._reply(504, {"error": str(e)})
+                except _FutCancelled:
+                    # BaseException, NOT Exception — without this clause a
+                    # stop(drain=False) mid-request kills the handler thread
+                    # and the client sees a connection reset, not a response
+                    self._reply(503, {"error": "request cancelled"})
                 except Exception as e:  # noqa: BLE001
                     self._reply(500, {"error": str(e)})
                 return
@@ -788,6 +820,8 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                         line = {"done": True, "text": r["text"],
                                 "language": r["language"],
                                 "duration": r["duration"]}
+                    except _FutCancelled:  # BaseException — see do_POST
+                        line = {"done": True, "error": "request cancelled"}
                     except Exception as e:  # noqa: BLE001
                         line = {"done": True, "error": str(e)}
                 try:
@@ -843,6 +877,9 @@ def make_http_server(server: EngineServer, host: str = "127.0.0.1",
                     result, fmt, task=task or server.topts.task)
             except TimeoutError as e:
                 self._reply(504, {"error": str(e)})
+                return
+            except _FutCancelled:  # BaseException — see do_POST
+                self._reply(503, {"error": "request cancelled"})
                 return
             except ValueError as e:
                 self._reply(400, {"error": str(e)})

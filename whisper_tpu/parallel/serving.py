@@ -85,7 +85,16 @@ class BatchTranscriber:
 
 
 def auto_engine(model: WhisperModel, batch_size: int = 8, tp: Optional[int] = None):
-    """Build a BatchTranscriber on all visible devices (mesh if >1)."""
+    """Build a BatchTranscriber on all visible devices (mesh if >1).
+
+    The mesh is built with ``config=model.config`` so the auto-picked tp
+    divides the model's head counts (make_mesh's own invalid-split guard),
+    and ``batch_size`` is rounded up to a multiple of the resulting dp so
+    the batch axis shards evenly."""
     devices = jax.devices()
-    mesh = make_mesh(tp=tp) if len(devices) > 1 else None
+    mesh = (make_mesh(tp=tp, config=model.config)
+            if len(devices) > 1 else None)
+    if mesh is not None:
+        dp = mesh.shape.get("dp", 1)
+        batch_size = -(-batch_size // dp) * dp
     return BatchTranscriber(model, batch_size, mesh=mesh)
