@@ -245,3 +245,30 @@ def test_cow_copy_rows_fallback_matches_take():
                                  jnp.asarray(src, np.int32))
     np.testing.assert_array_equal(np.asarray(out_a), a[src])
     np.testing.assert_array_equal(np.asarray(out_b), b[src])
+
+
+def test_vocab_topk_matches_lax_top_k_exactly():
+    """Blocked two-stage top-k == lax.top_k (values AND tie-order ids)."""
+    from whisper_tpu.decoding.topk_step import vocab_topk
+
+    rng = np.random.default_rng(7)
+    cases = []
+    # dense float logprobs, vocab not a multiple of the block
+    cases.append(rng.standard_normal((9, 51866)).astype(np.float32))
+    # heavy ties: quantized values force cross-block and in-block ties
+    cases.append(rng.integers(0, 5, (6, 1000)).astype(np.float32))
+    # suppressed-vocab shape: most entries at a single NEG constant
+    m = np.full((4, 51866), -1e30, np.float32)
+    m[:, ::1717] = rng.standard_normal((4, m[:, ::1717].shape[1]))
+    cases.append(m)
+    # -inf columns (masked) mixed with finite
+    f = rng.standard_normal((3, 300)).astype(np.float32)
+    f[:, 50:250] = -np.inf
+    cases.append(f)
+    for x in cases:
+        xj = jnp.asarray(x)
+        for k in (1, 5, 6):
+            ev, ei = jax.lax.top_k(xj, k)
+            gv, gi = vocab_topk(xj, k)
+            np.testing.assert_array_equal(np.asarray(ev), np.asarray(gv))
+            np.testing.assert_array_equal(np.asarray(ei), np.asarray(gi))

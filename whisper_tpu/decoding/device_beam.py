@@ -274,6 +274,12 @@ def beam_decode_device(
             (eot, beg, not_, v), use_timestamps, max_initial_index,
         )
         logprobs = jax.nn.log_softmax(filt, axis=-1)          # (GK, V) phys
+        # Plain lax.top_k ON PURPOSE: standalone it costs 13.5 ms at 240
+        # rows and the blocked topk_step.vocab_topk 3.0 ms, but a
+        # same-process A/B of the FULL serving step (b48 k5 int8, 5-iter
+        # reps x3, interleaved) measured plain 3.153 s/window vs blocked
+        # 3.288 — inside this while_loop XLA's own lowering/fusion already
+        # hides the top_k, and the pad/reshape blocking only adds traffic.
         top_lp_p, top_ids_p = jax.lax.top_k(logprobs, k + 1)  # (GK, k+1) phys
         # Tiny gather to beam order for the bookkeeping (k+1 floats/row —
         # NOT the (GK, V) logits and NOT the cache).

@@ -24,6 +24,45 @@ from ..model.decoder import KVCache, decode_step
 from .device_loop import LoopState, _apply_rules_device
 
 
+def vocab_topk(x: jnp.ndarray, k: int, block: int = 128):
+    """Exact blocked top-k over the vocab axis. Context-dependent win —
+    wired HERE (standalone per-step jit) but measured NEGATIVE inside the
+    fused while_loop decoders, which keep plain ``lax.top_k``.
+
+    Measured on v5e, (240, 51866) f32, k=6: STANDALONE (50-iter fori
+    chains, one process, interleaved) lax.top_k costs 13.5 ms/iter vs 3.0
+    for this blocked version (block sweep: 128 2.98 / 256 4.06 / 512 5.14
+    / 1024 5.41; a 3-stage block-max variant no better and tie-fragile).
+    But a same-process A/B of the FULL fused beam serving step (b48 k5
+    int8, 64 tokens) measured plain 3.153 s/window vs blocked 3.288 —
+    in-loop, XLA's own top_k lowering/fusion already hides the cost and
+    the pad/reshape blocking only adds traffic. So device_beam.py /
+    beam_engine.py use lax.top_k; this host-orchestrated step (a
+    standalone jit, the context where the standalone numbers apply, on
+    few rows) uses the blocked form.
+
+    Exact including ties: a global top-k element is a top-k element of its
+    own block, and both stages break value ties toward lower candidate
+    position, which is lower token id — the same order ``lax.top_k`` uses
+    (tested in tests/test_topk_beam.py).
+
+    x: (rows, V) floats. Returns (vals (rows, k), ids (rows, k) int32).
+    """
+    rows, v = x.shape
+    nb = (v + block - 1) // block
+    pad = nb * block - v
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    xb = x.reshape(rows, nb, block)
+    bv, bi = jax.lax.top_k(xb, k)                          # (rows, nb, k)
+    cand_v = bv.reshape(rows, nb * k)
+    cand_i = (bi + (jnp.arange(nb) * block)[None, :, None]).reshape(
+        rows, nb * k)
+    vals, sel = jax.lax.top_k(cand_v, k)
+    ids = jnp.take_along_axis(cand_i, sel, axis=1)
+    return vals, ids.astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "k", "use_timestamps", "max_initial_index"),
@@ -62,9 +101,9 @@ def decode_step_topk(
         (eot, beg, not_, v), use_timestamps, max_initial_index,
     )
     logprobs = jax.nn.log_softmax(filt, axis=-1)
-    top_lp, top_ids = jax.lax.top_k(logprobs, k)
+    top_lp, top_ids = vocab_topk(logprobs, k)
     eot_lp = logprobs[:, eot][:, None]
-    return top_lp, top_ids.astype(jnp.int32), eot_lp, cache
+    return top_lp, top_ids, eot_lp, cache
 
 
 def rule_state_from_tokens(tokens: np.ndarray, sample_begin: int, beg: int):

@@ -104,6 +104,8 @@ def _decode_chunk_beam(
             (eot, beg, not_, v), use_timestamps, max_initial_index,
         )
         logprobs = jax.nn.log_softmax(filt, axis=-1)
+        # plain lax.top_k on purpose — see the measured note in
+        # device_beam.py step_fn (blocked vocab_topk loses in-loop).
         top_lp_p, top_ids_p = jax.lax.top_k(logprobs, k + 1)
         top_lp = top_lp_p[st.phys].reshape(S, k, k + 1)
         top_ids = top_ids_p[st.phys].reshape(S, k, k + 1)
