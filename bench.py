@@ -123,9 +123,14 @@ def main() -> int:
         # BENCH_AOT=path: consume a jax.export serving-step artifact (cold
         # start without tracing); exports one after compile when absent.
         aot_path=os.environ.get("BENCH_AOT"),
-        # BENCH_ENC=int8: W8A8 encoder matmuls (dynamic per-token activation
-        # quant; tests/test_quant.py gates token agreement).
-        enc_dtype=os.environ.get("BENCH_ENC", "bfloat16"),
+        # W8A8 encoder matmuls are the serving default (dynamic per-token
+        # activation quant; tests/test_quant.py gates token agreement for
+        # both greedy and beam). Measured interleaved-process runs: greedy
+        # 661.8/661.5/661.2 vs bf16-encoder 631.3; beam b48 464.9 vs 452.8.
+        # (An early r3 W8A8 process measured 452x once — that stretch
+        # preceded a full tunnel outage and never reproduced; 5/6 samples
+        # sit at 661-662.) BENCH_ENC=bfloat16 opts back out.
+        enc_dtype=os.environ.get("BENCH_ENC", "int8"),
     )
     print(json.dumps(result))
     return 0

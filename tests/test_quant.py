@@ -303,3 +303,46 @@ def test_fused_quant_kernels_match_xla_chains():
     check(ln_quant(x, w, b), quantize_act(layer_norm(x, w, b)), "ln")
     for impl in ("erf", "tanh"):
         check(gelu_quant(x, impl), quantize_act(gelu(x, impl)), f"gelu-{impl}")
+
+
+def test_beam_decode_w8a8_full_stack_agreement():
+    """Beam search under the FULL serving quant stack (W8A8 encoder + int8
+    decoder weights + int8 cross/KV) vs the full-precision beam: token
+    agreement on worst-case random weights — gates the BENCH_BEAM +
+    BENCH_ENC=int8 bench composition (utils/benchmark.py)."""
+    from whisper_tpu.decoding.device_beam import beam_decode_device
+    from whisper_tpu.decoding.device_loop import build_masks
+    from whisper_tpu.model.decoder import KVCache, init_cache
+    from whisper_tpu.model.quant import (
+        init_quant_cache, quantize_decoder_weights, quantize_encoder_weights)
+
+    cfg = micro_config(n_vocab=51864)
+    params = jax.tree.map(jnp.asarray,
+                          params_from_ggml(random_tensors(cfg, seed=53), cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    rng = np.random.default_rng(11)
+    G, k, SL = 2, 3, 12
+    mel = rng.standard_normal((G, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    sup, blank = build_masks(vocab)
+    init = jnp.asarray(np.tile([[vocab.token_sot]], (G * k, 1)), jnp.int32)
+    seg = 1 + SL + 8
+
+    def best_seqs(params_, enc, cache):
+        out = beam_decode_device(
+            params_, init, 1, 0, cache, enc.cross_k, enc.cross_v,
+            sup, blank, cfg, beam_size=k, sample_len=SL)
+        act_toks, act_lp = np.asarray(out[0]), np.asarray(out[1])
+        return [act_toks[g, int(np.argmax(act_lp[g]))].tolist()
+                for g in range(G)]
+
+    enc = encode(params, jnp.asarray(mel), cfg)
+    ref = best_seqs(params, enc, init_cache(cfg, G * k, ctx=seg))
+
+    qfull = quantize_decoder_weights(quantize_encoder_weights(params))
+    qenc = encode(qfull, jnp.asarray(mel), cfg, quantize_kv=True)
+    qcache = KVCache(*init_quant_cache(cfg, G * k, ctx=seg))
+    got = best_seqs(qfull, qenc, qcache)
+
+    for r, g in zip(ref, got):
+        agree = sum(a == b for a, b in zip(r, g)) / max(len(r), 1)
+        assert agree > 0.6, (r, g)
