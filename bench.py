@@ -94,6 +94,12 @@ def main() -> int:
             # decode rows = BENCH_BATCH * k — size BENCH_BATCH accordingly).
             beam_size=(int(os.environ["BENCH_BEAM"])
                        if os.environ.get("BENCH_BEAM") else None),
+            # BENCH_ENC=int8: W8A8 admission encodes. NOT the engine
+            # default (unlike the lockstep bench): same-day prestaged A/B
+            # measured 434.8x bf16-encoder vs 418.2x W8A8 — bucket<=16
+            # admission encodes don't benefit from int8 operands the way
+            # the b64 lockstep encode does.
+            enc_int8=os.environ.get("BENCH_ENC", "") == "int8",
         )
         print(json.dumps(result))
         return 0

@@ -311,3 +311,33 @@ def test_auto_engine_head_divisible_mesh():
     eng = auto_engine(_M, batch_size=6)
     assert dict(eng.mesh.shape) == {"dp": 4, "tp": 2}
     assert eng.batch_size == 8  # rounded up to a dp=4 multiple
+
+
+def test_shard_params_quantized_tree(setup):
+    """shard_params accepts int8-quantized param trees: the *_scale leaves
+    get the base weight's spec minus the contraction axis (the `cli serve
+    --tp --quantize` / engine enc-int8 path)."""
+    from whisper_tpu.model.quant import (
+        quantize_decoder_weights, quantize_encoder_weights)
+
+    cfg, params = setup
+    qparams = quantize_decoder_weights(quantize_encoder_weights(params))
+    mesh = make_mesh(8)
+    sharded = shard_params(qparams, mesh)
+    eb = sharded["encoder"]["blocks"]
+    assert eb["q_w"].dtype == jnp.int8
+    assert eb["q_w"].sharding.spec == P(None, "tp", None)
+    assert eb["q_w_scale"].sharding.spec == P(None, "tp")
+    db = sharded["decoder"]["blocks"]
+    assert db["out_w_scale"].sharding.spec == P(None, None)
+    assert sharded["decoder"]["te_scale"].sharding.spec == P("tp",)
+
+    # sharded W8A8 encode stays close to the unsharded quantized encode
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((4, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32)
+    ref = np.asarray(encode(qparams, jnp.asarray(mel), cfg).hidden, np.float32)
+    mel_sharded = jax.device_put(jnp.asarray(mel), NamedSharding(mesh, batch_pspec()))
+    with mesh:
+        got = np.asarray(encode(sharded, mel_sharded, cfg).hidden, np.float32)
+    rel = np.abs(ref - got).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 5e-2, rel

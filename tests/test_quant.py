@@ -194,17 +194,30 @@ def test_engine_int8_agreement():
     ]
     opts = DecodingOptions(sample_len=12)
 
-    def run(quantize):
-        eng = SlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+    def run(quantize, enc_int8=False):
+        import copy
+
+        m = copy.copy(model)
+        if enc_int8:
+            from whisper_tpu.model.quant import quantize_encoder_weights
+
+            m.params = quantize_encoder_weights(model.params)
+        eng = SlotEngine(m, n_slots=2, options=opts, chunk_steps=4,
                          quantize=quantize)
         return [r.tokens for r in eng.transcribe_many(audios)]
 
     ref = run(False)
     got = run(True)
-    for r, g in zip(ref, got):
+    # full serving stack: W8A8 admission encodes on top (cli --enc-int8 /
+    # BENCH_MODE=engine default)
+    got_enc = run(True, enc_int8=True)
+    for r, g, ge in zip(ref, got, got_enc):
         n = max(min(len(r), len(g)), 1)
         agree = sum(a == b for a, b in zip(r, g)) / n
         assert agree > 0.6, (r, g)
+        ne = max(min(len(r), len(ge)), 1)
+        agree_e = sum(a == b for a, b in zip(r, ge)) / ne
+        assert agree_e > 0.6, (r, ge)
 
 
 def test_encode_applies_decoder_weight_scales():

@@ -265,6 +265,12 @@ def cmd_batch(args) -> int:
         from .model.quant import quantize_decoder_weights
 
         model.params = jax.jit(quantize_decoder_weights)(model.params)
+    if args.enc_int8:
+        import jax
+
+        from .model.quant import quantize_encoder_weights
+
+        model.params = jax.jit(quantize_encoder_weights)(model.params)
     mesh = None
     if args.tp and args.tp > 1:
         from .parallel.mesh import make_mesh
@@ -356,6 +362,12 @@ def cmd_serve(args) -> int:
         from .model.quant import quantize_decoder_weights
 
         model.params = jax.jit(quantize_decoder_weights)(model.params)
+    if args.enc_int8:
+        import jax
+
+        from .model.quant import quantize_encoder_weights
+
+        model.params = jax.jit(quantize_encoder_weights)(model.params)
     dp = max(1, args.dp or 1)
     tp = args.tp or 1
 
@@ -615,6 +627,9 @@ def main(argv=None) -> int:
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--language", default=None)
     p.add_argument("--quantize", action="store_true", help="int8 serving mode")
+    p.add_argument("--enc-int8", action="store_true",
+                   help="W8A8 encoder matmuls (speeds admission encodes; "
+                        "token agreement gated in tests/test_quant.py)")
     p.add_argument("--io-threads", type=int, default=4)
     p.add_argument("--beam", type=int, default=None,
                    help="beam size: continuous-batching beam groups")
@@ -657,6 +672,8 @@ def main(argv=None) -> int:
                    help="default decode task (per-request override via "
                         "/v1/audio/translations)")
     p.add_argument("--quantize", action="store_true", help="int8 serving mode")
+    p.add_argument("--enc-int8", action="store_true",
+                   help="W8A8 encoder matmuls (speeds admission encodes)")
     p.add_argument("--beam", type=int, default=None,
                    help="beam size per stream (beam-group slots)")
     p.add_argument("--word-timestamps", action="store_true")

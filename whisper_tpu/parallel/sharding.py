@@ -77,14 +77,38 @@ def param_pspecs(config=None) -> Dict[str, Any]:
     }
 
 
+def _augment_specs(params, specs):
+    """Extend the static spec tree to cover int8-quantized param trees.
+
+    model.quant.quantize_{decoder,encoder}_weights add per-out-channel
+    ``<name>_scale`` leaves next to each quantized weight. A scale's shape
+    is its weight's shape minus the trailing (contraction) axis, so its
+    spec is the weight's spec minus the last entry — e.g. q_w (L, O, I)
+    P(None, "tp", None) -> q_w_scale (L, O) P(None, "tp"); te (V, D)
+    P("tp", None) -> te_scale (V,) P("tp")."""
+    if not isinstance(params, dict):
+        return specs
+    out = {}
+    for key, val in params.items():
+        if key in specs:
+            out[key] = _augment_specs(val, specs[key])
+        elif key.endswith("_scale") and key[: -len("_scale")] in specs:
+            base = specs[key[: -len("_scale")]]
+            out[key] = P(*tuple(base)[:-1])
+        else:
+            raise KeyError(f"no partition spec for param {key!r}")
+    return out
+
+
 def shard_params(params, mesh: Mesh):
     """Place the params pytree with tensor-parallel shardings. Works under a
     multi-process (multi-host) mesh too: there each process materializes
     only its addressable shards via the callback constructor — plain
-    device_put cannot target non-addressable devices."""
+    device_put cannot target non-addressable devices. Accepts both plain
+    and int8-quantized (``*_scale``-bearing) param trees."""
     import numpy as np
 
-    specs = param_pspecs()
+    specs = _augment_specs(params, param_pspecs())
     multi = jax.process_count() > 1
 
     def put(arr, spec):

@@ -24,6 +24,7 @@ def run_engine_benchmark(
     seconds: int = 120,
     prestage: bool = False,
     beam_size: Optional[int] = None,
+    enc_int8: bool = False,
 ) -> dict:
     """Continuous-batching serving throughput: a SlotEngine with ``n_slots``
     draining ``n_streams`` independent 30 s streams of staggered lengths
@@ -54,6 +55,12 @@ def run_engine_benchmark(
         from ..model.quant import quantize_decoder_weights
 
         model.params = jax.jit(quantize_decoder_weights)(model.params)
+    if enc_int8:
+        # W8A8 admission encodes (engine encode runs per admission bucket,
+        # the device-bound phase in prestaged mode)
+        from ..model.quant import quantize_encoder_weights
+
+        model.params = jax.jit(quantize_encoder_weights)(model.params)
     n_streams = n_streams or 2 * n_slots
     rng = np.random.default_rng(0)
     secs = [24.0, 27.0, 30.0]
@@ -108,7 +115,8 @@ def run_engine_benchmark(
     return {
         "metric": f"rtf_{model.config.model_type}_engine_s{n_slots}_q{n_streams}"
         + (f"_beam{beam_size}" if beam_size else "")
-        + ("_int8" if quantize else "") + ("_prestaged" if prestage else ""),
+        + ("_int8" if quantize else "") + ("_eint8" if enc_int8 else "")
+        + ("_prestaged" if prestage else ""),
         "value": round(rtf, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
