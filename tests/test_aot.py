@@ -42,6 +42,9 @@ def test_export_roundtrip_token_identity(tmp_path):
 
 
 def test_export_decode_segment_helper(tmp_path):
+    """The artifact's calling convention matches what serving produces:
+    bf16 cache/cross by default (an f32-pinned artifact would force
+    upcasting multi-GB cross arrays — jax.export rejects dtype mismatch)."""
     cfg = micro_config(n_vocab=51864)
     params = jax.tree.map(
         jnp.asarray, params_from_ggml(random_tensors(cfg, seed=8), cfg))
@@ -50,7 +53,37 @@ def test_export_decode_segment_helper(tmp_path):
                                      sample_len=8, prefill=32)
     assert len(data) > 1000
     fn = aot.load_fn(data)
-    assert callable(fn)
+    # drive it with the dtypes the serving encoder actually emits
+    sup, blank = build_masks(vocab)
+    tokens = jnp.zeros((2, 32), jnp.int32).at[:, 0].set(vocab.token_sot)
+    cache = init_cache(cfg, 2, dtype=jnp.bfloat16, ctx=32 + 8 + 8)
+    L, H, D = cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text
+    cross = jnp.zeros((L, 2, H, D, cfg.n_audio_ctx), jnp.bfloat16)
+    toks, lengths, _, _ = fn(params, tokens, 1, 0, cache, cross, cross,
+                             sup, blank)
+    assert np.asarray(toks).shape[0] == 2
+
+
+def test_artifact_meta_roundtrip(tmp_path):
+    """save(meta=...) embeds the flag tuple; load/load_meta recover it;
+    raw legacy payloads read back with meta None (the stale-artifact guard
+    in run_benchmark relies on this contract)."""
+    cfg = micro_config(n_vocab=51864)
+    params = jax.tree.map(
+        jnp.asarray, params_from_ggml(random_tensors(cfg, seed=9), cfg))
+    vocab = make_vocab(cfg.n_vocab, synthetic_tokens(cfg.n_vocab), cfg.n_vocab)
+    data = aot.export_decode_segment(params, cfg, vocab, batch=1,
+                                     sample_len=4, prefill=8)
+    meta = {"kind": "decode_segment", "batch": 1, "sample_len": 4}
+    p = tmp_path / "a.aot"
+    aot.write_artifact(str(p), data, meta)
+    assert aot.load_meta(str(p)) == meta
+    assert callable(aot.load(str(p)))
+    # legacy raw payload: no magic header
+    p2 = tmp_path / "b.aot"
+    p2.write_bytes(data)
+    assert aot.load_meta(str(p2)) is None
+    assert callable(aot.load(str(p2)))
 
 
 def test_cli_export_roundtrip(tmp_path):

@@ -108,3 +108,24 @@ def test_chunked_overlap_end_to_end(model):
     mids = [(s["t0"] + s["t1"]) / 2 for s in out["segments"]]
     assert mids == sorted(mids)
     assert out["duration"] > 0
+
+
+def test_extract_segments_single_timestamp_ending_tail(model):
+    """A trailing single timestamp closes the final segment AT that
+    timestamp (the sequential finish_window grammar), not at the window
+    end (regression: chunked used to stamp t1 = window end)."""
+    from whisper_tpu.decoding.result import DecodingResult
+    from whisper_tpu.pipeline.chunked import extract_segments
+
+    vocab = model.vocab
+    beg = vocab.token_beg
+    toks = [beg, 7, beg + 10, beg + 10, 8, beg + 20]
+    result = DecodingResult(
+        tokens=toks, text="", avg_logprob=-0.1, no_speech_prob=0.0,
+        temperature=0.0, compression_ratio=1.0,
+    )
+    segs = extract_segments(result, vocab, time_offset=0.0,
+                            window_duration=30.0, seek=0)
+    assert len(segs) == 2
+    assert segs[0].t1 == pytest.approx(10 * 0.02)
+    assert segs[1].t1 == pytest.approx(20 * 0.02)  # NOT 30.0

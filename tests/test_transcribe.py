@@ -206,3 +206,45 @@ def test_clip_range_offset_duration(model):
     cpast = transcribe_chunked(model, audio, dataclasses.replace(
         base, offset_ms=60_000))
     assert cpast["segments"] == []
+
+
+def test_audio_ctx_stops_at_content_end(model):
+    """content_frames subtracts the fixed 30 s pad, NOT the (audio_ctx-
+    shrunken) window length — the loop must never slide into pure zero
+    padding past the real audio (regression: with audio_ctx=750 it used
+    to decode ~15 s of synthetic silence)."""
+    audio = synthetic_audio(SAMPLE_RATE * 8)
+    result = transcribe(
+        model, audio,
+        TranscribeOptions(temperature=0.0, condition_on_previous_text=False,
+                          audio_ctx=750),
+    )
+    for seg in result["segments"]:
+        assert seg["seek"] * 0.01 < 8.0, seg  # every window starts in audio
+
+
+def test_finish_window_prompt_carries_committed_tokens_only(model):
+    """openai parity: all_tokens extends with SEGMENT tokens only — on a
+    seek-rewind the un-segmented tail is re-decoded by the next window and
+    must not leak into its conditioning prompt."""
+    from whisper_tpu.decoding.result import DecodingResult
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, finish_window
+
+    vocab = model.vocab
+    beg = vocab.token_beg
+    # <|0.00|> x y <|1.00|><|1.00|> z w   (paired ts, unterminated tail)
+    toks = [beg, 100, 101, beg + 50, beg + 50, 102, 103]
+    result = DecodingResult(
+        tokens=toks, text="", avg_logprob=-0.1, no_speech_prob=0.0,
+        temperature=0.0, compression_ratio=1.0,
+    )
+    segments, seek, new_tokens, _ = finish_window(
+        model, result, seek=0, content_frames=3000, n_frames_window=3000,
+        opts=TranscribeOptions(no_speech_threshold=None),
+        segment_id_base=0, language="en",
+    )
+    assert len(segments) == 1
+    assert segments[0].tokens == [beg, 100, 101, beg + 50]
+    # prompt carry excludes the tail [beg+50, 102, 103] being re-decoded
+    assert new_tokens == [beg, 100, 101, beg + 50]
+    assert seek == 50 * 2  # rewound to the last paired timestamp

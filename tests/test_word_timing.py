@@ -26,10 +26,62 @@ def test_dtw_recovers_clean_diagonal():
     assert (np.diff(ti) >= 0).all() and (np.diff(fi) >= 0).all()
     assert ti[0] == 0 and fi[0] == 0
     assert ti[-1] == N - 1 and fi[-1] == M - 1
-    # each token's first frame is its block start
+    # each token's first frame is its block start (shifted one frame early
+    # on the exact-tie boundaries by openai's strict-< tie-break, which
+    # dtw() reproduces literally — see test_dtw_matches_openai_scalar)
     jumps = np.pad(np.diff(ti), (1, 0), constant_values=1).astype(bool)
     starts = fi[jumps]
-    np.testing.assert_array_equal(starts, [0, 5, 10, 15, 20, 25])
+    np.testing.assert_array_equal(starts, [0, 4, 9, 14, 19, 24])
+
+
+def _dtw_openai_scalar(x):
+    """Literal scalar transcription of openai whisper/timing.py dtw_cpu."""
+    N, M = x.shape
+    cost = np.full((N + 1, M + 1), np.inf)
+    trace = -np.ones((N + 1, M + 1), dtype=np.int8)
+    cost[0, 0] = 0.0
+    for j in range(1, M + 1):
+        for i in range(1, N + 1):
+            c0 = cost[i - 1, j - 1]
+            c1 = cost[i - 1, j]
+            c2 = cost[i, j - 1]
+            if c0 < c1 and c0 < c2:
+                c, t = c0, 0
+            elif c1 < c2:
+                c, t = c1, 1
+            else:
+                c, t = c2, 2
+            cost[i, j] = x[i - 1, j - 1] + c
+            trace[i, j] = t
+    i, j = N, M
+    text, time = [], []
+    while i > 0 or j > 0:
+        text.append(i - 1)
+        time.append(j - 1)
+        t = trace[i, j] if (i > 0 and j > 0) else (1 if i > 0 else 2)
+        if t == 0:
+            i -= 1
+            j -= 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.array(text[::-1]), np.array(time[::-1])
+
+
+def test_dtw_matches_openai_scalar():
+    """The anti-diagonal-vectorized dtw() is cell-exact vs a literal scalar
+    transcription of openai's dtw_cpu (incl. strict-< tie-breaks), fuzzed
+    over random and tie-heavy matrices."""
+    rng = np.random.default_rng(0)
+    cases = [rng.standard_normal((7, 31)), rng.standard_normal((1, 9)),
+             rng.standard_normal((5, 1)),
+             rng.integers(0, 3, (10, 40)).astype(float)]  # heavy ties
+    for x in cases:
+        ti, fi = dtw(x)
+        rti, rfi = _dtw_openai_scalar(x)
+        np.testing.assert_array_equal(ti, rti)
+        np.testing.assert_array_equal(fi, rfi)
 
 
 def test_median_filter_basic():

@@ -155,11 +155,9 @@ def cmd_transcribe(args) -> int:
 
 
 def _fmt_ts(t: float) -> str:
-    ms = int(round(t * 1000))
-    h, ms = divmod(ms, 3600_000)
-    m, ms = divmod(ms, 60_000)
-    s, ms = divmod(ms, 1000)
-    return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
+    from .utils.writers import _timestamp
+
+    return _timestamp(t, always_include_hours=True, decimal_marker=".")
 
 
 def cmd_info(args) -> int:
@@ -559,17 +557,35 @@ def cmd_export(args) -> int:
             from .model.quant import quantize_decoder_weights
 
             model.params = jax.jit(quantize_decoder_weights)(model.params)
+        if args.enc_int8:
+            import jax
+
+            from .model.quant import quantize_encoder_weights
+
+            model.params = jax.jit(quantize_encoder_weights)(model.params)
+        kv = "int8" if args.quantize else "bfloat16"
         data = aot.export_serving_step(
             model, batch=args.batch, decode_tokens=args.sample_len,
-            kv_dtype="int8" if args.quantize else "bfloat16",
-            use_flash=args.flash)
+            kv_dtype=kv, use_flash=args.flash)
+        meta = {
+            "kind": "serving_step", "model": model.config.model_type,
+            "batch": args.batch, "decode_tokens": args.sample_len,
+            "kv_dtype": kv, "weight_dtype": kv,
+            "enc_dtype": "int8" if args.enc_int8 else "bfloat16",
+            "use_flash": bool(args.flash), "beam_size": None,
+        }
     else:
         data = aot.export_decode_segment(
             model.params, model.config, model.vocab,
             batch=args.batch, sample_len=args.sample_len, prefill=args.prefill,
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         )
-    with open(args.out, "wb") as f:
-        f.write(data)
+        meta = {
+            "kind": "decode_segment", "model": model.config.model_type,
+            "batch": args.batch, "sample_len": args.sample_len,
+            "prefill": args.prefill, "dtype": args.dtype,
+        }
+    aot.write_artifact(args.out, data, meta)
     print(f"wrote {args.out}: {len(data) / 1e6:.1f} MB "
           f"(batch={args.batch}, prefill={args.prefill}, "
           f"sample_len={args.sample_len}, platform-tagged)")
@@ -712,6 +728,9 @@ def main(argv=None) -> int:
                         "instead of the decode loop alone")
     p.add_argument("--quantize", action="store_true",
                    help="int8 serving mode for --full-step")
+    p.add_argument("--enc-int8", action="store_true",
+                   help="W8A8 encoder for --full-step (the bench default "
+                        "serving program)")
     p.add_argument("--flash", action="store_true",
                    help="flash-attention encoder for --full-step (TPU)")
     p.set_defaults(fn=cmd_export)

@@ -160,8 +160,18 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
 
     x, _ = jax.lax.scan(body, x, enc["blocks"])
     x = layer_norm(x, enc["ln_post_w"], enc["ln_post_b"])
+    cross_k, cross_v = cross_kv_from_hidden(params, x, cfg, quantize_kv)
+    return EncoderOutput(hidden=x, cross_k=cross_k, cross_v=cross_v)
 
-    # Cross-attention K/V precompute for every decoder layer (main.rs:1990-2060).
+
+def cross_kv_from_hidden(params: dict, x: jnp.ndarray, cfg: WhisperConfig,
+                         quantize_kv: bool = False):
+    """Cross-attention K/V memory for every decoder layer from an encoded
+    hidden state (main.rs:1990-2060). Factored out of :func:`encode` so a
+    distil-style draft — which keeps the target's frozen encoder and only
+    differs in its decoder — can project ITS cross memory from the
+    TARGET's hidden state without a second encoder forward
+    (utils/benchmark.run_speculative_benchmark draft='distil2')."""
     dec_blocks = params["decoder"]["blocks"]
     kscale = jnp.asarray(cfg.d_head_text ** -0.25, dtype=x.dtype)
 
@@ -227,4 +237,4 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
             cross_k, cross_v = jax.lax.map(lambda t: cross_kv(*t), ws)
     else:
         cross_k, cross_v = jax.vmap(cross_kv, in_axes=vmap_axes)(*ws)
-    return EncoderOutput(hidden=x, cross_k=cross_k, cross_v=cross_v)
+    return cross_k, cross_v

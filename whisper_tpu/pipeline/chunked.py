@@ -231,13 +231,22 @@ def extract_segments(result, vocab, time_offset: float, window_duration: float,
             )
             last = cur
         tail = tokens[last:]
-        if len(tail) > 1 and ts_mask[last:].any():
-            mk(
-                time_offset + (tail[0].item() - vocab.token_beg) * 0.02
-                if tail[0] >= vocab.token_beg else time_offset,
-                time_offset + window_duration,
-                tail.tolist(),
-            )
+        if len(tail) > 1:
+            t0_tail = (time_offset + (tail[0].item() - vocab.token_beg) * 0.02
+                       if tail[0] >= vocab.token_beg else time_offset)
+            single_ts_ending = not ts_mask[-2] and ts_mask[-1]
+            if single_ts_ending:
+                # sequential grammar (finish_window): a trailing single
+                # timestamp closes the last segment AT that timestamp
+                # (slices.append(len(tokens)) -> t1 = sliced[-1])
+                mk(t0_tail,
+                   time_offset + (tail[-1].item() - vocab.token_beg) * 0.02,
+                   tail.tolist())
+            else:
+                # unterminated tail: the sequential loop would rewind and
+                # re-decode it in the next window; chunked windows are
+                # independent, so emit it bounded by the window end
+                mk(t0_tail, time_offset + window_duration, tail.tolist())
     else:
         duration = window_duration
         timestamps = tokens[ts_mask]

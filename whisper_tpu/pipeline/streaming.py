@@ -61,6 +61,13 @@ class StreamingTranscriber:
             raise ValueError(
                 "streaming requires an explicit language= (detection would "
                 "peek at audio that hasn't arrived)")
+        if opts.offset_ms or opts.duration_ms is not None:
+            # Committed windows always start at 0; honoring a clip range
+            # only in the finalize()-drift re-run would break the
+            # finalize()==transcribe() contract. Clip the feed instead.
+            raise ValueError(
+                "offset_ms/duration_ms are not supported in streaming — "
+                "clip the PCM you feed() instead")
         self.model = model
         self.opts = dataclasses.replace(
             opts, language=opts.language or "en")
@@ -96,15 +103,24 @@ class StreamingTranscriber:
         """Decode every full window available past the committed seek."""
         n_frames_window = 2 * (self.opts.audio_ctx or self.model.config.n_audio_ctx)
         committed: List[Segment] = []
-        # a window at seek needs samples through (seek + window) frames plus
-        # the mel centering context (N_FFT/2 = 200 samples)
+        # A window at seek needs samples through (seek + window) frames plus
+        # the mel frame context: center=True reads N_FFT/2 = 200 samples of
+        # reflection context; center=False (reference mode) reads the last
+        # frame's full N_FFT window, i.e. N_FFT - HOP = 240 samples past the
+        # frame grid — under-provisioning would zero-pad samples offline
+        # computes from real audio, silently breaking finalize() identity.
+        margin = 200 if self.opts.mel_mode == "openai" else 240
+        mel = None  # audio is fixed within one feed(): compute mel once
         while True:
-            need = (self._seek + n_frames_window) * HOP_LENGTH + 200
+            need = (self._seek + n_frames_window) * HOP_LENGTH + margin
             if len(self._audio) < need:
                 break
-            mel = self._mel_so_far(pad_tail=False)
-            self._commit_maxes.append(float("nan"))  # replaced below
-            self._commit_maxes[-1] = float(np.asarray(mel).max())
+            if mel is None:
+                mel = self._mel_so_far(pad_tail=False)
+                # max on device: fetching the whole mel of a long stream is
+                # a multi-MB device_get per feed (the documented slow path)
+                mel_max = float(jnp.max(mel))
+            self._commit_maxes.append(mel_max)
             segments, self._seek, new_tokens, reset = _window_step(
                 self.model, mel, self._seek,
                 content_frames=mel.shape[-1],  # full window guaranteed
@@ -168,7 +184,7 @@ class StreamingTranscriber:
         from .transcribe import transcribe
 
         final_mel = self._mel_so_far(pad_tail=True)
-        final_max = float(np.asarray(final_mel).max())
+        final_max = float(jnp.max(final_mel))
         drift = any(abs(m - final_max) > 1e-6 for m in self._commit_maxes)
         if drift:
             # a later, louder section changed the global mel normalization —
@@ -179,7 +195,9 @@ class StreamingTranscriber:
 
         # decode the remaining tail against the final (padded) mel
         n_frames_window = 2 * (self.opts.audio_ctx or self.model.config.n_audio_ctx)
-        content_frames = final_mel.shape[-1] - n_frames_window
+        # real-audio frames: subtract the fixed 30 s pad, not the window
+        # length (which audio_ctx can shrink) — mirrors transcribe()
+        content_frames = final_mel.shape[-1] - N_SAMPLES_PER_CHUNK // HOP_LENGTH
         while self._seek < content_frames:
             segments, self._seek, new_tokens, reset = _window_step(
                 self.model, final_mel, self._seek,

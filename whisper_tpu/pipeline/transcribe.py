@@ -190,8 +190,11 @@ def transcribe(
             center=center, fold=not center,
         )
     n_frames_window = 2 * (opts.audio_ctx or cfg.n_audio_ctx)
-    content_frames = mel.shape[-1] - n_frames_window
-    content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
+    # Frames holding real audio: subtract the fixed 30 s zero pad (openai's
+    # content_frames = mel.shape[-1] - N_FRAMES) — NOT the window length,
+    # which opts.audio_ctx can shrink below the pad (the loop would then
+    # run past the audio into pure padding).
+    content_frames = mel.shape[-1] - N_SAMPLES_PER_CHUNK // HOP_LENGTH
 
     # Clip range: frames are HOP_LENGTH/SAMPLE_RATE = 10 ms each
     # (whisper.cpp: seek_start = offset_ms/10, seek_end bounds the loop)
@@ -202,15 +205,18 @@ def transcribe(
 
     # Language detection on the first window of the CLIP (multilingual only).
     language = opts.language
+    first_enc = None  # lang-ID encoder output, reused by the first window
     if language is None:
         if not cfg.is_multilingual:
             language = "en"
         else:
             with model.timers.stage("lang_id"):
                 window = mel_window(mel, seek_start, n_frames_window)[None]
-                enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
+                first_enc = encode(model.params, window, cfg,
+                                   use_flash=opts.use_flash)
                 langs, _ = detect_language(
-                    model.params, cfg, vocab, enc.cross_k, enc.cross_v
+                    model.params, cfg, vocab, first_enc.cross_k,
+                    first_enc.cross_v
                 )
             language = langs[0]
             log.info("detected language: %s", language)
@@ -228,7 +234,11 @@ def transcribe(
         segments, seek, new_tokens, reset_prompt = _window_step(
             model, mel, seek, content_frames, n_frames_window, opts,
             all_tokens, prompt_reset_since, len(all_segments), language,
+            # the lang-ID pass already encoded the first window (encoding is
+            # the dominant per-window device cost) — reuse it
+            enc=first_enc,
         )
+        first_enc = None
         all_segments.extend(segments)
         if opts.verbose:
             for seg in segments:
@@ -262,23 +272,23 @@ def _window_step(
     prompt_reset_since: int,
     segment_id_base: int,
     language: Optional[str],
+    enc=None,
 ):
     """Process ONE window at ``seek``: encode, fallback decode, segment
     extraction, seek advancement, prompt bookkeeping. Shared verbatim by the
     offline loop (transcribe) and the streaming committer
     (pipeline/streaming.py) so both produce identical output on identical
-    mel/prompt state.
+    mel/prompt state. ``enc`` short-circuits the encoder when the caller
+    already encoded this exact window (the lang-ID pass).
 
     Returns (segments, new_seek, new_tokens, reset_prompt).
     """
-    cfg, vocab = model.config, model.vocab
-    time_offset = seek * HOP_LENGTH / SAMPLE_RATE
-    segment_size = min(n_frames_window, content_frames - seek)
-    segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+    cfg = model.config
 
     with model.timers.stage("encode"):
         window = mel_window(mel, seek, n_frames_window)[None]
-        enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
+        if enc is None:
+            enc = encode(model.params, window, cfg, use_flash=opts.use_flash)
         temps0 = (opts.temperature if isinstance(opts.temperature, (int, float))
                   else (opts.temperature or (1,))[0])
         draft_enc = None
@@ -432,7 +442,12 @@ def finish_window(
     reset_prompt = (
         not opts.condition_on_previous_text or result.temperature > 0.5
     )
-    return segments, seek, tokens.tolist(), reset_prompt
+    # Prompt carry = COMMITTED segment tokens only (openai transcribe.py
+    # extends all_tokens with segment tokens): on a seek-rewind (no
+    # single-timestamp ending) the un-segmented tail is re-decoded by the
+    # next window and must not already sit in its conditioning prompt.
+    new_tokens = [t for s in segments for t in s.tokens]
+    return segments, seek, new_tokens, reset_prompt
 
 
 def _tokenize_prompt(vocab, text: str) -> List[int]:

@@ -55,26 +55,29 @@ def dtw(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Dynamic time warping over an (N_tokens, M_frames) cost matrix.
 
     Returns (text_indices, time_indices) of the minimum-cost monotone path
-    (openai's dtw_cpu semantics: moves are down, right, diagonal)."""
+    (openai's dtw_cpu semantics: moves are down, right, diagonal; strict-<
+    tie-breaks exactly as whisper/timing.py's scalar loop). Vectorized over
+    anti-diagonals: cell (i, j) depends only on diagonals d-1 and d-2, so
+    each of the N+M-1 diagonals is one numpy vector step — ~100x fewer
+    Python iterations than the naive O(N*M) scalar loop on a 30 s segment
+    (~100 x 1500), which cost 0.1-0.3 s host time per segment."""
     N, M = cost.shape
     D = np.full((N + 1, M + 1), np.inf, dtype=np.float64)
     D[0, 0] = 0.0
     trace = np.zeros((N + 1, M + 1), dtype=np.int8)
-    for i in range(1, N + 1):
-        row_c = cost[i - 1]
-        for j in range(1, M + 1):
-            c0 = D[i - 1, j - 1]
-            c1 = D[i - 1, j]
-            c2 = D[i, j - 1]
-            if c0 <= c1 and c0 <= c2:
-                D[i, j] = c0 + row_c[j - 1]
-                trace[i, j] = 0
-            elif c1 <= c2:
-                D[i, j] = c1 + row_c[j - 1]
-                trace[i, j] = 1
-            else:
-                D[i, j] = c2 + row_c[j - 1]
-                trace[i, j] = 2
+    for d in range(2, N + M + 1):
+        lo, hi = max(1, d - M), min(N, d - 1)
+        if lo > hi:
+            continue
+        i = np.arange(lo, hi + 1)
+        j = d - i
+        c0 = D[i - 1, j - 1]
+        c1 = D[i - 1, j]
+        c2 = D[i, j - 1]
+        t = np.where((c0 < c1) & (c0 < c2), 0, np.where(c1 < c2, 1, 2))
+        val = np.where(t == 0, c0, np.where(t == 1, c1, c2))
+        D[i, j] = val + cost[i - 1, j - 1]
+        trace[i, j] = t
     i, j = N, M
     text_indices, time_indices = [], []
     while i > 0 or j > 0:
@@ -178,22 +181,31 @@ def find_word_timestamps(
         return []
     sequence = list(initial_tokens) + text_tokens + [eot]
     tokens_arr = jnp.asarray(np.array(sequence, np.int32)[None])
-    # (L, 1, H, T, Ta) -> (L, H, T, Ta)
-    probs = np.asarray(
-        cross_attention_probs(params, tokens_arr, cross_k, cross_v, cfg),
-        dtype=np.float32,
-    )[:, 0]
-    L, H, T, Ta = probs.shape
+    # (L, 1, H, T, Ta) on DEVICE. Select the alignment heads and slice the
+    # valid frames there and fetch only (N_heads, T, nf) — the full tensor
+    # is ~300-400 MB f32 for large-v3 (32x20xTx1500), and large device_get
+    # fetches hang for minutes on the tunneled chip (CLAUDE.md).
+    probs_dev = cross_attention_probs(params, tokens_arr, cross_k, cross_v, cfg)
+    L, _, H, T, Ta = probs_dev.shape
     if alignment_heads is None:
         alignment_heads = model_alignment_heads(cfg, L, H)
-    w = probs[alignment_heads]                      # (N_heads, T, Ta)
-    if num_frames is not None:
-        w = w[..., : max(1, min(num_frames, Ta))]
-    w = median_filter(w, medfilt_width)
+    idx_l, idx_h = np.nonzero(alignment_heads)
+    w_dev = probs_dev[jnp.asarray(idx_l), 0, jnp.asarray(idx_h)]  # (N, T, Ta)
+    nf = Ta if num_frames is None else max(1, min(num_frames, Ta))
+    w_dev = w_dev[..., :nf]
+    # openai slices to num_frames BEFORE the softmax (whisper/timing.py);
+    # a softmax restricted to the slice == the full softmax renormalized
+    # over it, exactly — so renormalize rather than re-running attention.
+    w_dev = w_dev / jnp.clip(
+        jnp.sum(w_dev, axis=-1, keepdims=True), 1e-10, None)
+    w = np.asarray(w_dev, dtype=np.float32)
+    # openai order: z-normalize over the token axis, THEN median-filter
+    # (the two don't commute).
     std = w.std(axis=-2, keepdims=True)
     mean = w.mean(axis=-2, keepdims=True)
     w = (w - mean) / np.maximum(std, 1e-8)
-    matrix = w.mean(axis=0)                         # (T, Ta)
+    w = median_filter(w, medfilt_width)
+    matrix = w.mean(axis=0)                         # (T, nf)
     # align only the sampled region (skip sot/prompt prefix, keep final EOT)
     begin = len(initial_tokens)
     matrix = matrix[begin:]

@@ -55,31 +55,88 @@ def load_fn(data: bytes) -> Callable:
     return exp.call
 
 
-def save(path: str, fn: Callable, *example_args, **jit_kwargs) -> None:
+# Artifact container: MAGIC + u32le meta-json length + meta json + payload.
+# The meta dict records the flag tuple the program was exported with
+# (model/batch/decode_tokens/kv/weight/enc dtypes/beam/use_flash) so a
+# consumer can refuse an artifact that doesn't match its own flags — the
+# call signature (params, audio) is identical across configs, so a stale
+# artifact would otherwise run silently mislabeled. Files without the
+# magic are legacy raw jax.export payloads (meta None).
+_MAGIC = b"WTAOT01\n"
+
+
+def save(path: str, fn: Callable, *example_args, meta: dict | None = None,
+         **jit_kwargs) -> None:
+    import json
+    import struct
+
+    payload = export_fn(fn, *example_args, **jit_kwargs)
     with open(path, "wb") as f:
-        f.write(export_fn(fn, *example_args, **jit_kwargs))
+        if meta is not None:
+            mj = json.dumps(meta, sort_keys=True).encode()
+            f.write(_MAGIC + struct.pack("<I", len(mj)) + mj)
+        f.write(payload)
+
+
+def _split(data: bytes):
+    import json
+    import struct
+
+    if not data.startswith(_MAGIC):
+        return None, data
+    n = struct.unpack("<I", data[len(_MAGIC) : len(_MAGIC) + 4])[0]
+    off = len(_MAGIC) + 4
+    return json.loads(data[off : off + n]), data[off + n :]
 
 
 def load(path: str) -> Callable:
     with open(path, "rb") as f:
-        return load_fn(f.read())
+        _, payload = _split(f.read())
+    return load_fn(payload)
+
+
+def load_meta(path: str) -> dict | None:
+    """The flag-tuple meta dict an artifact was saved with (None for legacy
+    raw payloads)."""
+    with open(path, "rb") as f:
+        meta, _ = _split(f.read())
+    return meta
+
+
+def write_artifact(path: str, data: bytes, meta: dict | None = None) -> None:
+    """Write already-exported payload bytes with the meta header."""
+    import json
+    import struct
+
+    with open(path, "wb") as f:
+        if meta is not None:
+            mj = json.dumps(meta, sort_keys=True).encode()
+            f.write(_MAGIC + struct.pack("<I", len(mj)) + mj)
+        f.write(data)
 
 
 def export_decode_segment(params, cfg, vocab, batch: int, sample_len: int,
-                          prefill: int = 32, **decode_kwargs) -> bytes:
+                          prefill: int = 32, dtype=None,
+                          **decode_kwargs) -> bytes:
     """Convenience: serialize the fused greedy decode loop for one serving
-    shape (batch, prefill bucket, sample budget)."""
+    shape (batch, prefill bucket, sample budget).
+
+    ``dtype`` fixes the KV cache / cross-memory calling convention
+    (jax.export pins input dtypes). Default bf16 — what the serving
+    encoder emits; an f32 artifact would force upcasting multi-GB cross
+    arrays against the 15.75 GB HBM budget."""
     import jax.numpy as jnp
     import numpy as np
 
     from ..decoding.device_loop import build_masks, decode_segment_device
     from ..model.decoder import init_cache
 
+    dtype = dtype or jnp.bfloat16
     sup, blank = build_masks(vocab)
     tokens = jnp.zeros((batch, prefill), jnp.int32)
-    cache = init_cache(cfg, batch, ctx=prefill + sample_len + 8)
+    cache = init_cache(cfg, batch, dtype=dtype, ctx=prefill + sample_len + 8)
     L, H, D = cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text
-    cross = jnp.zeros((L, batch, H, D, cfg.n_audio_ctx), jnp.float32)
+    cross = jnp.zeros((L, batch, H, D, cfg.n_audio_ctx), dtype)
     fn = functools.partial(
         decode_segment_device, cfg=cfg, sample_len=sample_len, **decode_kwargs)
     return export_fn(

@@ -75,7 +75,10 @@ def run_engine_benchmark(
     total_audio = sum(len(a) for a in audios) / 16000.0
     if prestage:
         audios = [jnp.asarray(a) for a in audios]
-        jax.block_until_ready(audios)
+        # block_until_ready is a NO-OP on the axon backend (CLAUDE.md):
+        # force every upload to land with one tiny batched fetch so the
+        # timed region really starts with device-resident audio.
+        jax.device_get([a[:1] for a in audios])
     if beam_size:
         from ..parallel.beam_engine import BeamSlotEngine
 
@@ -222,11 +225,13 @@ def run_benchmark(
     dtype: str = "bfloat16",
     decode_tokens: int = 64,
     use_flash: Optional[bool] = None,
-    kv_dtype: str = "bfloat16",  # "int8": quantized cross memory (serving mode)
-    weight_dtype: str = "bfloat16",  # "int8": quantized decoder weights
+    # serving defaults (bench.py and aot.export_serving_step agree):
+    # "bfloat16" opts any of the three back into the numerics-parity mode.
+    kv_dtype: str = "int8",      # quantized cross memory / KV cache
+    weight_dtype: str = "int8",  # quantized decoder weights
     beam_size: Optional[int] = None,  # on-device beam search instead of greedy
     aot_path: Optional[str] = None,  # consume/produce a jax.export artifact
-    enc_dtype: str = "bfloat16",  # "int8": W8A8 encoder matmuls (serving)
+    enc_dtype: str = "int8",     # W8A8 encoder matmuls
 ) -> dict:
     import os
 
@@ -260,16 +265,33 @@ def run_benchmark(
     audio = jnp.asarray(
         rng.standard_normal(16000 * 30).astype(np.float32) * 0.1)
 
+    # The artifact's call signature (params, audio) is identical across
+    # configs, so a stale artifact would run silently mislabeled — compare
+    # the flag tuple it was exported with and recompile on mismatch.
+    aot_meta = {
+        "kind": "serving_step", "model": cfg.model_type, "batch": batch,
+        "decode_tokens": decode_tokens, "kv_dtype": kv_dtype,
+        "weight_dtype": weight_dtype, "enc_dtype": enc_dtype,
+        "use_flash": bool(use_flash), "beam_size": beam_size,
+    }
     aot_mode = None
+    step = None
     if aot_path and os.path.exists(aot_path):
         # Shippable cold-start artifact (utils/aot.py): the pre-lowered
         # StableHLO of this exact step — skips tracing + XLA optimization of
         # the traced program; only StableHLO->executable compilation remains.
         from . import aot
 
-        step = aot.load(aot_path)
-        aot_mode = "loaded"
-    else:
+        meta = aot.load_meta(aot_path)
+        if meta == aot_meta:
+            step = aot.load(aot_path)
+            aot_mode = "loaded"
+        elif meta is None:  # legacy raw payload: cannot verify the flags
+            step = aot.load(aot_path)
+            aot_mode = "loaded-unverified"
+        else:
+            aot_mode = "stale-ignored"
+    if step is None:
         step = jax.jit(make_serving_step(
             model, batch, decode_tokens, kv_dtype, use_flash, beam_size))
 
@@ -282,13 +304,13 @@ def run_benchmark(
     one_batch()
     compile_time = time.perf_counter() - t0
 
-    if aot_path and aot_mode is None:
+    if aot_path and aot_mode in (None, "stale-ignored"):
         from . import aot
 
         aot.save(aot_path, make_serving_step(
             model, batch, decode_tokens, kv_dtype, use_flash, beam_size),
-            model.params, audio)
-        aot_mode = "exported"
+            model.params, audio, meta=aot_meta)
+        aot_mode = "re-exported" if aot_mode == "stale-ignored" else "exported"
 
     # Timed runs until the budget is spent.
     iters = 0
@@ -297,8 +319,6 @@ def run_benchmark(
     while time.perf_counter() < deadline:
         one_batch()
         iters += 1
-        if iters >= 50:
-            break
     wall = time.perf_counter() - t0
     audio_sec = iters * batch * window_sec
     rtf = audio_sec / wall if wall > 0 else 0.0
@@ -346,9 +366,9 @@ def run_speculative_benchmark(
     into compute-priced no-ops, 2-layer prefix drafts — acceptance exactly
     1.0 with a genuinely cheap draft: the TRUE mechanical upper bound),
     ``self`` (draft == target: acceptance 1.0 but full-priced draft), and
-    ``distil2`` (unrelated random 2-layer draft: acceptance ~0, the
-    worst-case overhead bound). Real draft checkpoints land between
-    prefix2 and distil2."""
+    ``distil2`` (random 2-layer draft sharing the target's frozen encoder,
+    distil-whisper style: acceptance ~0, the worst-case overhead bound).
+    Real draft checkpoints land between prefix2 and distil2."""
     import dataclasses
     import time
 
@@ -431,8 +451,14 @@ def run_speculative_benchmark(
             # same encoder + same layer-0/1 cross projections: slice
             ck_d, cv_d = enc_t.cross_k[:2], enc_t.cross_v[:2]
         else:
-            enc_d = encode(params_d, mel_b, dcfg, use_flash=use_flash)
-            ck_d, cv_d = enc_d.cross_k, enc_d.cross_v
+            # distil-style draft: real distil drafts keep the target's
+            # FROZEN encoder and differ only in the decoder, so the draft
+            # cross memory projects from the TARGET's hidden state — no
+            # second encoder forward (which would dominate the overhead
+            # bound with a cost no real draft pays).
+            from ..model.encoder import cross_kv_from_hidden
+
+            ck_d, cv_d = cross_kv_from_hidden(params_d, enc_t.hidden, dcfg)
         toks, lengths, _, _, rounds, accepted = (
             decode_segment_speculative_device(
                 params_t, params_d, init_tokens, len(init), 0,
