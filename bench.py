@@ -80,9 +80,13 @@ def main() -> int:
 
     if os.environ.get("BENCH_MODE") == "engine":
         # Continuous-batching serving engine (slot pool, staggered streams).
+        # Beam groups multiply decode rows by k: 48 groups x 5 = 240 rows
+        # OOMs next to the slot pools on 15.75 GB (measured); 24 groups
+        # (120 rows) fits.
+        default_slots = "24" if os.environ.get("BENCH_BEAM") else "48"
         result = run_engine_benchmark(
             model_name=os.environ.get("BENCH_MODEL", "large-v3"),
-            n_slots=int(os.environ.get("BENCH_BATCH", "48")),
+            n_slots=int(os.environ.get("BENCH_BATCH", default_slots)),
             n_streams=int(os.environ["BENCH_STREAMS"]) if os.environ.get("BENCH_STREAMS") else None,
             chunk_steps=int(os.environ.get("BENCH_CHUNK", "16")),
             quantize=os.environ.get("BENCH_KV", "int8") == "int8",

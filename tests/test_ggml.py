@@ -85,3 +85,42 @@ def test_params_pytree_roundtrip(tmp_path):
         if name.endswith("conv1.bias") or name.endswith("conv2.bias"):
             arr = arr.reshape(got.shape)
         np.testing.assert_array_equal(got, arr)
+
+
+def test_unsupported_ftype(tmp_path):
+    """ggml quantized tensor types (ftype 2+) are a later container
+    generation: they must raise a clear error, not misparse as f16."""
+    import struct
+
+    from whisper_tpu.errors import UnsupportedFtypeError
+
+    cfg = tiny_config()
+    path = tmp_path / "model.bin"
+    write_synthetic_ggml(path, cfg)
+    with open(path, "ab") as f:
+        name = b"decoder.token_embedding.weight"
+        f.write(struct.pack("<3i", 1, len(name), 2))  # ftype 2 = q4_0
+        f.write(struct.pack("<1i", 4))
+        f.write(name)
+        f.write(np.zeros(4, np.float32).tobytes())
+    with pytest.raises(UnsupportedFtypeError):
+        load_ggml(str(path), verbose=False)
+
+
+def test_truncated_header_and_vocab_raise_typed_errors(tmp_path):
+    """Truncation anywhere in the prelude raises the module's typed
+    TruncatedFileError, not a raw struct.error/ValueError."""
+    from whisper_tpu.errors import TruncatedFileError
+
+    cfg = tiny_config()
+    full = tmp_path / "full.bin"
+    write_synthetic_ggml(full, cfg)
+    data = full.read_bytes()
+    # cut points: inside hparams (20), inside filters (60), mid-vocab
+    # (header + filters + a bit)
+    filt_end = 4 + 44 + 8 + 4 * cfg.n_mels * 201
+    for cut in (2, 20, 60, filt_end + 37):
+        p = tmp_path / f"cut{cut}.bin"
+        p.write_bytes(data[:cut])
+        with pytest.raises(TruncatedFileError):
+            load_ggml(str(p), verbose=False)

@@ -69,6 +69,22 @@ class TruncatedFileError(WhisperError):
     """Model file ended mid-record."""
 
 
+class UnsupportedFtypeError(WhisperError):
+    """Tensor record carries a ggml ftype this format version doesn't have.
+
+    whisper.cpp-1.0.3 files hold f32 (0) / f16 (1) tensors only; later
+    quantized ggml types (q4/q5/q8, ftype 2+) are a different container
+    generation and would misparse silently if treated as f16.
+    """
+
+    def __init__(self, name: str, ftype: int):
+        super().__init__(
+            f"tensor {name!r} has unsupported ggml ftype {ftype} "
+            "(whisper.cpp-1.0.3 files are f32/f16 only)")
+        self.name = name
+        self.ftype = ftype
+
+
 class AudioError(WhisperError):
     """WAV/PCM ingestion failure."""
 

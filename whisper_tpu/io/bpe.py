@@ -50,14 +50,12 @@ class ByteBPE:
     # -- reconstruction --
 
     def _build(self) -> None:
-        token_of: Dict[bytes, int] = {}
         for tid in range(self._n_text):
             b = self._id_to_token.get(tid)
             if b is None:
                 continue
             if len(b) == 1:
                 self._byte_id.setdefault(b[0], tid)
-            token_of.setdefault(b, tid)
 
         if len(self._byte_id) < 256:
             # Not a byte-level BPE vocab (e.g. synthetic test fixtures).

@@ -38,6 +38,7 @@ from ..errors import (
     BadMagicError,
     TruncatedFileError,
     UnknownTensorError,
+    UnsupportedFtypeError,
     WrongBytesTensorError,
     WrongShapeTensorError,
     WrongSizeTensorError,
@@ -145,11 +146,15 @@ def load_ggml(path: str, verbose: bool = True) -> GGMLCheckpoint:
         data = f.read()
     buf = memoryview(data)
 
+    if len(buf) < 4:
+        raise TruncatedFileError(f"file truncated at offset 0 ({path!r})")
     (magic,) = struct.unpack_from("<I", buf, 0)
     if magic != GGML_MAGIC:
         raise BadMagicError(path, magic)
     off = 4
 
+    if off + 44 > len(buf):
+        raise TruncatedFileError("file truncated in the hparams header")
     vals = struct.unpack_from("<11i", buf, off)
     off += 44
     config = WhisperConfig(*vals).validate()
@@ -163,6 +168,8 @@ def load_ggml(path: str, verbose: bool = True) -> GGMLCheckpoint:
     n_mel, off = _read_i32(buf, off)
     n_fft_bins, off = _read_i32(buf, off)
     n = n_mel * n_fft_bins
+    if off + 4 * n > len(buf):
+        raise TruncatedFileError("file truncated in the mel filterbank")
     filters = np.frombuffer(buf, dtype="<f4", count=n, offset=off).reshape(
         n_mel, n_fft_bins
     ).copy()
@@ -172,8 +179,10 @@ def load_ggml(path: str, verbose: bool = True) -> GGMLCheckpoint:
     n_vocab_file, off = _read_i32(buf, off)
     tokens: List[bytes] = []
     for _ in range(n_vocab_file):
-        ln = struct.unpack_from("<I", buf, off)[0]
-        off += 4
+        ln, off = _read_i32(buf, off)
+        if ln < 0 or off + ln > len(buf):
+            raise TruncatedFileError(
+                f"file truncated in vocab entry {len(tokens)}")
         tokens.append(bytes(buf[off : off + ln]))
         off += ln
     vocab = make_vocab(config.n_vocab, tokens, n_vocab_file)
@@ -192,9 +201,16 @@ def load_ggml(path: str, verbose: bool = True) -> GGMLCheckpoint:
         for _ in range(n_dims):
             d, off = _read_i32(buf, off)
             ne.append(d)
+        if name_len < 0 or off + name_len > len(buf):
+            raise TruncatedFileError("file truncated in a tensor name")
         name = bytes(buf[off : off + name_len]).decode("utf-8")
         off += name_len
 
+        # whisper.cpp-1.0.3 files carry f32 (0) or f16 (1) tensors only;
+        # later ggml quantized types (2+) would silently misparse as f16
+        # (same 2-byte stride passes the byte check) and desync the stream.
+        if ftype not in (0, 1):
+            raise UnsupportedFtypeError(name, ftype)
         if name not in schema:
             raise UnknownTensorError(name)
         exp_shape, kind = schema[name]
@@ -205,8 +221,7 @@ def load_ggml(path: str, verbose: bool = True) -> GGMLCheckpoint:
         # ggml ne order is reversed numpy order; the reference compares
         # shape[i] == ne[i] in ggml order (main.rs:1413-1422).
         np_shape = tuple(reversed(ne))
-        # 1-D/2-D records for tensors the schema also declares 1-D/2-D must match.
-        if tuple(exp_shape[-len(np_shape):]) != np_shape or len(np_shape) != len(exp_shape):
+        if np_shape != tuple(exp_shape):
             raise WrongShapeTensorError(name, np_shape, exp_shape)
 
         dt = np.float32 if ftype == 0 else np.float16

@@ -219,11 +219,7 @@ def cross_kv_from_hidden(params: dict, x: jnp.ndarray, cfg: WhisperConfig,
     ws = (dec_blocks["cross_k_w"], dec_blocks.get("cross_k_w_scale"),
           dec_blocks["cross_v_w"], dec_blocks.get("cross_v_w_scale"),
           dec_blocks["cross_v_b"])
-    if ws[1] is None:
-        ws = (ws[0], None, ws[2], None, ws[4])
-        vmap_axes = (0, None, 0, None, 0)
-    else:
-        vmap_axes = (0, 0, 0, 0, 0)
+    vmap_axes = (0, None, 0, None, 0) if ws[1] is None else (0, 0, 0, 0, 0)
     if quantize_kv:
         # int8 serving mode: layers must be SEQUENTIAL (lax.map) so the bf16
         # K/V temporaries stay at one layer's size — a vmap here batches all

@@ -37,6 +37,11 @@ def _quantize_one(x: jnp.ndarray) -> QuantKV:
     # reduction is f32. Avoids f32 copies of multi-GB buffers.
     amax = jnp.max(jnp.abs(x), axis=-2).astype(jnp.float32)  # (..., C)
     scale = jnp.maximum(amax, 1e-8) / 127.0
+    # Store the scale ROUNDED to the divisor actually used: quantizing
+    # divides by the bf16-cast scale, so dequant must multiply by the same
+    # value — an un-rounded f32 scale adds a systematic per-position gain
+    # error of up to 2^-9 (~0.2%) on top of int8 rounding noise.
+    scale = scale.astype(x.dtype).astype(jnp.float32)
     q = jnp.clip(jnp.round(x / scale[..., None, :].astype(x.dtype)), -127, 127)
     return QuantKV(data=q.astype(jnp.int8), scale=scale)
 
@@ -139,8 +144,6 @@ def quantize_decoder_weights(params: dict) -> dict:
     up the ``*_scale`` entries automatically. Encoder weights stay bf16:
     they're read once per 30 s window, not once per token.
     """
-    import copy
-
     out = dict(params)
     dec = dict(params["decoder"])
     blocks = dict(dec["blocks"])
