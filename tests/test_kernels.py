@@ -27,6 +27,23 @@ def test_flash_attention_matches_sdpa(tq, tk, causal):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_flash_attention_qk_int8_close_to_exact():
+    """The qk_int8 score path (a MEASURED-NEGATIVE serving experiment kept
+    as a tested kernel option — see flash_attention._attn_kernel) must stay
+    numerically sane: per-row int8 quantization of Q/K bounds score noise
+    at ~1% of each row's amax, so outputs track the exact kernel within a
+    loose tolerance."""
+    rng = np.random.default_rng(1)
+    B, H, T, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)), dtype=jnp.float32)
+    out = flash_attention(q, k, v, qk_int8=True, interpret=True)
+    ref = flash_attention(q, k, v, interpret=True)
+    assert float(jnp.max(jnp.abs(out - ref))) < 5e-2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
+
+
 def test_flash_in_encoder_matches_xla():
     from whisper_tpu.model.encoder import encode
     from whisper_tpu.model.params import params_from_ggml

@@ -33,19 +33,42 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_Q = 768
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, t_kv, block_q):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, t_kv, block_q,
+                 qk_int8=False):
     # q_ref: (1, block_q, D); k_ref/v_ref: (1, T_pad, D); o_ref: (1, block_q, D)
     qi = pl.program_id(1)
-    # The f32 upcast before the QK dot is DELIBERATE: a controlled A/B on
-    # v5e (24x20 heads, 1536 ctx, one process, interleaved repeats) measured
-    # f32-upcast QK at 54.6 TFLOPs vs 50.1 for the bf16-operand dot with a
-    # post-scale — Mosaic's f32 MXU path wins at this shape, contrary to
-    # the usual keep-operands-bf16 rule.
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, T_pad)
+    if qk_int8:
+        # MEASURED NEGATIVE at the serving shape — kept as a tested option,
+        # not wired into any production path. Quantizes Q/K per row
+        # IN-KERNEL and runs the score dot on the int8 MXU; the d^-0.5
+        # scale folds into the per-row Q scales. A/B at (64,20,1536,64)
+        # (b64 large-v3 W8A8 window, one process, interleaved, v5e):
+        # bf16/f32 QK 18.0 ms/call vs this path 20.9 ms/call (+16%) — the
+        # VPU amax/round/clip passes cost more than the int8 dot saves,
+        # and the f32 MXU path already runs at 54.6 TFLOPs here. Max output
+        # diff vs bf16 QK: 7.8e-3 (per-row scales, ~1% score noise).
+        qf = q_ref[0].astype(jnp.float32)
+        kf = k_ref[0].astype(jnp.float32)
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-6) / 127.0
+        ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=1, keepdims=True), 1e-6) / 127.0
+        q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+        k8 = jnp.clip(jnp.round(kf / ks), -127, 127).astype(jnp.int8)
+        s32 = jax.lax.dot_general(
+            q8, k8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = s32.astype(jnp.float32) * (qs * scale) * ks.reshape(1, -1)
+    else:
+        # The f32 upcast before the QK dot is DELIBERATE: a controlled A/B on
+        # v5e (24x20 heads, 1536 ctx, one process, interleaved repeats)
+        # measured f32-upcast QK at 54.6 TFLOPs vs 50.1 for the bf16-operand
+        # dot with a post-scale — Mosaic's f32 MXU path wins at this shape,
+        # contrary to the usual keep-operands-bf16 rule.
+        q = q_ref[0].astype(jnp.float32) * scale
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, T_pad)
     key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mask = key_ids < t_kv
     if causal:
@@ -74,11 +97,15 @@ def flash_attention(
     causal: bool = False,
     interpret: Optional[bool] = None,
     block_q: int = BLOCK_Q,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v over (..., H, T, D) tensors.
 
     Callers are expected to be inside jit already. On non-TPU backends the
-    kernel runs in interpreter mode (slow; tests only).
+    kernel runs in interpreter mode (slow; tests only). ``qk_int8`` runs the
+    score dot on the int8 MXU path with in-kernel per-row quantization —
+    a MEASURED NEGATIVE at the serving shape (see _attn_kernel), kept as a
+    tested option only.
     """
     if mask is not None:
         from .ops import sdpa
@@ -113,6 +140,7 @@ def flash_attention(
             causal=causal,
             t_kv=tk,
             block_q=block_q,
+            qk_int8=qk_int8,
         ),
         grid=grid,
         in_specs=[

@@ -54,19 +54,21 @@ def sdpa(
     v: jnp.ndarray,
     mask: jnp.ndarray | None = None,
     use_flash: bool | None = None,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over head-split tensors.
 
     q (..., H, Tq, D), k (..., H, Tk, D), v (..., H, Tk, D) -> (..., H, Tq, D).
     ``mask`` is an additive bias broadcastable to (..., H, Tq, Tk) or a boolean
-    mask (True = attend). Softmax statistics in f32.
+    mask (True = attend). Softmax statistics in f32. ``qk_int8`` applies only
+    to the flash path (int8 MXU score dot, W8A8 serving mode).
     """
     if use_flash is None:
         use_flash = False
     if use_flash:
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask)
+        return flash_attention(q, k, v, mask=mask, qk_int8=qk_int8)
     d = q.shape[-1]
     scale = d ** -0.5
     logits = jnp.einsum(

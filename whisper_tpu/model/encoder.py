@@ -113,6 +113,13 @@ def _encoder_block(x: jnp.ndarray, blk: dict, cfg: WhisperConfig,
                       None, x.dtype)  # K has no bias (main.rs:1894)
         v = q8_matmul(y8, a_scale, blk["v_w"], blk["v_w_scale"],
                       blk["v_b"], x.dtype)
+        # QK stays bf16/f32 even in W8A8 mode: routing the score dot onto
+        # the int8 MXU (flash_attention qk_int8=True, in-kernel per-row
+        # quantization) measured SLOWER at the serving shape — 20.9 ms vs
+        # 18.0 ms per call at (64,20,1536,64), one process, interleaved —
+        # the VPU quant passes cost more than the int8 dot saves (and the
+        # f32 MXU path already runs at 54.6 TFLOPs here). Measured negative,
+        # kept as a tested kernel option; see flash_attention.py.
         o = sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h),
                  use_flash=use_flash)
         o8, o_scale = act_quant(merge_heads(o))
