@@ -40,7 +40,6 @@ def test_flash_attention_qk_int8_close_to_exact():
     v = jnp.asarray(rng.standard_normal((B, H, T, D)), dtype=jnp.float32)
     out = flash_attention(q, k, v, qk_int8=True, interpret=True)
     ref = flash_attention(q, k, v, interpret=True)
-    assert float(jnp.max(jnp.abs(out - ref))) < 5e-2
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
 
 

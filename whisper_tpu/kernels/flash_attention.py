@@ -106,8 +106,13 @@ def flash_attention(
     score dot on the int8 MXU path with in-kernel per-row quantization —
     a MEASURED NEGATIVE at the serving shape (see _attn_kernel), kept as a
     tested option only.
+
+    ``mask`` is unsupported by the kernel: that path falls back to the plain
+    XLA sdpa, which also DROPS ``qk_int8`` (the int8 score dot only exists in
+    the Pallas kernel) — asserted below so the flag is never silently lost.
     """
     if mask is not None:
+        assert not qk_int8, "qk_int8 is only supported by the Pallas kernel (mask=None)"
         from .ops import sdpa
 
         return sdpa(q, k, v, mask=mask, use_flash=False)
