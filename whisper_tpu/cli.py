@@ -239,6 +239,7 @@ def cmd_eval(args) -> int:
     opts = TranscribeOptions(
         language=args.language, beam_size=args.beam,
         condition_on_previous_text=not args.no_condition_on_previous_text,
+        without_timestamps=args.without_timestamps,
     )
     result = evaluate_dataset(model, dataset(), options=opts)
     print(json.dumps(result, indent=2))
@@ -635,6 +636,7 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--no-condition-on-previous-text", action="store_true")
+    p.add_argument("--without-timestamps", action="store_true")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("batch", help="continuous-batching engine over many WAVs")

@@ -90,3 +90,22 @@ def resample_poly(audio: np.ndarray, up_rate: int, down_rate: int) -> np.ndarray
 
     g = gcd(up_rate, down_rate)
     return signal.resample_poly(audio, up_rate // g, down_rate // g).astype(np.float32)
+
+
+def write_wav(path: str, audio: np.ndarray, rate: int = SAMPLE_RATE) -> None:
+    """Write mono PCM as a 16-bit WAV (f32 input is clipped to [-1, 1]).
+
+    The reference only reads WAVs (hound reader, main.rs:2066-2068); the
+    writer exists for the eval/round-trip tooling (synthetic datasets for
+    the WER harness, debugging dumps)."""
+    import wave
+
+    audio = np.asarray(audio)
+    if audio.dtype != np.int16:
+        audio = (np.clip(audio.astype(np.float32), -1.0, 1.0) * 32767.0
+                 ).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(audio.tobytes())

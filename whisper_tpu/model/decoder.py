@@ -180,9 +180,22 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         return jax.lax.dynamic_index_in_dim(buf, layer, 1, keepdims=False)
 
     def _append_in_slice(sl, new, scale_rank=False):
-        """Write ``new`` at column n_past of a gathered layer slice."""
-        offs = (0, 0, n_past) if scale_rank else (0, 0, 0, n_past)
-        return jax.lax.dynamic_update_slice(sl, new, offs)
+        """Write ``new`` at column n_past of a gathered layer slice
+        (per-row columns when ``n_past`` is a vector — the beam ENGINE's
+        groups carry ragged positions through the fused permute path)."""
+        if not ragged:
+            offs = (0, 0, n_past) if scale_rank else (0, 0, 0, n_past)
+            return jax.lax.dynamic_update_slice(sl, new, offs)
+        rows = jnp.arange(B)
+        if T == 1:
+            if scale_rank:            # sl (B,H,C), new (B,H,1)
+                return sl.at[rows, :, n_past].set(new[..., 0])
+            return sl.at[rows, :, :, n_past].set(new[..., 0])
+        r = rows[:, None]
+        cols = n_past[:, None] + jnp.arange(T)[None, :]
+        if scale_rank:                # new (B,H,T) -> (B,T,H)
+            return sl.at[r, :, cols].set(jnp.moveaxis(new, -1, 1))
+        return sl.at[r, :, :, cols].set(jnp.moveaxis(new, -1, 1))
 
     def _writeback(buf, sl):
         offs = (0, layer) + (0,) * (buf.ndim - 2)

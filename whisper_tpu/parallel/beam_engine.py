@@ -7,8 +7,9 @@ the query time axis, model/decoder.py). Groups decode in compiled chunks with
 per-group positions (ragged ``n_past``), each chunk step running the exact
 on-device beam semantics of decoding/device_beam.py: rules + top-(k+1) in
 PHYSICAL row order, openai's stable-sort bookkeeping per group
-(``beam_update``), copy-on-write row reassignment (``cow_assign`` +
-kernels/beam_gather.cow_copy_rows), and EOT routing into per-group finished
+(``beam_update``), copy-on-write row reassignment (``cow_assign``; fork
+copies ride decode_step's fused per-layer ``permute_rows`` gather — measured
+table in ``_decode_chunk_beam``), and EOT routing into per-group finished
 sets. A finished group's slot is refilled between chunks without touching its
 neighbors — the continuous-batching lineage of the reference's KV arena
 (main.rs:1336-1354), now with beams.
@@ -144,21 +145,30 @@ def _decode_chunk_beam(
         new_last_ts = jnp.where(
             actk, jnp.where(nt_phys >= beg, nt_phys, par_last_ts), st.last_ts)
 
-        def _cow(args):
-            ck, cv, src = args
-            from ..kernels.beam_gather import lane_dot_permute
-
-            return lane_dot_permute((ck, cv), src)
-
-        cache_k, cache_v = jax.lax.cond(
-            jnp.all(copy_src == jnp.arange(Sk)),
-            lambda a: (a[0], a[1]), _cow,
-            (st.cache_k, st.cache_v, copy_src))
-
+        # COW fork copies ride decode_step's per-layer cache visit
+        # (permute_rows) instead of a loop-level reorder. Measured (v5e,
+        # large-v3, 24 groups x k5 int8, first-32-steps-after-admission,
+        # one process interleaved, ms/step; scripts/bisect_beam_chunk.py):
+        #   pool_ctx 104: no-cow floor 22.8 | fused 37.3 | cond+jnp.take
+        #     49.5 | cond+lane_dot [old prod] 51.5 | pinned-layout
+        #     boundary + lane_dot 51.3 | cond around decode_step 621
+        #   pool_ctx 128: floor 23.1 | cond+cow DMA kernel 42.4 |
+        #     uncond kernel 42.1 | fused 46.6 | cond+lane_dot 58.5
+        # Unlike the lockstep while_loop (which carries the cache
+        # batch-MINOR, decoding/device_beam.py), THIS scan carries it in
+        # default layout — lane_dot's transposed views materialize into 4
+        # full-cache relayout copies per forked step, and continuous
+        # batching keeps some group always in its fork-heavy youth, so the
+        # identity cond (83% skip rate in lockstep) almost never skips.
+        # Pinning the jit-boundary layout did not flip the internal carry,
+        # and the aliased Pallas kernel still pays carry copies around the
+        # custom call. The fused per-layer gather rides the attention read
+        # the step already does; only the slice writeback is new traffic.
         n_past_rows = jnp.repeat(st.n_past, k)
         lg, new_cache = decode_step(
             params, nt_phys[:, None], n_past_rows,
-            KVCache(cache_k, cache_v), cross_k, cross_v, cfg,
+            KVCache(st.cache_k, st.cache_v), cross_k, cross_v, cfg,
+            permute_rows=copy_src,
         )
         new_step = st.step + jnp.where(act, 1, 0)
         still = act & (new_step < st.max_new_row) & ~(fin_c >= k)
