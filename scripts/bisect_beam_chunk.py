@@ -115,7 +115,7 @@ def _chunk_body(params, state, cross_k, cross_v, sup_mask, blank_mask,
 
         if variant == "identity":
             cache_k, cache_v = st.cache_k, st.cache_v
-        elif variant == "prod":
+        elif variant in ("prod", "prodwhile"):
             def _cow(args):
                 from whisper_tpu.kernels.beam_gather import lane_dot_permute
                 return lane_dot_permute((args[0], args[1]), args[2])
@@ -150,7 +150,7 @@ def _chunk_body(params, state, cross_k, cross_v, sup_mask, blank_mask,
         else:
             cache_k, cache_v = st.cache_k, st.cache_v
 
-        if variant == "fused":
+        if variant in ("fused", "fusedwhile"):
             lg, new_cache = decode_step(
                 params, nt_phys[:, None], n_past_rows,
                 KVCache(cache_k, cache_v), cross_k, cross_v, cfg,
@@ -189,6 +189,18 @@ def _chunk_body(params, state, cross_k, cross_v, sup_mask, blank_mask,
         )
         return new, None
 
+    if variant.endswith("while"):
+        # lockstep-loop structure: does XLA pick the batch-minor carry (as
+        # in decoding/device_beam.beam_decode_device) when the chunk is a
+        # while_loop instead of a scan?
+        def wbody(carry):
+            st, i = carry
+            new, _ = body(st, None)
+            return (new, i + 1)
+
+        state, _ = jax.lax.while_loop(
+            lambda c: c[1] < steps, wbody, (state, jnp.int32(0)))
+        return state
     state, _ = jax.lax.scan(body, state, None, length=steps)
     return state
 

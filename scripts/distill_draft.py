@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Distill a 2-layer speculative DRAFT from the bench target (r3 item 3).
+
+Speculative decoding has machinery but no measured win: every synthetic
+draft lost (self 0.795x, prefix2 0.742x, distil2-at-zero-acceptance 0.729x,
+docs/ROADMAP.md). The missing piece is a draft with REAL acceptance. This
+script mints one in-sandbox with the distil-whisper pseudo-label recipe
+(training/distill.py): the target is the bench's own random-weight large-v3
+(seed 0), pseudo-labels are the TARGET'S OWN greedy transcripts on noise
+windows drawn from the bench audio distribution (never the bench seed), and
+the student is the 2-layer shared-encoder draft the fused speculative loop
+wants (cross memory projected from the target's frozen hidden state — no
+second encoder forward).
+
+Outputs draft decoder params as .npz for `BENCH_MODE=spec
+BENCH_DRAFT=<path>` (utils/benchmark.run_speculative_benchmark).
+
+Run (TPU, serialized):  python scripts/distill_draft.py [out.npz]
+Env: DISTILL_STEPS (default 1200), DISTILL_WINDOWS (256), DISTILL_LR (3e-4)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", os.environ.get("DISTILL_PLATFORM", "axon"))
+    _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.config import PRESETS
+from whisper_tpu.decoding.device_loop import build_masks, decode_segment_device
+from whisper_tpu.frontend.mel import frame_count, log_mel_spectrogram, mel_window
+from whisper_tpu.model.decoder import init_cache
+from whisper_tpu.model.encoder import cross_kv_from_hidden, encode
+from whisper_tpu.model.load import random_model
+from whisper_tpu.training.distill import (init_student_params,
+                                          make_distill_step, student_config)
+from whisper_tpu.training.train import decoder_forward_train, make_optimizer
+
+BATCH = 8
+SAMPLE_LEN = 64
+
+
+def main():
+    out_path = (sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-")
+                else "draft_large-v3_2l.npz")
+    steps = int(os.environ.get("DISTILL_STEPS", "1200"))
+    n_windows = int(os.environ.get("DISTILL_WINDOWS", "256"))
+    lr = float(os.environ.get("DISTILL_LR", "3e-4"))
+    model_name = os.environ.get("DISTILL_MODEL", "large-v3")
+
+    print("devices:", jax.devices(), flush=True)
+    cfg = PRESETS[model_name]
+    model = random_model(cfg, seed=0, dtype=jnp.bfloat16)
+    vocab = model.vocab
+    use_flash = jax.default_backend() == "tpu"
+    sup, blank = build_masks(vocab)
+    init = [vocab.token_sot]
+    if cfg.is_multilingual:
+        init += [vocab.language_token("en"), vocab.token_transcribe]
+    n_frames = 2 * cfg.n_audio_ctx
+    eot = vocab.token_eot
+
+    # ---- pseudo-labels: the target's own greedy transcripts ----
+    @jax.jit
+    def label_batch(params, audio_b):
+        mel = jax.vmap(lambda a: log_mel_spectrogram(
+            a, model.filters, frame_count(16000 * 30)))(audio_b)
+        wins = mel[:, :, :n_frames]
+        enc = encode(params, wins, cfg, use_flash=use_flash)
+        init_tokens = jnp.tile(jnp.asarray(init, jnp.int32)[None], (BATCH, 1))
+        toks, lengths, _, _ = decode_segment_device(
+            params, init_tokens, len(init), 0,
+            init_cache(cfg, BATCH, dtype=jnp.bfloat16,
+                       ctx=len(init) + SAMPLE_LEN + 8),
+            enc.cross_k, enc.cross_v, sup, blank, cfg,
+            sample_len=SAMPLE_LEN)
+        return wins, toks, lengths
+
+    # bench uses rng seed 0 scale 0.1; train on seeds >= 1000 (held out from
+    # the bench input), eval acceptance on seeds >= 5000
+    def noise(seed):
+        r = np.random.default_rng(seed)
+        return r.standard_normal((BATCH, 16000 * 30)).astype(np.float32) * 0.1
+
+    T = len(init) + SAMPLE_LEN + 1
+    T = -(-T // 32) * 32
+
+    def make_rows(toks, lengths):
+        toks, lengths = np.asarray(toks), np.asarray(lengths)
+        rows = np.full((BATCH, T), eot, np.int32)
+        mask = np.zeros((BATCH, T), np.int32)
+        for b in range(BATCH):
+            seq = list(init) + [int(t) for t in toks[b, : lengths[b]]] + [eot]
+            rows[b, : len(seq)] = seq
+            mask[b, : len(seq)] = 1
+        return rows, mask
+
+    t0 = time.perf_counter()
+    data = []
+    for w in range(n_windows // BATCH):
+        wins, toks, lengths = label_batch(model.params, jnp.asarray(noise(1000 + w)))
+        rows, mask = make_rows(toks, lengths)
+        data.append((wins, jnp.asarray(rows), jnp.asarray(mask)))
+    # token variety diagnostic: how input-dependent is the random target?
+    all_rows = np.concatenate([np.asarray(r) for _, r, _ in data])
+    uniq = len({tuple(r) for r in all_rows})
+    print(f"pseudo-labels: {len(data)*BATCH} windows in "
+          f"{time.perf_counter()-t0:.1f}s; {uniq} unique transcripts",
+          flush=True)
+
+    held = []
+    for w in range(4):
+        wins, toks, lengths = label_batch(model.params, jnp.asarray(noise(5000 + w)))
+        rows, mask = make_rows(toks, lengths)
+        held.append((wins, jnp.asarray(rows), jnp.asarray(mask)))
+
+    # ---- student ----
+    s_cfg = student_config(cfg, 2)
+    student_dec = init_student_params(model.params, cfg, 2)["decoder"]
+    frozen = {"encoder": model.params["encoder"],
+              "teacher_decoder": model.params["decoder"]}
+    optimizer = make_optimizer(lr)
+    opt_state = optimizer.init(student_dec)
+    step_fn = make_distill_step(cfg, s_cfg, optimizer)
+
+    @jax.jit
+    def acceptance(student_dec, wins, rows, mask):
+        """Teacher-forced argmax agreement (positions after the prompt):
+        the per-position probability a drafted token survives verification."""
+        enc_out = encode(model.params, wins, cfg, use_flash=use_flash)
+        sp = {"encoder": frozen["encoder"], "decoder": student_dec}
+        ck, cv = cross_kv_from_hidden(sp, enc_out.hidden, s_cfg)
+        s_log = decoder_forward_train({"decoder": student_dec}, rows[:, :-1],
+                                      ck, cv, s_cfg)
+        t_log = decoder_forward_train({"decoder": frozen["teacher_decoder"]},
+                                      rows[:, :-1], enc_out.cross_k,
+                                      enc_out.cross_v, cfg)
+        m = mask[:, 1:].astype(jnp.float32)
+        m = m.at[:, : len(init) - 1].set(0)  # score sampled positions only
+        agree = (jnp.argmax(s_log, -1) == jnp.argmax(t_log, -1)).astype(
+            jnp.float32)
+        return (agree * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    def held_acc():
+        return float(np.mean([float(acceptance(student_dec, *h))
+                              for h in held]))
+
+    print(f"acceptance before training: {held_acc():.3f}", flush=True)
+    t0 = time.perf_counter()
+    for it in range(steps):
+        wins, rows, mask = data[it % len(data)]
+        student_dec, opt_state, loss, ce_l, kl_l = step_fn(
+            student_dec, opt_state, frozen, wins, rows, mask)
+        if (it + 1) % 100 == 0:
+            print(f"step {it+1}/{steps} loss {float(loss):.4f} "
+                  f"ce {float(ce_l):.4f} kl {float(kl_l):.4f} "
+                  f"held-acc {held_acc():.3f} "
+                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
+
+    acc = held_acc()
+    print(f"final held-out teacher-forced acceptance: {acc:.3f}", flush=True)
+    from whisper_tpu.training.distill import save_draft
+
+    save_draft(out_path, {"decoder": jax.tree.map(np.asarray, student_dec)},
+               s_cfg)
+    print(f"saved draft decoder -> {out_path} "
+          f"({os.path.getsize(out_path)/1e6:.0f} MB)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

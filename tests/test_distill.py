@@ -80,3 +80,35 @@ def test_distill_runs_and_reduces_loss(teacher):
         jnp.int32(0), cache, enc.cross_k, enc.cross_v, cfg)
     assert logits.shape == (1, 1, cfg.n_vocab)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_save_load_draft_roundtrip(teacher, tmp_path):
+    """save_draft/load_draft round-trips the decoder subtree exactly and the
+    loaded draft plugs into the speculative serving topology (shared
+    encoder, cross from the teacher's hidden state)."""
+    from whisper_tpu.training.distill import load_draft, save_draft
+
+    cfg = teacher.config
+    student = init_student_params(teacher.params, cfg, 2)
+    s_cfg = student_config(cfg, 2)
+    p = str(tmp_path / "draft.npz")
+    save_draft(p, student, s_cfg)
+    loaded, lcfg = load_draft(p, teacher.params, cfg)
+    assert lcfg.n_text_layer == 2
+    assert loaded["encoder"] is teacher.params["encoder"]
+    ref = jax.tree.leaves(student["decoder"])
+    got = jax.tree.leaves(loaded["decoder"])
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the loaded draft runs through the draft cross projection + forward
+    from whisper_tpu.model.encoder import cross_kv_from_hidden, encode
+    from whisper_tpu.training.train import decoder_forward_train
+
+    mel = jnp.zeros((1, cfg.n_mels, 2 * cfg.n_audio_ctx), jnp.float32)
+    enc = encode(teacher.params, mel, cfg, use_flash=False)
+    ck, cv = cross_kv_from_hidden(loaded, enc.hidden, lcfg)
+    toks = jnp.zeros((1, 8), jnp.int32)
+    logits = decoder_forward_train(loaded, toks, ck, cv, lcfg)
+    assert logits.shape == (1, 8, cfg.n_vocab)

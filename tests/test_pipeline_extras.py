@@ -76,3 +76,51 @@ def test_prefix_conditioning(model):
     )
     assert t.initial_tokens[-2:] == [101, 102]
     assert t.sample_begin == len(t.initial_tokens)
+
+
+def test_audio_ctx_auto_shrinks_final_window():
+    """audio_ctx='auto' (per-window derivation from remaining content,
+    main.rs:362 exp_n_audio_ctx semantics made adaptive): full windows run
+    the unchanged full-ctx program — token-identical first window — and the
+    short final window encodes a 256-frame-bucketed context instead of the
+    full one."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from fixtures import micro_config
+    from whisper_tpu.model.load import random_model
+    from whisper_tpu.pipeline.transcribe import transcribe
+
+    cfg = _dc.replace(micro_config(n_vocab=51864), n_audio_ctx=512,
+                      n_text_ctx=448)
+    model = random_model(cfg, seed=11, on_device=False)
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(16000 * 12).astype(np.float32) * 0.1
+    # 12 s = 1200 content frames over 1024-frame windows: window 1 full,
+    # window 2 remaining 176 -> auto window max(512, 256) = 512 frames.
+    full = transcribe(model, audio, language="en", use_flash=False)
+    auto = transcribe(model, audio, language="en", use_flash=False,
+                      audio_ctx="auto")
+    f_segs, a_segs = full["segments"], auto["segments"]
+    assert f_segs and a_segs
+    # first (full) window: identical program -> identical segments
+    f1 = [s for s in f_segs if s["seek"] == 0]
+    a1 = [s for s in a_segs if s["seek"] == 0]
+    assert [s["tokens"] for s in f1] == [s["tokens"] for s in a1]
+    # the auto run still consumed the full clip
+    assert auto["duration"] == full["duration"]
+
+
+def test_audio_ctx_auto_rejected_by_streaming():
+    import dataclasses as _dc
+
+    import pytest
+
+    from fixtures import micro_config
+    from whisper_tpu.model.load import random_model
+    from whisper_tpu.pipeline.streaming import StreamingTranscriber
+
+    model = random_model(micro_config(n_vocab=51864), seed=3, on_device=False)
+    with pytest.raises(ValueError, match="offline-only"):
+        StreamingTranscriber(model, language="en", audio_ctx="auto")

@@ -37,8 +37,11 @@ def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chunked", action="store_true",
                    help="chunk-parallel long-form mode (batched windows, "
                         "no prompt conditioning; fastest for long audio)")
-    p.add_argument("--audio-ctx", type=int, default=None,
-                   help="encoder context override for short audio (speed)")
+    p.add_argument(
+        "--audio-ctx", default=None,
+        type=lambda s: "auto" if s == "auto" else int(s),
+        help="encoder context override for short audio (speed); 'auto' "
+             "derives it per window from the remaining content")
     p.add_argument("--offset-ms", type=int, default=0,
                    help="start transcription at this time "
                         "(whisper.cpp offset_ms; timestamps stay absolute)")

@@ -61,6 +61,12 @@ class StreamingTranscriber:
             raise ValueError(
                 "streaming requires an explicit language= (detection would "
                 "peek at audio that hasn't arrived)")
+        if opts.audio_ctx == "auto":
+            # per-window auto derivation needs the total content length,
+            # which streaming by definition does not have yet
+            raise ValueError(
+                "audio_ctx='auto' is offline-only (transcribe); streaming "
+                "windows must use a fixed audio_ctx")
         if opts.offset_ms or opts.duration_ms is not None:
             # Committed windows always start at 0; honoring a clip range
             # only in the finalize()-drift re-run would break the

@@ -53,7 +53,11 @@ class TranscribeOptions:
     # Audio-context override (reference exp_n_audio_ctx, main.rs:362,
     # 1803-1807): encode only the first audio_ctx positions — a large speedup
     # for audio much shorter than 30 s, at slight accuracy cost.
-    audio_ctx: Optional[int] = None
+    # "auto" derives it PER WINDOW from the remaining content frames
+    # (rounded up to 256-position buckets to bound program count): full
+    # windows decode the unchanged full-ctx program (token-identical), only
+    # the short final window stops paying 1500-frame encode + cross reads.
+    audio_ctx: Union[int, str, None] = None
     # Clip range (whisper.cpp whisper_full_params offset_ms/duration_ms; the
     # reference's mel_offset window machinery, main.rs:1799,1816-1833):
     # start the sliding loop at offset_ms and stop duration_ms later.
@@ -189,7 +193,9 @@ def transcribe(
             jnp.asarray(padded), model.filters, n_frames_total,
             center=center, fold=not center,
         )
-    n_frames_window = 2 * (opts.audio_ctx or cfg.n_audio_ctx)
+    auto_ctx = opts.audio_ctx == "auto"
+    n_frames_window = 2 * (cfg.n_audio_ctx if auto_ctx
+                           else (opts.audio_ctx or cfg.n_audio_ctx))
     # Frames holding real audio: subtract the fixed 30 s zero pad (openai's
     # content_frames = mel.shape[-1] - N_FRAMES) — NOT the window length,
     # which opts.audio_ctx can shrink below the pad (the loop would then
@@ -203,6 +209,15 @@ def transcribe(
         content_frames = min(content_frames,
                              seek_start + opts.duration_ms // 10)
 
+    def _window_frames(seek: int) -> int:
+        """Per-window frame count: full ctx, or (auto mode) the remaining
+        content rounded up to 256-position buckets — one compiled program
+        per bucket class, full windows untouched."""
+        if not auto_ctx:
+            return n_frames_window
+        remaining = max(content_frames - seek, 1)
+        return min(n_frames_window, max(512, -(-remaining // 512) * 512))
+
     # Language detection on the first window of the CLIP (multilingual only).
     language = opts.language
     first_enc = None  # lang-ID encoder output, reused by the first window
@@ -211,7 +226,8 @@ def transcribe(
             language = "en"
         else:
             with model.timers.stage("lang_id"):
-                window = mel_window(mel, seek_start, n_frames_window)[None]
+                window = mel_window(mel, seek_start,
+                                    _window_frames(seek_start))[None]
                 first_enc = encode(model.params, window, cfg,
                                    use_flash=opts.use_flash)
                 langs, _ = detect_language(
@@ -232,7 +248,7 @@ def transcribe(
     seek = seek_start
     while seek < content_frames:
         segments, seek, new_tokens, reset_prompt = _window_step(
-            model, mel, seek, content_frames, n_frames_window, opts,
+            model, mel, seek, content_frames, _window_frames(seek), opts,
             all_tokens, prompt_reset_since, len(all_segments), language,
             # the lang-ID pass already encoded the first window (encoding is
             # the dominant per-window device cost) — reuse it

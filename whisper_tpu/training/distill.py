@@ -137,6 +137,45 @@ def distill_loss(
     return ce_weight * ce_l + kl_weight * kl_l, (ce_l, kl_l)
 
 
+def _flatten_dec(dec: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in dec.items():
+        if isinstance(v, dict):
+            out.update(_flatten_dec(v, prefix + k + "."))
+        else:
+            out[prefix + k] = np.asarray(v)
+    return out
+
+
+def save_draft(path: str, params: dict, config: WhisperConfig) -> None:
+    """Persist a distilled DRAFT decoder as .npz (the encoder is shared with
+    the target by construction, so only the decoder subtree ships). Consumed
+    by ``load_draft`` and `BENCH_MODE=spec BENCH_DRAFT=<path>`."""
+    np.savez(path, __n_text_layer__=config.n_text_layer,
+             **_flatten_dec(params["decoder"]))
+
+
+def load_draft(path: str, teacher_params: dict, teacher_cfg: WhisperConfig,
+               dtype=None):
+    """(draft_params, draft_config) from a ``save_draft`` file: the draft
+    shares the teacher's encoder arrays; its cross memory projects from the
+    teacher's hidden state (model/encoder.cross_kv_from_hidden)."""
+    flat = np.load(path)
+    n_layer = int(flat["__n_text_layer__"])
+    dec: dict = {}
+    for k in flat.files:
+        if k == "__n_text_layer__":
+            continue
+        parts = k.split(".")
+        d = dec
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        arr = flat[k]
+        d[parts[-1]] = jnp.asarray(arr, dtype=dtype or arr.dtype)
+    cfg = student_config(teacher_cfg, n_layer)
+    return {"encoder": teacher_params["encoder"], "decoder": dec}, cfg
+
+
 @dataclasses.dataclass
 class DistillResult:
     params: dict                 # full student pytree (shared encoder)

@@ -384,10 +384,23 @@ def run_speculative_benchmark(
     from ..model.encoder import encode
     from ..model.load import random_model
 
+    import os as _os
+
     cfg = PRESETS[model_name]
     model = random_model(cfg, seed=0, dtype=jnp.bfloat16)
     if draft == "self":
         dmodel, dcfg = model, cfg
+    elif draft.endswith(".npz") or _os.path.exists(draft):
+        # a TRAINED draft from training/distill.save_draft (e.g.
+        # scripts/distill_draft.py): shares the target's encoder, cross
+        # memory projected from the target's hidden state (the distil2
+        # serving topology, but with real acceptance)
+        from ..training.distill import load_draft
+
+        dparams, dcfg = load_draft(draft, model.params, cfg,
+                                   dtype=jnp.bfloat16)
+        dmodel = dataclasses.replace(model, config=dcfg, params=dparams)
+        draft = _os.path.basename(draft).rsplit(".", 1)[0]
     elif draft == "distil2":
         dcfg = dataclasses.replace(cfg, n_text_layer=2)
         dmodel = random_model(dcfg, seed=7, dtype=jnp.bfloat16)
