@@ -80,10 +80,10 @@ def main() -> int:
 
     if os.environ.get("BENCH_MODE") == "engine":
         # Continuous-batching serving engine (slot pool, staggered streams).
-        # Beam groups multiply decode rows by k: 48 groups x 5 = 240 rows
-        # OOMs next to the slot pools on 15.75 GB (measured); 24 groups
-        # (120 rows) fits.
-        default_slots = "24" if os.environ.get("BENCH_BEAM") else "48"
+        # Beam groups multiply decode rows by k. Measured r4 (fused cow,
+        # prestaged): 24 groups 84x, 32 groups 147x, 40 groups 130x
+        # (admission balloons; 48 = 240 rows OOMs) -> 32 is the default.
+        default_slots = "32" if os.environ.get("BENCH_BEAM") else "48"
         result = run_engine_benchmark(
             model_name=os.environ.get("BENCH_MODEL", "large-v3"),
             n_slots=int(os.environ.get("BENCH_BATCH", default_slots)),
@@ -104,6 +104,10 @@ def main() -> int:
             # admission encodes don't benefit from int8 operands the way
             # the b64 lockstep encode does.
             enc_int8=os.environ.get("BENCH_ENC", "") == "int8",
+            # BENCH_BUCKET=32: cap/raise the admission bucket ladder (the
+            # engine encode batch; measured sweep knob).
+            max_bucket=(int(os.environ["BENCH_BUCKET"])
+                        if os.environ.get("BENCH_BUCKET") else None),
         )
         print(json.dumps(result))
         return 0

@@ -367,3 +367,17 @@ def test_engine_streams_reject_audio_ctx(model):
         engine.transcribe_streams(
             [synthetic_audio(16000 * 6, seed=1)],
             TranscribeOptions(temperature=0.0, audio_ctx=32))
+
+
+def test_engine_custom_admit_buckets(model):
+    """admit_buckets override produces identical results through a different
+    admission bucketing (each bucket is one compiled encode/prefill shape)."""
+    audios = _audios(5, seed=9)
+    opts = DecodingOptions(sample_len=24)
+    ref = SlotEngine(model, n_slots=2, options=opts,
+                     chunk_steps=4).transcribe_many(audios)
+    eng = SlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+                     admit_buckets=(4, 1))
+    assert eng._ADMIT_BUCKETS == (4, 1)
+    got = eng.transcribe_many(audios)
+    assert [r.tokens for r in got] == [r.tokens for r in ref]

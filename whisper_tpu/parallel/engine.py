@@ -262,6 +262,7 @@ class SlotEngine:
         use_flash: Optional[bool] = None,
         quantize: bool = False,
         mesh=None,
+        admit_buckets: Optional[Sequence[int]] = None,
     ):
         if options is not None and (options.beam_size or (options.best_of or 1) != 1
                                     or options.temperature != 0):
@@ -323,6 +324,9 @@ class SlotEngine:
         self._option_masks = (self.sup_mask, self.blank_mask,
                               self.max_initial_index)
 
+        if admit_buckets is not None:
+            self._ADMIT_BUCKETS = tuple(
+                sorted({int(b) for b in admit_buckets}, reverse=True))
         self._n_frames = 2 * self.cfg.n_audio_ctx
         self._cross_pool_k = None  # lazily sized (L, S, H, D, Ta)
         self._cross_pool_v = None
@@ -333,8 +337,10 @@ class SlotEngine:
     # Admission bucket sizes (largest first). Encoder MXU utilization climbs
     # steeply with batch on large models, so joiners share as large an
     # encode/prefill call as the queue allows; each bucket is one compiled
-    # shape (cached). 16 is the largest that leaves the encoder's 1500-ctx
-    # activations room next to a 48-slot int8 pool on a 16 GB chip.
+    # shape (cached). 16 is the default cap: the largest that leaves the
+    # encoder's 1500-ctx activations room next to a 48-slot int8 pool on a
+    # 16 GB chip. Overridable per engine (``admit_buckets``) for smaller
+    # pools / bigger chips.
     _ADMIT_BUCKETS = (16, 8, 4, 2, 1)
 
     def _window_batch(self, audios: Sequence[np.ndarray], bucket: int):

@@ -25,6 +25,7 @@ def run_engine_benchmark(
     prestage: bool = False,
     beam_size: Optional[int] = None,
     enc_int8: bool = False,
+    max_bucket: Optional[int] = None,
 ) -> dict:
     """Continuous-batching serving throughput: a SlotEngine with ``n_slots``
     draining ``n_streams`` independent 30 s streams of staggered lengths
@@ -79,6 +80,9 @@ def run_engine_benchmark(
         # force every upload to land with one tiny batched fetch so the
         # timed region really starts with device-resident audio.
         jax.device_get([a[:1] for a in audios])
+    buckets = None
+    if max_bucket:
+        buckets = tuple(b for b in (32, 16, 8, 4, 2, 1) if b <= max_bucket)
     if beam_size:
         from ..parallel.beam_engine import BeamSlotEngine
 
@@ -87,12 +91,14 @@ def run_engine_benchmark(
             options=DecodingOptions(without_timestamps=False,
                                     beam_size=beam_size),
             max_new_tokens=max_new_tokens, quantize=quantize,
+            admit_buckets=buckets,
         )
     else:
         engine = SlotEngine(
             model, n_slots=n_slots, chunk_steps=chunk_steps,
             options=DecodingOptions(without_timestamps=False),
             max_new_tokens=max_new_tokens, quantize=quantize,
+            admit_buckets=buckets,
         )
     # Warmup: compile every admission-bucket shape + chunk + refill by
     # draining a full first wave plus a refill wave (compiles are minutes
