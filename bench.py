@@ -130,13 +130,22 @@ def main() -> int:
     kv_dtype = os.environ.get("BENCH_KV", "int8")
     weight_dtype = os.environ.get("BENCH_WQ", "int8")
     beam = beam_env
+    # AOT artifact (jax.export of the exact benched step): consumed when
+    # present + flag-matched (skips tracing/optimization of the traced
+    # program), produced after the compile otherwise — so the driver's
+    # cold run pays StableHLO->exe only. BENCH_AOT overrides the path;
+    # BENCH_AOT= (empty) disables. Gitignored (multi-MB, machine-local).
+    aot_path = os.environ.get(
+        "BENCH_AOT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".aot", "serving_default.aot")) or None
+    if aot_path and os.path.dirname(aot_path):
+        os.makedirs(os.path.dirname(aot_path), exist_ok=True)
     result = run_benchmark(
         model_name=model_name, batch=batch, seconds=seconds, dtype=dtype,
         kv_dtype=kv_dtype, weight_dtype=weight_dtype,
         beam_size=int(beam) if beam else None,
-        # BENCH_AOT=path: consume a jax.export serving-step artifact (cold
-        # start without tracing); exports one after compile when absent.
-        aot_path=os.environ.get("BENCH_AOT"),
+        aot_path=aot_path,
         # W8A8 encoder matmuls are the serving default (dynamic per-token
         # activation quant; tests/test_quant.py gates token agreement for
         # both greedy and beam). Measured interleaved-process runs: greedy

@@ -40,10 +40,9 @@ from whisper_tpu.config import PRESETS
 from whisper_tpu.decoding.device_loop import build_masks, decode_segment_device
 from whisper_tpu.frontend.mel import frame_count, log_mel_spectrogram, mel_window
 from whisper_tpu.model.decoder import init_cache
-from whisper_tpu.model.encoder import cross_kv_from_hidden, encode
+from whisper_tpu.model.encoder import encode
 from whisper_tpu.model.load import random_model
-from whisper_tpu.training.distill import (init_student_params,
-                                          make_distill_step, student_config)
+from whisper_tpu.training.distill import init_student_params, student_config
 from whisper_tpu.training.train import decoder_forward_train, make_optimizer
 
 BATCH = 8
@@ -105,12 +104,20 @@ def main():
             mask[b, : len(seq)] = 1
         return rows, mask
 
+    # the encoder is FROZEN: precompute hidden states once per batch and
+    # train against them (both cross memories are cheap projections of
+    # hidden; re-encoding every step would dominate the step cost)
+    @jax.jit
+    def hidden_of(params, wins):
+        return encode(params, wins, cfg, use_flash=use_flash).hidden
+
     t0 = time.perf_counter()
     data = []
     for w in range(n_windows // BATCH):
         wins, toks, lengths = label_batch(model.params, jnp.asarray(noise(1000 + w)))
         rows, mask = make_rows(toks, lengths)
-        data.append((wins, jnp.asarray(rows), jnp.asarray(mask)))
+        data.append((hidden_of(model.params, wins), jnp.asarray(rows),
+                     jnp.asarray(mask)))
     # token variety diagnostic: how input-dependent is the random target?
     all_rows = np.concatenate([np.asarray(r) for _, r, _ in data])
     uniq = len({tuple(r) for r in all_rows})
@@ -122,31 +129,60 @@ def main():
     for w in range(4):
         wins, toks, lengths = label_batch(model.params, jnp.asarray(noise(5000 + w)))
         rows, mask = make_rows(toks, lengths)
-        held.append((wins, jnp.asarray(rows), jnp.asarray(mask)))
+        held.append((hidden_of(model.params, wins), jnp.asarray(rows),
+                     jnp.asarray(mask)))
 
     # ---- student ----
+    import optax
+
+    from whisper_tpu.training.distill import cross_memory
+
     s_cfg = student_config(cfg, 2)
     student_dec = init_student_params(model.params, cfg, 2)["decoder"]
-    frozen = {"encoder": model.params["encoder"],
-              "teacher_decoder": model.params["decoder"]}
+    teacher_dec = model.params["decoder"]
     optimizer = make_optimizer(lr)
     opt_state = optimizer.init(student_dec)
-    step_fn = make_distill_step(cfg, s_cfg, optimizer)
+    kl_weight, ce_weight, temperature = 1.0, 0.8, 2.0
+
+    def loss_fn(student_dec, hidden, rows, mask):
+        """distill.distill_loss on a PRECOMPUTED frozen hidden state."""
+        s_ck, s_cv = cross_memory(hidden, student_dec["blocks"], s_cfg)
+        t_ck, t_cv = jax.lax.stop_gradient(
+            cross_memory(hidden, teacher_dec["blocks"], cfg))
+        inp, targets = rows[:, :-1], rows[:, 1:]
+        m = mask[:, 1:].astype(jnp.float32)
+        s_log = decoder_forward_train({"decoder": student_dec}, inp,
+                                      s_ck, s_cv, s_cfg)
+        t_log = jax.lax.stop_gradient(decoder_forward_train(
+            {"decoder": teacher_dec}, inp, t_ck, t_cv, cfg))
+        ce = optax.softmax_cross_entropy_with_integer_labels(s_log, targets)
+        t_prob = jax.nn.softmax(t_log / temperature, -1)
+        kl = (t_prob * (jax.nn.log_softmax(t_log / temperature, -1)
+                        - jax.nn.log_softmax(s_log / temperature, -1))
+              ).sum(-1) * temperature ** 2
+        denom = jnp.maximum(m.sum(), 1.0)
+        return (ce_weight * (ce * m).sum() / denom
+                + kl_weight * (kl * m).sum() / denom)
 
     @jax.jit
-    def acceptance(student_dec, wins, rows, mask):
-        """Teacher-forced argmax agreement (positions after the prompt):
-        the per-position probability a drafted token survives verification."""
-        enc_out = encode(model.params, wins, cfg, use_flash=use_flash)
-        sp = {"encoder": frozen["encoder"], "decoder": student_dec}
-        ck, cv = cross_kv_from_hidden(sp, enc_out.hidden, s_cfg)
+    def step_fn(student_dec, opt_state, hidden, rows, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            student_dec, hidden, rows, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, student_dec)
+        return optax.apply_updates(student_dec, updates), opt_state, loss
+
+    @jax.jit
+    def acceptance(student_dec, hidden, rows, mask):
+        """Teacher-forced argmax agreement (sampled positions): the
+        per-position probability a drafted token survives verification."""
+        ck, cv = cross_memory(hidden, student_dec["blocks"], s_cfg)
+        t_ck, t_cv = cross_memory(hidden, teacher_dec["blocks"], cfg)
         s_log = decoder_forward_train({"decoder": student_dec}, rows[:, :-1],
                                       ck, cv, s_cfg)
-        t_log = decoder_forward_train({"decoder": frozen["teacher_decoder"]},
-                                      rows[:, :-1], enc_out.cross_k,
-                                      enc_out.cross_v, cfg)
+        t_log = decoder_forward_train({"decoder": teacher_dec}, rows[:, :-1],
+                                      t_ck, t_cv, cfg)
         m = mask[:, 1:].astype(jnp.float32)
-        m = m.at[:, : len(init) - 1].set(0)  # score sampled positions only
+        m = m.at[:, : len(init) - 1].set(0)
         agree = (jnp.argmax(s_log, -1) == jnp.argmax(t_log, -1)).astype(
             jnp.float32)
         return (agree * m).sum() / jnp.maximum(m.sum(), 1.0)
@@ -158,12 +194,11 @@ def main():
     print(f"acceptance before training: {held_acc():.3f}", flush=True)
     t0 = time.perf_counter()
     for it in range(steps):
-        wins, rows, mask = data[it % len(data)]
-        student_dec, opt_state, loss, ce_l, kl_l = step_fn(
-            student_dec, opt_state, frozen, wins, rows, mask)
+        hidden, rows, mask = data[it % len(data)]
+        student_dec, opt_state, loss = step_fn(
+            student_dec, opt_state, hidden, rows, mask)
         if (it + 1) % 100 == 0:
             print(f"step {it+1}/{steps} loss {float(loss):.4f} "
-                  f"ce {float(ce_l):.4f} kl {float(kl_l):.4f} "
                   f"held-acc {held_acc():.3f} "
                   f"({time.perf_counter()-t0:.0f}s)", flush=True)
 

@@ -188,7 +188,16 @@ def _decode_chunk_beam(
         )
         return new, None
 
-    state, _ = jax.lax.scan(body, state, None, length=steps)
+    # all-finished early exit (see engine._decode_chunk): tail chunks of a
+    # generation otherwise step fully-inactive groups.
+    def wbody(carry):
+        st, i = carry
+        new, _ = body(st, None)
+        return new, i + 1
+
+    state, _ = jax.lax.while_loop(
+        lambda c: (c[1] < steps) & jnp.any(c[0].active),
+        wbody, (state, jnp.int32(0)))
     return state
 
 

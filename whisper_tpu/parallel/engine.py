@@ -128,7 +128,19 @@ def _decode_chunk(
         )
         return new, None
 
-    state, _ = jax.lax.scan(body, state, None, length=steps)
+    # while_loop with an all-finished early exit instead of a fixed scan:
+    # windows end before the sample budget (EOT), so the tail chunks of a
+    # generation otherwise decode 16 steps of fully-inactive rows. Identity
+    # is exact — inactive rows are frozen by construction, so skipped steps
+    # compute nothing.
+    def wbody(carry):
+        st, i = carry
+        new, _ = body(st, None)
+        return new, i + 1
+
+    state, _ = jax.lax.while_loop(
+        lambda c: (c[1] < steps) & jnp.any(c[0].active),
+        wbody, (state, jnp.int32(0)))
     return state
 
 
