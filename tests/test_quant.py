@@ -359,3 +359,32 @@ def test_beam_decode_w8a8_full_stack_agreement():
     for r, g in zip(ref, got):
         agree = sum(a == b for a, b in zip(r, g)) / max(len(r), 1)
         assert agree > 0.6, (r, g)
+
+
+def test_fuse_decoder_qkv_bit_identical():
+    """fuse_decoder_qkv merges Q/K/V into one matmul with bit-identical
+    logits and cache on both float and int8-quantized trees (the serving
+    engines fuse unconditionally when unsharded)."""
+    from whisper_tpu.model.decoder import decode_step, init_cache
+    from whisper_tpu.model.quant import (fuse_decoder_qkv,
+                                         quantize_decoder_weights)
+
+    cfg = micro_config()
+    params = jax.tree.map(jnp.asarray,
+                          params_from_ggml(random_tensors(cfg, seed=3), cfg))
+    rng = np.random.default_rng(0)
+    B, T, C = 3, 4, 16
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (B, T)), jnp.int32)
+    cache = init_cache(cfg, B, ctx=C)
+    shape = (cfg.n_text_layer, B, cfg.n_text_head, cfg.d_head_text, 8)
+    ck = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    cv = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    for tree in (params, quantize_decoder_weights(params)):
+        fused = fuse_decoder_qkv(tree)
+        blocks = fused["decoder"]["blocks"]
+        assert "qkv_w" in blocks and "q_w" not in blocks
+        lg0, c0 = decode_step(tree, toks, jnp.int32(0), cache, ck, cv, cfg)
+        lg1, c1 = decode_step(fused, toks, jnp.int32(0), cache, ck, cv, cfg)
+        np.testing.assert_array_equal(np.asarray(lg0), np.asarray(lg1))
+        np.testing.assert_array_equal(np.asarray(c0.k), np.asarray(c1.k))
+        np.testing.assert_array_equal(np.asarray(c0.v), np.asarray(c1.v))

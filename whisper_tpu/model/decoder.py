@@ -133,9 +133,18 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
 
     # ---- causal self-attention over the cache ----
     y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
-    q = split_heads(_plinear(y, blk, "q_w", "q_b"), h)           # (B,H,T,D)
-    k_new = to_kv_major(_plinear(y, blk, "k_w"), h)              # (B,H,D,T); no bias
-    v_new = to_kv_major(_plinear(y, blk, "v_w", "v_b"), h)
+    if "qkv_w" in blk:
+        # fused single Q/K/V matmul (model.quant.fuse_decoder_qkv): shaves
+        # two fusions off the row-independent per-layer sequencing floor.
+        n = h * d
+        qkv = _plinear(y, blk, "qkv_w", "qkv_b")
+        q = split_heads(qkv[..., :n], h)                         # (B,H,T,D)
+        k_new = to_kv_major(qkv[..., n:2 * n], h)                # (B,H,D,T)
+        v_new = to_kv_major(qkv[..., 2 * n:], h)
+    else:
+        q = split_heads(_plinear(y, blk, "q_w", "q_b"), h)       # (B,H,T,D)
+        k_new = to_kv_major(_plinear(y, blk, "k_w"), h)          # (B,H,D,T); no bias
+        v_new = to_kv_major(_plinear(y, blk, "v_w", "v_b"), h)
 
     from .quant import QuantKV, _quantize_one, quant_sdpa
 

@@ -137,6 +137,40 @@ def quantize_weight(w: jnp.ndarray):
     return q, scale.astype(jnp.float32)
 
 
+def fuse_decoder_qkv(params: dict) -> dict:
+    """Concatenate each decoder block's self-attention Q/K/V projections
+    into ONE (3*n_state, n_state) matmul ("qkv_w"/"qkv_b", + "qkv_w_scale"
+    when the tree is int8-quantized), removing the separate entries.
+
+    Motivation (scripts/itemize_decode_floor.py): the decode step's cost is
+    dominated by a ~0.5 ms/LAYER row-independent per-fusion sequencing
+    overhead, so merging three small matmul fusions into one shaves fixed
+    cost, not FLOPs. Numerics are bit-identical: each output channel's dot
+    product is unchanged by concatenating along the OUTPUT axis (quantize
+    BEFORE fusing — per-out-channel scales concatenate exactly), and K's
+    missing bias becomes explicit zeros.
+
+    Only for UNSHARDED serving params: parallel/sharding.param_pspecs has no
+    spec for the fused entry (tp shards Q/K/V per head; a concatenated out
+    axis would stripe across them).
+    """
+    out = dict(params)
+    dec = dict(params["decoder"])
+    blocks = dict(dec["blocks"])
+    q_w, k_w, v_w = blocks.pop("q_w"), blocks.pop("k_w"), blocks.pop("v_w")
+    q_b, v_b = blocks.pop("q_b"), blocks.pop("v_b")
+    blocks["qkv_w"] = jnp.concatenate([q_w, k_w, v_w], axis=-2)
+    blocks["qkv_b"] = jnp.concatenate([q_b, jnp.zeros_like(q_b), v_b],
+                                      axis=-1)
+    if "q_w_scale" in blocks:
+        blocks["qkv_w_scale"] = jnp.concatenate(
+            [blocks.pop("q_w_scale"), blocks.pop("k_w_scale"),
+             blocks.pop("v_w_scale")], axis=-1)
+    dec["blocks"] = blocks
+    out["decoder"] = dec
+    return out
+
+
 def quantize_decoder_weights(params: dict) -> dict:
     """Return params with the decoder's matmul weights in int8 (+ scales).
 

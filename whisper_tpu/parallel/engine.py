@@ -304,6 +304,15 @@ class SlotEngine:
                 for leaf in jax.tree.leaves(model.params))
             self.params = (model.params if already
                            else shard_params(model.params, mesh))
+        else:
+            # Unsharded serving: fuse each block's Q/K/V into one matmul —
+            # bit-identical outputs, two fewer fusions on the per-layer
+            # sequencing floor (quant.fuse_decoder_qkv; tp keeps the split
+            # weights — the specs shard Q/K/V by head).
+            from ..model.quant import fuse_decoder_qkv
+
+            if "qkv_w" not in self.params["decoder"]["blocks"]:
+                self.params = fuse_decoder_qkv(self.params)
         self.chunk_steps = chunk_steps
         self.options = options or DecodingOptions()
         self.quantize = quantize  # int8 cross pool + KV pool (serving mode)

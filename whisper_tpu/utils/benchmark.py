@@ -265,6 +265,11 @@ def run_benchmark(
         from ..model.quant import quantize_encoder_weights
 
         model.params = jax.jit(quantize_encoder_weights)(model.params)
+    # fused QKV: two fewer fusions/layer on the per-layer sequencing floor
+    # (quantize FIRST — per-out-channel scales then concatenate exactly)
+    from ..model.quant import fuse_decoder_qkv
+
+    model.params = fuse_decoder_qkv(model.params)
 
     rng = np.random.default_rng(0)
     window_sec = 30.0
