@@ -45,7 +45,7 @@ from whisper_tpu.model.quant import quantize_decoder_weights
 from whisper_tpu.parallel.beam_engine import BeamEngineState, _decode_chunk_beam
 from whisper_tpu.parallel.beam_engine import BeamSlotEngine
 
-N_SLOTS = 24
+N_SLOTS = int(os.environ.get("SLOTS", "24"))
 K = 5
 CHUNK = 16
 MAX_NEW = int(os.environ.get("MAX_NEW", "64"))  # 88 -> pool_ctx 128 (cowk)
@@ -147,6 +147,15 @@ def _chunk_body(params, state, cross_k, cross_v, sup_mask, blank_mask,
                 cache_k, cache_v = jax.lax.cond(
                     is_ident, lambda a: (a[0], a[1]), _cow,
                     (st.cache_k, st.cache_v, copy_src))
+        elif variant == "span":
+            # Loop-level cow over only the first `span` context columns,
+            # span bucketed by lax.switch (production helper): forks happen
+            # in a group's YOUTH (small n_past), so the gather/writeback
+            # touches a fraction of the pool.
+            from whisper_tpu.parallel.beam_engine import span_cow
+
+            cache_k, cache_v = span_cow(
+                st.cache_k, st.cache_v, copy_src, n_past_rows)
         else:
             cache_k, cache_v = st.cache_k, st.cache_v
 

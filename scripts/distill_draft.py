@@ -124,6 +124,7 @@ def main():
     print(f"pseudo-labels: {len(data)*BATCH} windows in "
           f"{time.perf_counter()-t0:.1f}s; {uniq} unique transcripts",
           flush=True)
+    print(f"label row 0 head: {all_rows[0][:16].tolist()}", flush=True)
 
     held = []
     for w in range(4):
@@ -144,7 +145,10 @@ def main():
     opt_state = optimizer.init(student_dec)
     kl_weight, ce_weight, temperature = 1.0, 0.8, 2.0
 
-    def loss_fn(student_dec, hidden, rows, mask):
+    # NB: the teacher decoder is a jit ARGUMENT everywhere below — closure-
+    # capturing multi-GB constants breaks the axon remote-compile transport
+    # (HTTP 413 / broken pipe, CLAUDE.md).
+    def loss_fn(student_dec, teacher_dec, hidden, rows, mask):
         """distill.distill_loss on a PRECOMPUTED frozen hidden state."""
         s_ck, s_cv = cross_memory(hidden, student_dec["blocks"], s_cfg)
         t_ck, t_cv = jax.lax.stop_gradient(
@@ -165,30 +169,34 @@ def main():
                 + kl_weight * (kl * m).sum() / denom)
 
     @jax.jit
-    def step_fn(student_dec, opt_state, hidden, rows, mask):
+    def step_fn(student_dec, teacher_dec, opt_state, hidden, rows, mask):
         loss, grads = jax.value_and_grad(loss_fn)(
-            student_dec, hidden, rows, mask)
+            student_dec, teacher_dec, hidden, rows, mask)
         updates, opt_state = optimizer.update(grads, opt_state, student_dec)
         return optax.apply_updates(student_dec, updates), opt_state, loss
 
     @jax.jit
-    def acceptance(student_dec, hidden, rows, mask):
-        """Teacher-forced argmax agreement (sampled positions): the
-        per-position probability a drafted token survives verification."""
+    def acceptance(student_dec, teacher_dec, hidden, rows, mask):
+        """Teacher-forced RULE-FILTERED argmax agreement with the labels:
+        the spec loop (decoding/device_speculative.py) argmaxes BOTH models
+        through _apply_rules_device, and the labels ARE the teacher's
+        rule-filtered decode — so the per-position acceptance probability is
+        P(student filtered argmax == next label token). A raw-argmax
+        comparison is wrong here: on random weights the teacher's raw
+        argmax is a SUPPRESSED token at every position (measured: agreement
+        stays 0.000 while the student fits the labels perfectly)."""
+        del teacher_dec
         ck, cv = cross_memory(hidden, student_dec["blocks"], s_cfg)
-        t_ck, t_cv = cross_memory(hidden, teacher_dec["blocks"], cfg)
         s_log = decoder_forward_train({"decoder": student_dec}, rows[:, :-1],
                                       ck, cv, s_cfg)
-        t_log = decoder_forward_train({"decoder": teacher_dec}, rows[:, :-1],
-                                      t_ck, t_cv, cfg)
+        filt = jnp.where(sup[None, None], -jnp.inf, s_log)
         m = mask[:, 1:].astype(jnp.float32)
         m = m.at[:, : len(init) - 1].set(0)
-        agree = (jnp.argmax(s_log, -1) == jnp.argmax(t_log, -1)).astype(
-            jnp.float32)
+        agree = (jnp.argmax(filt, -1) == rows[:, 1:]).astype(jnp.float32)
         return (agree * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     def held_acc():
-        return float(np.mean([float(acceptance(student_dec, *h))
+        return float(np.mean([float(acceptance(student_dec, teacher_dec, *h))
                               for h in held]))
 
     print(f"acceptance before training: {held_acc():.3f}", flush=True)
@@ -196,7 +204,7 @@ def main():
     for it in range(steps):
         hidden, rows, mask = data[it % len(data)]
         student_dec, opt_state, loss = step_fn(
-            student_dec, opt_state, hidden, rows, mask)
+            student_dec, teacher_dec, opt_state, hidden, rows, mask)
         if (it + 1) % 100 == 0:
             print(f"step {it+1}/{steps} loss {float(loss):.4f} "
                   f"held-acc {held_acc():.3f} "

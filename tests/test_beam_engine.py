@@ -150,3 +150,38 @@ def test_beam_engine_streams_rejects_mismatched_beam(model):
     with pytest.raises(ValueError):
         engine.transcribe_streams([_audios(1)[0]],
                                   TranscribeOptions(beam_size=None))
+
+
+def test_span_cow_prefix_semantics():
+    """span_cow copies only the live column prefix of forked rows: forked
+    rows' first max-forked-n_past columns come from the source row, their
+    tail keeps the old bytes (never read), unforked rows are untouched."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.parallel.beam_engine import span_cow
+
+    rng = np.random.default_rng(0)
+    B, L, H, D, C = 6, 2, 2, 4, 40
+    k = jnp.asarray(rng.standard_normal((B, L, H, D, C)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, L, H, D, C)).astype(np.float32))
+    # rows 2,3 fork from row 0; n_past 7 for their group, 30 elsewhere
+    src = jnp.asarray([0, 1, 0, 0, 4, 5], jnp.int32)
+    n_past = jnp.asarray([7, 7, 7, 7, 30, 30], jnp.int32)
+    ck, cv = span_cow(k, v, src, n_past, buckets=(8, 16))
+    ck, cv = np.asarray(ck), np.asarray(cv)
+    span = 8  # max forked n_past = 7 -> bucket 8
+    for b, s in enumerate([0, 1, 0, 0, 4, 5]):
+        np.testing.assert_array_equal(ck[b, ..., :span],
+                                      np.asarray(k)[s, ..., :span])
+        np.testing.assert_array_equal(ck[b, ..., span:],
+                                      np.asarray(k)[b, ..., span:])
+        np.testing.assert_array_equal(cv[b, ..., :span],
+                                      np.asarray(v)[s, ..., :span])
+    # identity src -> branch 0, bit-identical buffers
+    ident = jnp.arange(B, dtype=jnp.int32)
+    ck2, cv2 = span_cow(k, v, ident, n_past, buckets=(8, 16))
+    np.testing.assert_array_equal(np.asarray(ck2), np.asarray(k))
+    # forks at large n_past take the full-C bucket
+    src3 = jnp.asarray([4, 1, 2, 3, 0, 5], jnp.int32)
+    ck3, _ = span_cow(k, v, src3, n_past, buckets=(8, 16))
+    np.testing.assert_array_equal(np.asarray(ck3)[0], np.asarray(k)[4])

@@ -21,6 +21,7 @@ Token-identical to the fused single-segment beam loop per stream
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -37,6 +38,53 @@ from ..model.decoder import KVCache, decode_step, init_cache
 from .engine import SlotEngine, _encode_prefill, _under_mesh
 
 NEG = jnp.float32(-1e30)
+
+# Chunk fork-copy implementation: "span" (loop-level, span-bucketed) or
+# "fused" (per-layer permute riding decode_step). Measured table in
+# _decode_chunk_beam.
+_COW_IMPL = os.environ.get("WHISPER_TPU_BEAM_COW", "fused")
+
+
+def span_cow(cache_k, cache_v, copy_src, n_past_rows,
+             buckets=(16, 32, 48, 64, 96)):
+    """Loop-level beam fork copy over only the first ``span`` context
+    columns, ``span`` bucketed by ``lax.switch``.
+
+    Beam forks concentrate in a group's YOUTH (the lockstep loop's identity
+    cond skips 83% of steps; under continuous batching some group is always
+    young), and a young group's rows only have ``n_past`` valid columns —
+    so the gather/writeback needs to touch max(n_past over forked rows)
+    columns, not the whole pool. Columns >= span of a forked row keep the
+    previous occupant's bytes: never read (attention masks keys at the
+    row's n_past) and overwritten by later appends.
+
+    Branch 0 is identity (no row forked); the others gather rows of the
+    ``[:b]`` column prefix and write it back in place.
+    """
+    Sk = copy_src.shape[0]
+    forked = copy_src != jnp.arange(Sk, dtype=copy_src.dtype)
+    span = jnp.max(jnp.where(forked, n_past_rows, 0))
+    C = jax.tree.leaves(cache_k)[0].shape[-1]
+    bs = [b for b in buckets if b < C] + [C]
+    idx = jnp.where(span == 0, 0,
+                    jnp.searchsorted(jnp.asarray(bs), span) + 1)
+
+    def mk(b):
+        def f(args):
+            ck, cv, src = args
+
+            def one(t):
+                def leaf(a):
+                    head = jax.lax.slice_in_dim(a, 0, b, axis=-1)
+                    head = jnp.take(head, src, axis=0)
+                    return jax.lax.dynamic_update_slice(
+                        a, head, (0,) * a.ndim)
+                return jax.tree.map(leaf, t)
+            return one(ck), one(cv)
+        return f
+
+    branches = [lambda a: (a[0], a[1])] + [mk(b) for b in bs]
+    return jax.lax.switch(idx, branches, (cache_k, cache_v, copy_src))
 
 
 from typing import NamedTuple
@@ -165,11 +213,19 @@ def _decode_chunk_beam(
         # custom call. The fused per-layer gather rides the attention read
         # the step already does; only the slice writeback is new traffic.
         n_past_rows = jnp.repeat(st.n_past, k)
-        lg, new_cache = decode_step(
-            params, nt_phys[:, None], n_past_rows,
-            KVCache(st.cache_k, st.cache_v), cross_k, cross_v, cfg,
-            permute_rows=copy_src,
-        )
+        if _COW_IMPL == "span":
+            ck_cow, cv_cow = span_cow(
+                st.cache_k, st.cache_v, copy_src, n_past_rows)
+            lg, new_cache = decode_step(
+                params, nt_phys[:, None], n_past_rows,
+                KVCache(ck_cow, cv_cow), cross_k, cross_v, cfg,
+            )
+        else:
+            lg, new_cache = decode_step(
+                params, nt_phys[:, None], n_past_rows,
+                KVCache(st.cache_k, st.cache_v), cross_k, cross_v, cfg,
+                permute_rows=copy_src,
+            )
         new_step = st.step + jnp.where(act, 1, 0)
         still = act & (new_step < st.max_new_row) & ~(fin_c >= k)
         new = BeamEngineState(

@@ -171,6 +171,12 @@ def load_draft(path: str, teacher_params: dict, teacher_cfg: WhisperConfig,
         for p in parts[:-1]:
             d = d.setdefault(p, {})
         arr = flat[k]
+        if arr.dtype == np.dtype("V2"):
+            # np.savez stores ml_dtypes.bfloat16 as raw 2-byte void records
+            # and np.load cannot cast them; reinterpret explicitly.
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
         d[parts[-1]] = jnp.asarray(arr, dtype=dtype or arr.dtype)
     cfg = student_config(teacher_cfg, n_layer)
     return {"encoder": teacher_params["encoder"], "decoder": dec}, cfg
