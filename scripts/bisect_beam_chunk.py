@@ -147,6 +147,15 @@ def _chunk_body(params, state, cross_k, cross_v, sup_mask, blank_mask,
                 cache_k, cache_v = jax.lax.cond(
                     is_ident, lambda a: (a[0], a[1]), _cow,
                     (st.cache_k, st.cache_v, copy_src))
+        elif variant.startswith("bounded"):
+            # Loop-level EXACT bounded row copy: only rows with
+            # copy_src != identity move, in while_loop passes of M rows
+            # (0 passes when nothing forks). boundedNN sets M=NN.
+            from whisper_tpu.parallel.beam_engine import bounded_cow_rows
+
+            m = int(variant[len("bounded"):] or "48")
+            cache_k, cache_v, _cnt = bounded_cow_rows(
+                st.cache_k, st.cache_v, copy_src, m, Sk - 1)
         elif variant == "span":
             # Loop-level cow over only the first `span` context columns,
             # span bucketed by lax.switch (production helper): forks happen
@@ -159,7 +168,29 @@ def _chunk_body(params, state, cross_k, cross_v, sup_mask, blank_mask,
         else:
             cache_k, cache_v = st.cache_k, st.cache_v
 
-        if variant in ("fused", "fusedwhile"):
+        if variant == "scalarnp":
+            # WRONG results — floor probe: same shapes with a SCALAR n_past
+            # (no per-row pe gather / ragged mask / per-row scatter append).
+            # Separates raggedness cost from carry-layout cost in the
+            # engine-chunk-vs-lockstep floor gap.
+            lg, new_cache = decode_step(
+                params, nt_phys[:, None], jnp.int32(48),
+                KVCache(cache_k, cache_v), cross_k, cross_v, cfg)
+        elif variant == "fuseddefer":
+            # production since late r4: fused per-layer permute + DEFERRED
+            # appends (one scatter per buffer per step instead of
+            # 4 x n_layer ragged scatters)
+            lg, new_cache = decode_step(
+                params, nt_phys[:, None], n_past_rows,
+                KVCache(cache_k, cache_v), cross_k, cross_v, cfg,
+                permute_rows=copy_src, defer_append=True)
+        elif variant == "plaindefer":
+            # WRONG results (no cow): the floor with deferred appends
+            lg, new_cache = decode_step(
+                params, nt_phys[:, None], n_past_rows,
+                KVCache(cache_k, cache_v), cross_k, cross_v, cfg,
+                defer_append=True)
+        elif variant in ("fused", "fusedwhile"):
             lg, new_cache = decode_step(
                 params, nt_phys[:, None], n_past_rows,
                 KVCache(cache_k, cache_v), cross_k, cross_v, cfg,
@@ -196,7 +227,8 @@ def _chunk_body(params, state, cross_k, cross_v, sup_mask, blank_mask,
             no_speech=st.no_speech,
             max_new_row=st.max_new_row,
         )
-        return new, None
+        ys = _cnt if variant.startswith("bounded") else None
+        return new, ys
 
     if variant.endswith("while"):
         # lockstep-loop structure: does XLA pick the batch-minor carry (as
@@ -209,9 +241,11 @@ def _chunk_body(params, state, cross_k, cross_v, sup_mask, blank_mask,
 
         state, _ = jax.lax.while_loop(
             lambda c: c[1] < steps, wbody, (state, jnp.int32(0)))
-        return state
-    state, _ = jax.lax.scan(body, state, None, length=steps)
-    return state
+        return state, jnp.zeros((steps,), jnp.int32)
+    state, ys = jax.lax.scan(body, state, None, length=steps)
+    if ys is None:
+        ys = jnp.zeros((steps,), jnp.int32)
+    return state, ys
 
 
 chunk_variant = jax.jit(
@@ -249,7 +283,7 @@ def make_pinned(template_state):
         static_argnums=(6, 7, 8, 9, 10, 11),
         donate_argnums=(1,),
         in_shardings=(None, fmt_state, None, None, None, None),
-        out_shardings=fmt_state)
+        out_shardings=(fmt_state, None))
 
     def pin_state(state):
         put = lambda t: jax.tree.map(
@@ -291,11 +325,12 @@ def main():
             jf, body_variant = pinned_jit, "prod"
         else:
             jf, body_variant = chunk_variant, variant
-        engine._state = jf(
+        engine._state, cnts = jf(
             engine.params, engine._state,
             engine._cross_pool_k, engine._cross_pool_v,
             engine.sup_mask, engine.blank_mask, engine.cfg,
             CHUNK, K, True, engine.max_initial_index, body_variant)
+        run.last_cnts = cnts
         return engine._state.n_past
 
     def prep(variant):
@@ -338,13 +373,20 @@ def main():
     # is knowingly wrong and excluded)
     ref = None
     for v in variants:
-        if v == "identity":
+        if v in ("identity", "scalarnp", "plaindefer"):
             continue
         prep(v)
         run(v)
+        c1 = run.last_cnts
         run(v)
         got = jax.device_get((engine._state.tokens, engine._state.sum_lp,
                               engine._state.fin_count))
+        if v.startswith("bounded"):
+            cnts = np.concatenate([jax.device_get(c1),
+                                   jax.device_get(run.last_cnts)])
+            print(f"  copies/step [{v}] max={cnts.max()} "
+                  f"mean={cnts.mean():.1f} steps0-31={cnts.tolist()}",
+                  flush=True)
         if ref is None:
             ref, refv = got, v
             continue

@@ -185,3 +185,87 @@ def test_span_cow_prefix_semantics():
     src3 = jnp.asarray([4, 1, 2, 3, 0, 5], jnp.int32)
     ck3, _ = span_cow(k, v, src3, n_past, buckets=(8, 16))
     np.testing.assert_array_equal(np.asarray(ck3)[0], np.asarray(k)[4])
+
+
+def test_bounded_cow_rows_exact():
+    """bounded_cow_rows == a full jnp.take row permute for cow-shaped
+    copy_src (sources are never destinations), for every relation between
+    the fork count and the pass size m: cnt == 0 (zero passes), cnt < m,
+    cnt == m, cnt > m (multiple passes), and QuantKV pytree leaves."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.model.quant import QuantKV
+    from whisper_tpu.parallel.beam_engine import bounded_cow_rows
+
+    rng = np.random.default_rng(1)
+    B, L, H, D, C = 10, 2, 2, 4, 12
+    trash = B - 1
+
+    def bufs():
+        k = jnp.asarray(rng.standard_normal((B, L, H, D, C)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, L, H, D, C)).astype(np.float32))
+        return k, v
+
+    cases = [
+        (list(range(B)), 0),                      # identity: zero copies
+        ([0, 1, 0, 3, 4, 5, 6, 7, 8, 9], 1),      # 1 fork
+        ([0, 1, 0, 0, 4, 4, 6, 6, 8, 9], 4),      # cnt == m for m=4
+        ([0, 0, 0, 0, 4, 4, 4, 7, 7, 9], 6),      # cnt > m: multi-pass
+    ]
+    for m in (2, 4, 8):
+        for src_list, cnt_want in cases:
+            src = jnp.asarray(src_list, jnp.int32)
+            k, v = bufs()
+            ck, cv, cnt = bounded_cow_rows(k, v, src, m, trash)
+            assert int(cnt) == cnt_want
+            np.testing.assert_array_equal(np.asarray(ck),
+                                          np.asarray(jnp.take(k, src, axis=0)))
+            np.testing.assert_array_equal(np.asarray(cv),
+                                          np.asarray(jnp.take(v, src, axis=0)))
+
+    # QuantKV pytrees: data + scale leaves both move.
+    src = jnp.asarray([0, 0, 2, 2, 4, 5, 6, 7, 8, 9], jnp.int32)
+    k, v = bufs()
+    qk = QuantKV(jnp.round(k * 10).astype(jnp.int8),
+                 jnp.abs(jnp.asarray(
+                     rng.standard_normal((B, L, H, C)).astype(np.float32))))
+    qv = QuantKV(jnp.round(v * 10).astype(jnp.int8),
+                 jnp.abs(jnp.asarray(
+                     rng.standard_normal((B, L, H, C)).astype(np.float32))))
+    ck, cv, cnt = bounded_cow_rows(qk, qv, src, 2, trash)
+    assert int(cnt) == 2
+    for got, ref in ((ck, qk), (cv, qv)):
+        np.testing.assert_array_equal(
+            np.asarray(got.data), np.asarray(jnp.take(ref.data, src, axis=0)))
+        np.testing.assert_array_equal(
+            np.asarray(got.scale), np.asarray(jnp.take(ref.scale, src, axis=0)))
+
+
+def test_bounded_cow_rows_in_jit_scan():
+    """bounded_cow_rows must trace inside a scanned/jitted chunk body (the
+    while_loop pass count is data-dependent; shapes are static)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.parallel.beam_engine import bounded_cow_rows
+
+    B = 8
+
+    @jax.jit
+    def step(k, v, src):
+        def body(carry, s):
+            ck, cv = carry
+            ck, cv, _ = bounded_cow_rows(ck, cv, s, 3, B - 1)
+            return (ck, cv), None
+        (k, v), _ = jax.lax.scan(body, (k, v), src)
+        return k, v
+
+    rng = np.random.default_rng(2)
+    k = jnp.asarray(rng.standard_normal((B, 2, 3, 4)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, 2, 3, 4)).astype(np.float32))
+    # two steps: fork 1<-0 then 5<-4 (cow-shaped each step)
+    src = jnp.asarray([[0, 0, 2, 3, 4, 5, 6, 7],
+                       [0, 1, 2, 3, 4, 4, 6, 7]], jnp.int32)
+    ck, cv = step(k, v, src)
+    ref_k = jnp.take(jnp.take(k, src[0], axis=0), src[1], axis=0)
+    np.testing.assert_array_equal(np.asarray(ck), np.asarray(ref_k))

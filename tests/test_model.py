@@ -178,3 +178,77 @@ def test_decode_step_fused_permute_rows_matches_take():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cache_f.v), np.asarray(cache_r.v),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("permute", [False, True])
+def test_decode_step_defer_append_matches_direct(quant, permute):
+    """decode_step(defer_append=True) — logit-space patching of the current
+    token plus ONE post-scan scatter — must match the direct per-layer
+    append path: identical logits (up to f32 sum-ordering of one softmax
+    term) and an identical cache image at every valid column. Ragged rows
+    (different n_past per row) and the fused permute_rows combination are
+    exactly the serving-engine chunk configuration."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fixtures import micro_config
+    from whisper_tpu.model.decoder import KVCache, decode_step, init_cache
+    from whisper_tpu.model.encoder import encode
+    from whisper_tpu.model.load import random_model
+    from whisper_tpu.model.quant import init_quant_cache, quantize_decoder_weights
+
+    cfg = micro_config()
+    model = random_model(cfg, seed=7, on_device=False)
+    params = jax.jit(quantize_decoder_weights)(model.params) if quant else model.params
+    B, CTX = 5, 12
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    enc = encode(params, mel, cfg)
+
+    if quant:
+        cache = KVCache(*init_quant_cache(cfg, B, ctx=CTX))
+    else:
+        cache = init_cache(cfg, B, ctx=CTX)
+    # ragged history: prefill 3 tokens everywhere, then pretend rows sit at
+    # different depths (rows beyond a row's n_past are zeros, never read)
+    toks = jnp.asarray(rng.integers(0, 1000, (B, 3)), jnp.int32)
+    _, cache = decode_step(params, toks, jnp.int32(0), cache,
+                           enc.cross_k, enc.cross_v, cfg)
+    n_past = jnp.asarray(np.array([3, 1, 2, 3, 0], np.int32))
+    nxt = jnp.asarray(rng.integers(0, 1000, (B, 1)), jnp.int32)
+    rows = jnp.asarray(np.array([2, 2, 0, 4, 3], np.int32)) if permute else None
+
+    lg_d, cache_d = decode_step(params, nxt, n_past, cache,
+                                enc.cross_k, enc.cross_v, cfg,
+                                permute_rows=rows, defer_append=True)
+    lg_r, cache_r = decode_step(params, nxt, n_past, cache,
+                                enc.cross_k, enc.cross_v, cfg,
+                                permute_rows=rows)
+    np.testing.assert_allclose(np.asarray(lg_d), np.asarray(lg_r),
+                               rtol=1e-4, atol=1e-4)
+
+    # cache parity at VALID columns only (col <= row's n_past after append)
+    valid = (np.arange(CTX)[None, :] <= np.asarray(n_past)[:, None])
+    def check(a, b, exact):
+        a, b = np.asarray(a), np.asarray(b)
+        m = valid.reshape(B, 1, 1, 1, CTX)
+        a = np.where(m, a.astype(np.float32), 0)
+        b = np.where(m, b.astype(np.float32), 0)
+        if exact:
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    if quant:
+        check(cache_d.k.data, cache_r.k.data, exact=True)
+        check(cache_d.v.data, cache_r.v.data, exact=True)
+        mv = valid.reshape(B, 1, 1, CTX)
+        np.testing.assert_array_equal(
+            np.where(mv, np.asarray(cache_d.k.scale), 0),
+            np.where(mv, np.asarray(cache_r.k.scale), 0))
+    else:
+        check(cache_d.k, cache_r.k, exact=False)
+        check(cache_d.v, cache_r.v, exact=False)

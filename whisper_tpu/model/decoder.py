@@ -87,6 +87,71 @@ def _kvmajor_sdpa(q, k, v, mask, scale):
     return jnp.einsum("bhtc,bhdc->bhtd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _deferred_sdpa(q, k_slice, v_slice, k_new, v_new, n_past, scale):
+    """T=1 RAGGED self-attention where the current token's K/V are NOT yet
+    written to the cache slice (decode_step defer_append): history logits
+    come from the slice, the current column is patched in LOGIT space
+    (``lnew`` is exactly what the stored column would produce), and the
+    current V rides as a rank-1 correction after the PV product. Masked
+    history probabilities are exactly 0 (f32 exp(-1e30 - max) underflows),
+    so the split product equals the stored-column product up to f32 sum
+    ordering of one term.
+
+    q (B,H,1,D); k_slice/v_slice (B,H,D,C); k_new/v_new (B,H,D,1);
+    n_past (B,).
+    """
+    key_pos = jnp.arange(k_slice.shape[-1])[None]            # (1, C)
+    np_b = n_past[:, None]                                   # (B, 1)
+    hist = (key_pos < np_b)[:, None, None]                   # (B,1,1,C)
+    cur = (key_pos == np_b)[:, None, None]
+    logits = jnp.einsum("bhtd,bhdc->bhtc", q, k_slice,
+                        preferred_element_type=jnp.float32) * scale
+    lnew = jnp.einsum("bhtd,bhd->bht", q, k_new[..., 0],
+                      preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(cur, lnew[..., None], logits)
+    logits = jnp.where(hist | cur, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    ph = jnp.where(hist, probs, 0).astype(v_slice.dtype)
+    o = jnp.einsum("bhtc,bhdc->bhtd", ph, v_slice,
+                   preferred_element_type=jnp.float32)
+    # Current-column V correction replicates _kvmajor_sdpa's rounding for
+    # the stored column: probs cast to the V dtype before the f32-accum
+    # product (keeps deferred ≡ direct beyond mere tolerance).
+    p_cur = jnp.sum(jnp.where(cur, probs, 0), axis=-1)       # (B,H,1)
+    pc = p_cur.astype(v_slice.dtype).astype(jnp.float32)
+    o = o + pc[..., None] * v_new[..., 0][:, :, None, :].astype(jnp.float32)
+    return o.astype(q.dtype)
+
+
+def _deferred_quant_sdpa(qs, ck, cv, k8, v8, n_past, out_dtype):
+    """int8-cache variant of ``_deferred_sdpa`` (per-position scales fold
+    into the products exactly as quant.qk_logits/pv_out do)."""
+    from .quant import qk_logits
+
+    key_pos = jnp.arange(ck.data.shape[-1])[None]
+    np_b = n_past[:, None]
+    hist = (key_pos < np_b)[:, None, None]
+    cur = (key_pos == np_b)[:, None, None]
+    logits = qk_logits(qs, ck)                               # (B,H,1,C) f32
+    lnew = jnp.einsum("bhtd,bhd->bht", qs, k8.data[..., 0].astype(qs.dtype),
+                      preferred_element_type=jnp.float32) * k8.scale
+    logits = jnp.where(cur, lnew[..., None], logits)
+    logits = jnp.where(hist | cur, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    ph = (jnp.where(hist, probs, 0) * cv.scale[:, :, None, :]).astype(
+        jnp.bfloat16)
+    o = jnp.einsum("bhtc,bhdc->bhtd", ph, cv.data.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    # Current-column V correction replicates pv_out's rounding for the
+    # stored column: (prob * scale) rounds to bf16 BEFORE multiplying the
+    # int8 value (exact in f32), so deferred ≡ direct up to one f32 sum
+    # reordering instead of a ~2^-9 systematic gain difference.
+    p_cur = jnp.sum(jnp.where(cur, probs, 0), axis=-1)       # (B,H,1)
+    pc = (p_cur * v8.scale).astype(jnp.bfloat16).astype(jnp.float32)
+    o = o + pc[..., None] * v8.data[..., 0].astype(jnp.float32)[:, :, None, :]
+    return o.astype(out_dtype)
+
+
 def to_kv_major(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     """(..., T, S) -> (..., H, D, T)."""
     *lead, t, s = x.shape
@@ -111,7 +176,7 @@ def _plinear(y, blk, name, bias_name=None):
 
 def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
                    cfg: WhisperConfig, return_cross_probs: bool = False,
-                   permute_rows=None):
+                   permute_rows=None, defer_append: bool = False):
     """One decoder block. The KV cache is the FULL (B,L,H,D,C) buffer, updated
     in place at (:, layer, ..., n_past) — threading one buffer through the
     layer scan's carry lets XLA keep every update in-place instead of copying
@@ -210,7 +275,50 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
         offs = (0, layer) + (0,) * (buf.ndim - 2)
         return jax.lax.dynamic_update_slice(buf, sl[:, None], offs)
 
-    if isinstance(ck_all, QuantKV):
+    deferred = None
+    if defer_append:
+        # Ragged T=1 serving steps: do NOT write K/V into the cache here.
+        # The per-layer ragged scatter is latency-bound (4 scatters x
+        # n_layer per step measured ~7.5 ms/step on v5e at 165 rows —
+        # scripts/bisect_beam_chunk.py 'scalarnp' probe); instead the new
+        # column is patched into the attention in logit space and all
+        # layers' K/V scatter ONCE per step in decode_step after the scan.
+        if not (ragged and T == 1):
+            raise ValueError("defer_append requires ragged n_past and T=1")
+        if isinstance(ck_all, QuantKV):
+            k8 = _quantize_one(k_new)
+            v8 = _quantize_one(v_new)
+            if permute_rows is not None:
+                gather = lambda a: jnp.take(a, permute_rows, axis=0)
+                ck = QuantKV(gather(_slice_l(ck_all.data)),
+                             gather(_slice_l(ck_all.scale)))
+                cv = QuantKV(gather(_slice_l(cv_all.data)),
+                             gather(_slice_l(cv_all.scale)))
+                ck_all = QuantKV(_writeback(ck_all.data, ck.data),
+                                 _writeback(ck_all.scale, ck.scale))
+                cv_all = QuantKV(_writeback(cv_all.data, cv.data),
+                                 _writeback(cv_all.scale, cv.scale))
+            else:
+                ck = QuantKV(_slice_l(ck_all.data), _slice_l(ck_all.scale))
+                cv = QuantKV(_slice_l(cv_all.data), _slice_l(cv_all.scale))
+            o = _deferred_quant_sdpa(q * (d ** -0.5), ck, cv, k8, v8,
+                                     n_past, x.dtype)
+            deferred = (k8, v8)
+        else:
+            kn = k_new.astype(ck_all.dtype)
+            vn = v_new.astype(cv_all.dtype)
+            if permute_rows is not None:
+                gather = lambda a: jnp.take(a, permute_rows, axis=0)
+                ck = gather(_slice_l(ck_all))
+                cv = gather(_slice_l(cv_all))
+                ck_all = _writeback(ck_all, ck)
+                cv_all = _writeback(cv_all, cv)
+            else:
+                ck = _slice_l(ck_all)
+                cv = _slice_l(cv_all)
+            o = _deferred_sdpa(q, ck, cv, kn, vn, n_past, d ** -0.5)
+            deferred = (kn, vn)
+    elif isinstance(ck_all, QuantKV):
         # int8 cache: quantize the appended positions, update data + scale.
         k8 = _quantize_one(k_new)
         v8 = _quantize_one(v_new)
@@ -318,10 +426,12 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
     x = x + _plinear(y, blk, "mlp1_w", "mlp1_b")
     if return_cross_probs:
         return x, ck_all, cv_all, cross_probs
+    if defer_append:
+        return x, ck_all, cv_all, deferred
     return x, ck_all, cv_all
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "defer_append"))
 def decode_step(
     params: dict,
     tokens: jnp.ndarray,   # (B, T) int32, right-padded
@@ -331,6 +441,7 @@ def decode_step(
     cross_v: jnp.ndarray,
     cfg: WhisperConfig,
     permute_rows=None,     # (B,) int32: fused beam cache reorder (see block)
+    defer_append: bool = False,  # ragged T=1: one scatter/step (see block)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Forward ``T`` new tokens; returns (logits (B, T, n_vocab) f32, cache').
 
@@ -341,6 +452,19 @@ def decode_step(
     ``permute_rows`` reorders the cache by source row (cache' row i derives
     from cache row permute_rows[i]) fused into the per-layer visit — the
     beam loop's alternative to a loop-level full-cache permute.
+
+    ``defer_append`` (ragged T=1 serving chunks only): the per-layer ragged
+    K/V scatter appends are replaced by logit-space patching inside the
+    block and ONE batched scatter per buffer after the layer scan.
+    MEASURED NEGATIVE on TPU — kept as a tested mechanism, NOT used by the
+    engines. v5e, 165 rows, int8 ctx104, one process interleaved
+    (scripts/bisect_beam_chunk.py): plaindefer 31.5 ms/step vs per-layer-
+    append floor 29.4 — the post-scan batched scatter plus the logit-space
+    patch cost MORE than the per-layer scatters they replace (raggedness
+    itself is only 7.4 ms/step: scalar-n_past probe 22.0); with the fused
+    beam permute, fuseddefer 57.4 vs fused 56.7, and the on-chip tokens
+    diverged from the direct path (bf16 tie-breaks across program
+    variants), so it is also not identity-safe for serving.
     """
     from ..parallel.sharding import constrain_cache, constrain_cross
 
@@ -368,18 +492,46 @@ def decode_step(
     def body(carry, xs):
         x, ck_all, cv_all, layer = carry
         blk, xk, xv = xs
-        x, ck_all, cv_all = _decoder_block(
+        out = _decoder_block(
             x, blk, ck_all, cv_all, layer, xk, xv, n_past, cfg,
-            permute_rows=permute_rows,
+            permute_rows=permute_rows, defer_append=defer_append,
         )
-        return (x, ck_all, cv_all, layer + 1), None
+        x, ck_all, cv_all = out[:3]
+        ys = out[3] if defer_append else None
+        return (x, ck_all, cv_all, layer + 1), ys
 
-    (x, new_k, new_v, _), _ = jax.lax.scan(
+    (x, new_k, new_v, _), deferred = jax.lax.scan(
         body,
         (x, cache.k, cache.v, jnp.int32(0)),
         (dec["blocks"], cross_k, cross_v),
         unroll=_SCAN_UNROLL,
     )
+    if defer_append:
+        # ONE batched scatter per buffer: all layers' new K/V columns land
+        # at each row's n_past in a single op (vs 2-4 scatters x n_layer
+        # inside the scan). Stacked ys are (L, B, H, D, 1) / scales
+        # (L, B, H, 1); the cache is batch-leading (B, L, ...).
+        rows = jnp.arange(tokens.shape[0])
+
+        def scat_data(buf, val):          # val (L,B,H,D,1) -> (B,L,H,D)
+            return buf.at[rows, :, :, :, n_past].set(
+                jnp.moveaxis(val[..., 0], 0, 1))
+
+        def scat_scale(buf, val):         # val (L,B,H,1) -> (B,L,H)
+            return buf.at[rows, :, :, n_past].set(
+                jnp.moveaxis(val[..., 0], 0, 1))
+
+        k_def, v_def = deferred
+        from .quant import QuantKV
+
+        if isinstance(new_k, QuantKV):
+            new_k = QuantKV(scat_data(new_k.data, k_def.data),
+                            scat_scale(new_k.scale, k_def.scale))
+            new_v = QuantKV(scat_data(new_v.data, v_def.data),
+                            scat_scale(new_v.scale, v_def.scale))
+        else:
+            new_k = scat_data(new_k, k_def)
+            new_v = scat_data(new_v, v_def)
     x = layer_norm(x, dec["ln_w"], dec["ln_b"])
     logits = jnp.einsum(
         "bts,vs->btv", x, dec["te"].astype(x.dtype), preferred_element_type=jnp.float32

@@ -21,7 +21,6 @@ Token-identical to the fused single-segment beam loop per stream
 from __future__ import annotations
 
 import functools
-import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -39,24 +38,87 @@ from .engine import SlotEngine, _encode_prefill, _under_mesh
 
 NEG = jnp.float32(-1e30)
 
-# Chunk fork-copy implementation: "span" (loop-level, span-bucketed) or
-# "fused" (per-layer permute riding decode_step). Measured table in
-# _decode_chunk_beam.
-_COW_IMPL = os.environ.get("WHISPER_TPU_BEAM_COW", "fused")
+def bounded_cow_rows(cache_k, cache_v, copy_src, m: int, trash_row: int):
+    """Exact loop-level beam fork copy touching only rows that ACTUALLY
+    fork, in fixed-size passes of ``m`` rows.
+
+    ``cow_assign`` already minimizes data movement (a pure permutation of
+    parents updates pointers only), so ``copy_src[r] != r`` holds for just
+    the freshly forked rows — typically a handful per step under staggered
+    admission, yet the fused per-layer permute (decode_step permute_rows)
+    gathers and writes back EVERY row of EVERY layer slice regardless:
+    measured 56.7 ms/step vs a 29.4 no-cow floor at 165 rows int8 ctx104
+    (scripts/bisect_beam_chunk.py). This instead scatters only the forked
+    rows: the cache is batch-leading, so one row is one contiguous
+    (L,H,D,C) span and an m-row gather+scatter is m DMA spans.
+
+    Exactness without `lax.cond` (conds carrying the multi-GB pool pay
+    catastrophic branch-boundary copies — measured 621 ms/step with
+    decode_step inside a cond, 778 with a 5-way switch): a while_loop runs
+    ceil(cnt / m) passes — ZERO passes (no cache traffic at all) when
+    nothing forked, one pass in the common case, more only in fork storms
+    (worst case cnt = (k-1)/k of rows when every group forks maximally in
+    the same step). Conflict-freedom across passes is cow_assign's
+    invariant: copy sources are never destinations.
+
+    ``cache_k``/``cache_v`` are arrays or QuantKV pytrees; ``copy_src``
+    (B,) int32 in physical-row order; padded pass slots copy
+    trash_row->trash_row (the trash group never forks).
+    """
+    n = copy_src.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    need = copy_src != rows
+    cnt = jnp.sum(need.astype(jnp.int32))
+    # Needed rows first, in row order (argsort: False sorts before True).
+    order = jnp.argsort(~need, stable=True).astype(jnp.int32)
+    pad = (-n) % m
+    if pad:
+        order = jnp.concatenate(
+            [order, jnp.full((pad,), trash_row, jnp.int32)])
+
+    def one_pass(j, ck, cv):
+        idx = jax.lax.dynamic_slice_in_dim(order, j * m, m)
+        valid = (jnp.arange(m, dtype=jnp.int32) + j * m) < cnt
+        dst = jnp.where(valid, idx, trash_row)
+        src = jnp.where(valid, copy_src[dst], trash_row)
+        copy = lambda buf: buf.at[dst].set(buf[src])
+        return jax.tree.map(copy, ck), jax.tree.map(copy, cv)
+
+    def cond(c):
+        return c[0] * m < cnt
+
+    def body(c):
+        j, ck, cv = c
+        ck, cv = one_pass(j, ck, cv)
+        return (j + 1, ck, cv)
+
+    _, ck, cv = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cache_k, cache_v))
+    return ck, cv, cnt
 
 
 def span_cow(cache_k, cache_v, copy_src, n_past_rows,
              buckets=(16, 32, 48, 64, 96)):
     """Loop-level beam fork copy over only the first ``span`` context
-    columns, ``span`` bucketed by ``lax.switch``.
+    columns, ``span`` bucketed by ``lax.switch``. MEASURED NEGATIVE on
+    TPU — kept as the recorded experiment (scripts/bisect_beam_chunk.py
+    variant "span"), NOT wired into production.
 
-    Beam forks concentrate in a group's YOUTH (the lockstep loop's identity
-    cond skips 83% of steps; under continuous batching some group is always
-    young), and a young group's rows only have ``n_past`` valid columns —
-    so the gather/writeback needs to touch max(n_past over forked rows)
-    columns, not the whole pool. Columns >= span of a forked row keep the
-    previous occupant's bytes: never read (attention masks keys at the
-    row's n_past) and overwritten by later appends.
+    The idea: beam forks concentrate in a group's YOUTH (the lockstep
+    loop's identity cond skips 83% of steps; under continuous batching
+    some group is always young), and a young group's rows only have
+    ``n_past`` valid columns — so the gather/writeback needs to touch
+    max(n_past over forked rows) columns, not the whole pool. Columns >=
+    span of a forked row keep the previous occupant's bytes: never read
+    (attention masks keys at the row's n_past) and overwritten by later
+    appends.
+
+    Measured (v5e, 32 groups x k5 int8 ctx104, steps 0-31): 778 ms/step vs
+    fused 57.0 / no-cow floor 30.4 — lax.switch pays catastrophic
+    branch-boundary copies on the multi-GB carried pool, and the on-chip
+    tokens diverged from the fused variant (bf16 tie-breaks across program
+    variants; not diagnosed further since the perf already kills it).
+    Exact on CPU f32 (tests/test_beam_engine.py span unit test).
 
     Branch 0 is identity (no row forked); the others gather rows of the
     ``[:b]`` column prefix and write it back in place.
@@ -213,19 +275,11 @@ def _decode_chunk_beam(
         # custom call. The fused per-layer gather rides the attention read
         # the step already does; only the slice writeback is new traffic.
         n_past_rows = jnp.repeat(st.n_past, k)
-        if _COW_IMPL == "span":
-            ck_cow, cv_cow = span_cow(
-                st.cache_k, st.cache_v, copy_src, n_past_rows)
-            lg, new_cache = decode_step(
-                params, nt_phys[:, None], n_past_rows,
-                KVCache(ck_cow, cv_cow), cross_k, cross_v, cfg,
-            )
-        else:
-            lg, new_cache = decode_step(
-                params, nt_phys[:, None], n_past_rows,
-                KVCache(st.cache_k, st.cache_v), cross_k, cross_v, cfg,
-                permute_rows=copy_src,
-            )
+        lg, new_cache = decode_step(
+            params, nt_phys[:, None], n_past_rows,
+            KVCache(st.cache_k, st.cache_v), cross_k, cross_v, cfg,
+            permute_rows=copy_src,
+        )
         new_step = st.step + jnp.where(act, 1, 0)
         still = act & (new_step < st.max_new_row) & ~(fin_c >= k)
         new = BeamEngineState(
