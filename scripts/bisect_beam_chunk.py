@@ -147,6 +147,20 @@ def _chunk_body(params, state, cross_k, cross_v, sup_mask, blank_mask,
                 cache_k, cache_v = jax.lax.cond(
                     is_ident, lambda a: (a[0], a[1]), _cow,
                     (st.cache_k, st.cache_v, copy_src))
+        elif variant in ("layerdot", "layerdotcond"):
+            # One-hot dot in the carry's NATIVE (layer-major) view — the
+            # lane_dot trick re-derived for THIS chunk's {3,2,4,0,1} carry.
+            from whisper_tpu.kernels.beam_gather import layer_dot_permute
+
+            def _cow(args):
+                return layer_dot_permute((args[0], args[1]), args[2])
+            if variant == "layerdot":
+                cache_k, cache_v = _cow(
+                    (st.cache_k, st.cache_v, copy_src))
+            else:
+                cache_k, cache_v = jax.lax.cond(
+                    is_ident, lambda a: (a[0], a[1]), _cow,
+                    (st.cache_k, st.cache_v, copy_src))
         elif variant.startswith("bounded"):
             # Loop-level EXACT bounded row copy: only rows with
             # copy_src != identity move, in while_loop passes of M rows

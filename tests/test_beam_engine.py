@@ -269,3 +269,28 @@ def test_bounded_cow_rows_in_jit_scan():
     ck, cv = step(k, v, src)
     ref_k = jnp.take(jnp.take(k, src[0], axis=0), src[1], axis=0)
     np.testing.assert_array_equal(np.asarray(ck), np.asarray(ref_k))
+
+
+def test_layer_dot_permute_exact():
+    """layer_dot_permute == jnp.take row gather for int8+scale pytrees and
+    bf16 leaves (int32 one-hot accumulation / single-term float sums)."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.kernels.beam_gather import layer_dot_permute
+    from whisper_tpu.model.quant import QuantKV
+
+    rng = np.random.default_rng(3)
+    B, L, H, D, C = 7, 3, 2, 4, 10
+    src = jnp.asarray([0, 0, 2, 2, 2, 5, 3], jnp.int32)
+    qk = QuantKV(
+        jnp.asarray(rng.integers(-127, 128, (B, L, H, D, C)), jnp.int8),
+        jnp.asarray(rng.standard_normal((B, L, H, C)).astype(np.float32)))
+    bf = jnp.asarray(rng.standard_normal((B, L, H, D, C))).astype(jnp.bfloat16)
+    out_q, out_b = layer_dot_permute((qk, bf), src)
+    np.testing.assert_array_equal(
+        np.asarray(out_q.data), np.asarray(jnp.take(qk.data, src, axis=0)))
+    np.testing.assert_array_equal(
+        np.asarray(out_q.scale), np.asarray(jnp.take(qk.scale, src, axis=0)))
+    np.testing.assert_array_equal(
+        np.asarray(out_b, jnp.float32),
+        np.asarray(jnp.take(bf, src, axis=0), jnp.float32))

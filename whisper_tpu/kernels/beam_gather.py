@@ -334,6 +334,69 @@ def lane_dot_permute(tree, src: jnp.ndarray):
     return jax.tree.unflatten(treedef, [leaf(a) for a in leaves])
 
 
+def layer_dot_permute(tree, src: jnp.ndarray):
+    """Batch-row cache gather as a one-hot dot on the LAYER-MAJOR view:
+    leaf[i] <- leaf[src[i]] (src need not be a bijection).
+
+    The beam ENGINE's decode chunk (parallel/beam_engine._decode_chunk_beam)
+    carries the int8 cache in layout {3,2,4,0,1} — minor-to-major
+    (D, H, C, B, L), i.e. LAYER-major with batch second (scales
+    {2,3,0,1} = (H, C, B, L)) — because the layer scan slices axis 1 every
+    step. That is neither the batch-minor layout the lockstep while_loop
+    carries (lane_dot_permute's target) nor default, so both jnp.take and
+    lane_dot pay full-cache relayout copies there (measured 27 ms/step over
+    the no-cow floor at 165 rows int8 ctx104, scripts/bisect_beam_chunk.py).
+
+    Transposing each leaf to the logical shape whose DEFAULT layout equals
+    that physical layout — codes (L, B, C, H, D), scales (L, B, C, H) —
+    elides to a bitcast, and an L-batched (B,B)x(B, C*H*D) one-hot dot then
+    streams the cache once through the MXU in its native layout: the read
+    rides the ~617 GB/s int8-operand path instead of gather/scatter
+    lowering. Exact for int8 codes (int32 accumulation) and f32/bf16
+    (single-term sums).
+
+    MEASURED NEGATIVE in the engine chunk it was built for (v5e, 165 rows
+    int8 ctx104, scripts/bisect_beam_chunk.py `layerdot`): 72.8 ms/step vs
+    the fused per-layer permute's 58.6 (floor 30.1) — replacing the fused
+    permute changes which ops touch the carry, XLA's layout assignment
+    re-optimizes, and the hardcoded transposed view materializes. The
+    general lesson (5th failed variant): ANY loop-level reorder of the
+    multi-GB pool pays full-buffer materialization, and the layout chooser
+    cannot be pinned against it. Kept as the recorded experiment.
+
+    If XLA picks a different carry layout for some config the transposes
+    materialize and this degrades to a correct full gather.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    B = leaves[0].shape[0]
+    S = (src[:, None] == jnp.arange(B)[None, :])        # S[b, r]: out b <- r
+
+    def leaf(a):
+        if a.ndim == 5:      # codes/bf16 (B, L, H, D, C) -> (L, B, C, H, D)
+            p = (1, 0, 4, 2, 3)
+        elif a.ndim == 4:    # scales    (B, L, H, C)    -> (L, B, C, H)
+            p = (1, 0, 3, 2)
+        else:
+            return jnp.take(a, src, axis=0)
+        inv = tuple(int(i) for i in np.argsort(p))
+        at = jnp.transpose(a, p)
+        L = at.shape[0]
+        flat = at.reshape(L, B, -1)
+        Sb = jnp.broadcast_to(S.astype(
+            jnp.int8 if a.dtype == jnp.int8 else a.dtype), (L, B, B))
+        if a.dtype == jnp.int8:
+            out = jax.lax.dot_general(
+                Sb, flat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.int8)
+        else:
+            out = jax.lax.dot_general(
+                Sb, flat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(a.dtype)
+        return jnp.transpose(out.reshape(at.shape), inv)
+
+    return jax.tree.unflatten(treedef, [leaf(a) for a in leaves])
+
+
 def permute_rows(x: jnp.ndarray, rows: jnp.ndarray,
                  interpret: bool | None = None) -> jnp.ndarray:
     """x[rows] for a single (B, L, ...) array (see permute_rows_multi)."""
