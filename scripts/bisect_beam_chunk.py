@@ -335,6 +335,16 @@ def main():
     pinned_jit, pin_state = make_pinned(engine._state)
 
     def run(variant):
+        if variant == "newprod":
+            # the production chunk (chunked-COW: read-only pool + tail)
+            engine._state = _decode_chunk_beam(
+                engine.params, engine._state,
+                engine._cross_pool_k, engine._cross_pool_v,
+                engine.sup_mask, engine.blank_mask, engine.cfg,
+                steps=CHUNK, k=K, use_timestamps=True,
+                max_initial_index=engine.max_initial_index)
+            run.last_cnts = jnp.zeros((CHUNK,), jnp.int32)
+            return engine._state.n_past
         if variant == "pinned":
             jf, body_variant = pinned_jit, "prod"
         else:

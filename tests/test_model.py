@@ -252,3 +252,118 @@ def test_decode_step_defer_append_matches_direct(quant, permute):
     else:
         check(cache_d.k, cache_r.k, exact=False)
         check(cache_d.v, cache_r.v, exact=False)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_decode_step_chunk_matches_direct(quant):
+    """Chunked-COW beam step (decode_step_chunk: read-only pool + tail +
+    one-hot prefix indirection) must match the direct path (decode_step on
+    an explicitly permuted cache) step for step, and the chunk-boundary
+    materialization (pool permute + tail flush, as the beam engine does it)
+    must reproduce the direct cache at every valid column."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fixtures import micro_config
+    from whisper_tpu.model.decoder import (KVCache, decode_step,
+                                           decode_step_chunk, init_cache,
+                                           init_tail)
+    from whisper_tpu.model.encoder import encode
+    from whisper_tpu.model.load import random_model
+    from whisper_tpu.model.quant import init_quant_cache, quantize_decoder_weights
+
+    cfg = micro_config()
+    model = random_model(cfg, seed=11, on_device=False)
+    params = jax.jit(quantize_decoder_weights)(model.params) if quant else model.params
+    S, k = 3, 2
+    B, CP, CT = S * k, 12, 4
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((B, cfg.n_mels, 2 * cfg.n_audio_ctx)),
+                      jnp.float32)
+    enc = encode(params, mel, cfg)
+
+    # pool with 3 prefilled positions per row
+    if quant:
+        pool = KVCache(*init_quant_cache(cfg, B, ctx=CP))
+    else:
+        pool = init_cache(cfg, B, ctx=CP)
+    toks = jnp.asarray(rng.integers(0, 1000, (B, 3)), jnp.int32)
+    _, pool = decode_step(params, toks, jnp.int32(0), pool,
+                          enc.cross_k, enc.cross_v, cfg)
+    n_past0 = jnp.asarray([3, 3, 2, 2, 3, 3], jnp.int32)  # per-group ragged
+
+    tail = init_tail(cfg, B, CT, quant, dtype=jnp.float32)
+    prefix_src = jnp.arange(B, dtype=jnp.int32)
+    cache_d = pool  # direct-path cache mirrors pool exactly at start
+
+    # two chunk steps with in-group forks; direct path permutes explicitly
+    copy_srcs = [jnp.asarray([0, 0, 3, 3, 4, 5], jnp.int32),
+                 jnp.asarray([0, 1, 2, 3, 5, 5], jnp.int32)]
+    for t, csrc in enumerate(copy_srcs):
+        nxt = jnp.asarray(rng.integers(0, 1000, (B, 1)), jnp.int32)
+        tl = jnp.full((B,), t, jnp.int32)
+        prefix_src = jnp.take(prefix_src, csrc)
+        tail = KVCache(
+            jax.tree.map(lambda a: jnp.take(a, csrc, axis=0), tail.k),
+            jax.tree.map(lambda a: jnp.take(a, csrc, axis=0), tail.v))
+        lg_c, tail = decode_step_chunk(
+            params, nxt, n_past0, tl, pool, tail, prefix_src,
+            enc.cross_k, enc.cross_v, cfg, k)
+
+        cache_d = KVCache(
+            jax.tree.map(lambda a: jnp.take(a, csrc, axis=0), cache_d.k),
+            jax.tree.map(lambda a: jnp.take(a, csrc, axis=0), cache_d.v))
+        lg_d, cache_d = decode_step(params, nxt, n_past0 + t, cache_d,
+                                    enc.cross_k, enc.cross_v, cfg)
+        np.testing.assert_allclose(np.asarray(lg_c), np.asarray(lg_d),
+                                   rtol=2e-4, atol=2e-4)
+
+    # boundary materialization == direct cache at valid columns
+    rows = jnp.arange(B)
+    tlf = jnp.full((B,), len(copy_srcs), jnp.int32)
+    t_idx = jnp.arange(CT)
+    valid_f = t_idx[None, :] < tlf[:, None]
+    r2 = jnp.where(valid_f, rows[:, None], B - 1)
+    cols = jnp.where(valid_f, n_past0[:, None] + t_idx[None, :], t_idx[None, :])
+
+    def flush_data(buf, tbuf):
+        return buf.at[r2, :, :, :, cols].set(jnp.moveaxis(tbuf, -1, 1))
+
+    def flush_scale(buf, tbuf):
+        return buf.at[r2, :, :, cols].set(jnp.moveaxis(tbuf, -1, 1))
+
+    pk = jax.tree.map(lambda a: jnp.take(a, prefix_src, axis=0), pool.k)
+    pv = jax.tree.map(lambda a: jnp.take(a, prefix_src, axis=0), pool.v)
+    from whisper_tpu.model.quant import QuantKV
+    if quant:
+        pk = QuantKV(flush_data(pk.data, tail.k.data),
+                     flush_scale(pk.scale, tail.k.scale))
+        pv = QuantKV(flush_data(pv.data, tail.v.data),
+                     flush_scale(pv.scale, tail.v.scale))
+    else:
+        pk = flush_data(pk, tail.k)
+        pv = flush_data(pv, tail.v)
+
+    # valid columns: < n_past0 + steps taken, per row (trash row B-1 took
+    # garbage flushes — exclude it like the engine's trash group)
+    vcols = (np.arange(CP)[None, :] <
+             (np.asarray(n_past0) + 2)[:, None])
+    vcols[B - 1] = False
+
+    def check(a, b, rank5):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        m = vcols.reshape(B, 1, 1, 1, CP) if rank5 else vcols.reshape(B, 1, 1, CP)
+        np.testing.assert_allclose(np.where(m, a, 0), np.where(m, b, 0),
+                                   rtol=1e-4, atol=5e-4)
+
+    if quant:
+        check(pk.data.astype(jnp.float32) * pk.scale[:, :, :, None, :],
+              cache_d.k.data.astype(jnp.float32) * cache_d.k.scale[:, :, :, None, :],
+              rank5=True)
+        check(pv.data.astype(jnp.float32) * pv.scale[:, :, :, None, :],
+              cache_d.v.data.astype(jnp.float32) * cache_d.v.scale[:, :, :, None, :],
+              rank5=True)
+    else:
+        check(pk, cache_d.k, rank5=True)
+        check(pv, cache_d.v, rank5=True)

@@ -174,6 +174,229 @@ def _plinear(y, blk, name, bias_name=None):
     return out + b if b is not None else out
 
 
+def _cross_mlp(x, blk, cross_k, cross_v, cfg: WhisperConfig,
+               return_cross_probs: bool = False):
+    """Cross-attention over the precomputed encoder memory + MLP — the
+    block tail shared by the direct decode path (_decoder_block) and the
+    chunked beam path (_chunk_block). Returns (x, cross_probs|None)."""
+    h = cfg.n_text_head
+    d = cfg.d_head_text
+    B, T, _ = x.shape
+
+    y = layer_norm(x, blk["cross_attn_ln_w"], blk["cross_attn_ln_b"])
+    qc = split_heads(_plinear(y, blk, "cross_q_w", "cross_q_b"), h)
+    # cross_k is pre-scaled by d^-0.25 (encoder.py); scale q by the rest.
+    qc = qc * (d ** -0.25)
+    from .quant import QuantKV, pv_out, qk_logits
+
+    # Group-shared cross memory: beam rows of one audio share identical
+    # encoder output — cross batch G with decoder batch B = G*k folds the
+    # beam axis into the query's time axis, so the memory is stored and READ
+    # once per group instead of per beam (it dominates decode HBM traffic).
+    Bc = getattr(cross_k, "data", cross_k).shape[0]
+    if Bc != B:
+        kk = B // Bc
+        qc = qc.reshape(Bc, kk, h, T, d).transpose(0, 2, 1, 3, 4).reshape(
+            Bc, h, kk * T, d
+        )
+    cross_probs = None
+    if isinstance(cross_k, QuantKV):
+        # int8 serving mode: per-position scales fold into the products.
+        # XLA's fused einsum path measures 81% of the HBM roofline here; a
+        # hand-written Pallas kernel (kernels/cross_attention_int8.py) was
+        # 2.5-4x SLOWER (per-program overhead + VPU-side dequant that XLA
+        # instead folds into the MXU operand read) — kept as a tested
+        # negative result, not wired.
+        logits = qk_logits(qc, cross_k)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if return_cross_probs:
+            cross_probs = probs.astype(jnp.float32)
+        o = pv_out(probs, cross_v, x.dtype)
+    elif return_cross_probs:
+        # word-timing path (pipeline/word_timing.py): expose the attention
+        # distribution over audio positions (the reference's WhisperTokenData
+        # t0/t1 intent, main.rs:317-331, realized via openai's DTW method).
+        logits = jnp.einsum(
+            "bhtd,bhdc->bhtc", qc, cross_k, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        cross_probs = probs
+        o = jnp.einsum(
+            "bhtc,bhdc->bhtd", probs.astype(cross_v.dtype), cross_v,
+            preferred_element_type=jnp.float32,
+        ).astype(qc.dtype)
+    else:
+        Ta = cross_k.shape[-1]
+        full = jnp.ones((qc.shape[-2], Ta), dtype=bool)
+        o = _kvmajor_sdpa(qc, cross_k, cross_v, full, 1.0)
+    if Bc != B:
+        o = o.reshape(Bc, h, kk, T, d).transpose(0, 2, 1, 3, 4).reshape(B, h, T, d)
+    x = x + _plinear(merge_heads(o), blk, "cross_out_w", "cross_out_b")
+
+    # ---- MLP ----
+    y = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
+    y = gelu(_plinear(y, blk, "mlp0_w", "mlp0_b"), cfg.gelu_impl)
+    x = x + _plinear(y, blk, "mlp1_w", "mlp1_b")
+    return x, cross_probs
+
+
+def _project_qkv(y, blk, h):
+    """Self-attention Q/K/V projections (fused single matmul when the
+    checkpoint was prepared with model.quant.fuse_decoder_qkv)."""
+    if "qkv_w" in blk:
+        # fused single Q/K/V matmul (model.quant.fuse_decoder_qkv): shaves
+        # two fusions off the row-independent per-layer sequencing floor.
+        qkv = _plinear(y, blk, "qkv_w", "qkv_b")
+        n = qkv.shape[-1] // 3
+        q = split_heads(qkv[..., :n], h)                         # (B,H,T,D)
+        k_new = to_kv_major(qkv[..., n:2 * n], h)                # (B,H,D,T)
+        v_new = to_kv_major(qkv[..., 2 * n:], h)
+    else:
+        q = split_heads(_plinear(y, blk, "q_w", "q_b"), h)       # (B,H,T,D)
+        k_new = to_kv_major(_plinear(y, blk, "k_w"), h)          # (B,H,D,T); no bias
+        v_new = to_kv_major(_plinear(y, blk, "v_w", "v_b"), h)
+    return q, k_new, v_new
+
+
+def _chunk_block(x, blk, pool_k, pool_v, tail_k, tail_v, layer,
+                 cross_k, cross_v, n_past0, tail_len, oh, cfg: WhisperConfig):
+    """Chunked-COW decoder block (beam serving engine, T=1 only): the
+    multi-GB prefix pool is READ-ONLY — beam forks neither gather nor
+    write back pool rows (every loop-level/per-layer reorder measured
+    28+ ms/step of full-buffer materialization at 165 rows,
+    scripts/bisect_beam_chunk.py). Instead:
+
+      * each row's prefix is read THROUGH its fork indirection with a
+        one-hot-masked expanded einsum over the row's beam group
+        ('sjihc' intermediates): the pool bytes stream exactly once (same
+        bytes the attention was already due), the k-fold FLOP expansion is
+        noise next to the MXU, and the masked terms are EXACT zeros so the
+        selected logits equal the direct path's values term for term;
+      * the current chunk's appends land in a small per-chunk TAIL buffer
+        (B, L, H, D, chunk_steps) attended directly; fork copies touch only
+        the tail (<= chunk/pool_ctx of the bytes, done at loop level);
+      * the pool is materialized ONCE per chunk boundary (composed
+        prefix_src permute + tail flush, parallel/beam_engine.py) —
+        amortized /chunk_steps.
+
+    ``oh`` (S, k, k) bool: oh[s, i, j] = row i of group s reads prefix row
+    j (group-local composed fork source). ``n_past0`` (B,) prefix lengths
+    at chunk start; ``tail_len`` (B,) columns already in the tail.
+    Returns (x', tail_k', tail_v').
+    """
+    h = cfg.n_text_head
+    d = cfg.d_head_text
+    B, T, _ = x.shape
+    S, k, _ = oh.shape
+    Cp = getattr(pool_k, "data", pool_k).shape[-1]
+    CT = getattr(tail_k, "data", tail_k).shape[-1]
+
+    y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
+    q, k_new, v_new = _project_qkv(y, blk, h)        # (B,H,1,D), (B,H,D,1)
+
+    from .quant import QuantKV, _quantize_one, pv_out, qk_logits
+
+    def _slice_l(buf):
+        return jax.lax.dynamic_index_in_dim(buf, layer, 1, keepdims=False)
+
+    def _append_tail(buf, new, scale_rank=False):
+        """Scatter ``new`` at (b, layer, ..., tail_len[b])."""
+        rows = jnp.arange(B)
+        lidx = jnp.full((B,), layer)
+        if scale_rank:      # (B, H, 1) -> (b, layer, :, tail_len[b])
+            return buf.at[rows, lidx, :, tail_len].set(new[..., 0])
+        return buf.at[rows, lidx, :, :, tail_len].set(new[..., 0])
+
+    quant = isinstance(pool_k, QuantKV)
+    qs = (q * (d ** -0.5)).astype(q.dtype)
+    ohf = oh.astype(jnp.float32)
+    oht = oh.transpose(0, 2, 1)                       # (S, j, i)
+
+    # ---- tail append (direct, per-row ragged column) ----
+    if quant:
+        k8, v8 = _quantize_one(k_new), _quantize_one(v_new)
+        tail_k = QuantKV(_append_tail(tail_k.data, k8.data),
+                         _append_tail(tail_k.scale, k8.scale, scale_rank=True))
+        tail_v = QuantKV(_append_tail(tail_v.data, v8.data),
+                         _append_tail(tail_v.scale, v8.scale, scale_rank=True))
+    else:
+        tail_k = _append_tail(tail_k, k_new.astype(tail_k.dtype))
+        tail_v = _append_tail(tail_v, v_new.astype(tail_v.dtype))
+
+    # ---- prefix logits through the fork indirection (expanded einsum) ----
+    # quant matches qk_logits rounding (q pre-scaled in bf16, scale applied
+    # f32 per position); bf16 matches _kvmajor_sdpa (unscaled q, logits
+    # scaled in f32). The one-hot select sums exact zeros, so the picked
+    # values equal the direct path's term for term.
+    if quant:
+        q_g = qs[:, :, 0, :].reshape(S, k, h, d)      # (S,k,H,D) pre-scaled
+        kp = QuantKV(_slice_l(pool_k.data), _slice_l(pool_k.scale))
+        kp_g = kp.data.reshape(S, k, h, d, Cp).astype(q.dtype)
+        raw = jnp.einsum("sihd,sjhdc->sijhc", q_g, kp_g,
+                         preferred_element_type=jnp.float32)
+        sel = jnp.einsum("sij,sijhc->sihc", ohf, raw)          # exact select
+        sscale = jnp.einsum("sij,sjhc->sihc", ohf,
+                            kp.scale.reshape(S, k, h, Cp))
+        logits_pre = sel * sscale
+    else:
+        q_g = q[:, :, 0, :].reshape(S, k, h, d)       # unscaled
+        kp = _slice_l(pool_k)
+        raw = jnp.einsum("sihd,sjhdc->sijhc", q_g,
+                         kp.reshape(S, k, h, d, Cp),
+                         preferred_element_type=jnp.float32)
+        logits_pre = jnp.einsum("sij,sijhc->sihc", ohf, raw) * (d ** -0.5)
+    logits_pre = logits_pre.reshape(B, h, 1, Cp)
+
+    # ---- tail logits (direct) ----
+    if quant:
+        tk = QuantKV(_slice_l(tail_k.data), _slice_l(tail_k.scale))
+        logits_tail = qk_logits(qs, tk)
+    else:
+        tk = _slice_l(tail_k)
+        logits_tail = jnp.einsum("bhtd,bhdc->bhtc", q, tk,
+                                 preferred_element_type=jnp.float32) * (d ** -0.5)
+
+    # ---- masked softmax over [prefix | tail] ----
+    pre_pos = jnp.arange(Cp)[None, :]                 # (1, Cp)
+    tail_pos = jnp.arange(CT)[None, :]
+    m_pre = (pre_pos < n_past0[:, None])[:, None, None]       # (B,1,1,Cp)
+    m_tail = (tail_pos <= tail_len[:, None])[:, None, None]   # incl. current
+    logits = jnp.concatenate(
+        [jnp.where(m_pre, logits_pre, jnp.float32(-1e30)),
+         jnp.where(m_tail, logits_tail, jnp.float32(-1e30))], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    p_pre, p_tail = probs[..., :Cp], probs[..., Cp:]
+
+    # ---- PV: expanded prefix + direct tail, f32 partial sums ----
+    p_pre_g = p_pre[:, :, 0, :].reshape(S, k, h, Cp)
+    if quant:
+        vp = QuantKV(_slice_l(pool_v.data), _slice_l(pool_v.scale))
+        sscale_v = jnp.einsum("sij,sjhc->sihc", ohf,
+                              vp.scale.reshape(S, k, h, Cp))
+        p2v = (p_pre_g * sscale_v).astype(jnp.bfloat16)        # pv_out rounding
+        P2 = oht[..., None, None] * p2v[:, None]               # (S,j,i,H,Cp)
+        o_pre = jnp.einsum(
+            "sjihc,sjhdc->sihd", P2,
+            vp.data.reshape(S, k, h, d, Cp).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        tv = QuantKV(_slice_l(tail_v.data), _slice_l(tail_v.scale))
+        o_tail = pv_out(p_tail, tv, jnp.float32)
+    else:
+        vp = _slice_l(pool_v)
+        p2 = p_pre_g.astype(vp.dtype)
+        P2 = oht[..., None, None].astype(vp.dtype) * p2[:, None]
+        o_pre = jnp.einsum("sjihc,sjhdc->sihd", P2,
+                           vp.reshape(S, k, h, d, Cp),
+                           preferred_element_type=jnp.float32)
+        tv = _slice_l(tail_v)
+        o_tail = jnp.einsum("bhtc,bhdc->bhtd", p_tail.astype(tv.dtype), tv,
+                            preferred_element_type=jnp.float32)
+    o = (o_pre.reshape(B, h, 1, d) + o_tail).astype(x.dtype)
+    x = x + _plinear(merge_heads(o), blk, "out_w", "out_b")
+    x, _ = _cross_mlp(x, blk, cross_k, cross_v, cfg)
+    return x, tail_k, tail_v
+
+
 def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
                    cfg: WhisperConfig, return_cross_probs: bool = False,
                    permute_rows=None, defer_append: bool = False):
@@ -198,18 +421,7 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
 
     # ---- causal self-attention over the cache ----
     y = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"])
-    if "qkv_w" in blk:
-        # fused single Q/K/V matmul (model.quant.fuse_decoder_qkv): shaves
-        # two fusions off the row-independent per-layer sequencing floor.
-        n = h * d
-        qkv = _plinear(y, blk, "qkv_w", "qkv_b")
-        q = split_heads(qkv[..., :n], h)                         # (B,H,T,D)
-        k_new = to_kv_major(qkv[..., n:2 * n], h)                # (B,H,D,T)
-        v_new = to_kv_major(qkv[..., 2 * n:], h)
-    else:
-        q = split_heads(_plinear(y, blk, "q_w", "q_b"), h)       # (B,H,T,D)
-        k_new = to_kv_major(_plinear(y, blk, "k_w"), h)          # (B,H,D,T); no bias
-        v_new = to_kv_major(_plinear(y, blk, "v_w", "v_b"), h)
+    q, k_new, v_new = _project_qkv(y, blk, h)
 
     from .quant import QuantKV, _quantize_one, quant_sdpa
 
@@ -368,62 +580,8 @@ def _decoder_block(x, blk, ck_all, cv_all, layer, cross_k, cross_v, n_past,
             cv = _slice_l(cv_all)
         o = _kvmajor_sdpa(q, ck, cv, mask, d ** -0.5)
     x = x + _plinear(merge_heads(o), blk, "out_w", "out_b")
-
-    # ---- cross-attention over precomputed encoder memory ----
-    y = layer_norm(x, blk["cross_attn_ln_w"], blk["cross_attn_ln_b"])
-    qc = split_heads(_plinear(y, blk, "cross_q_w", "cross_q_b"), h)
-    # cross_k is pre-scaled by d^-0.25 (encoder.py); scale q by the rest.
-    qc = qc * (d ** -0.25)
-    from .quant import QuantKV, pv_out, qk_logits
-
-    # Group-shared cross memory: beam rows of one audio share identical
-    # encoder output — cross batch G with decoder batch B = G*k folds the
-    # beam axis into the query's time axis, so the memory is stored and READ
-    # once per group instead of per beam (it dominates decode HBM traffic).
-    Bc = getattr(cross_k, "data", cross_k).shape[0]
-    if Bc != B:
-        kk = B // Bc
-        qc = qc.reshape(Bc, kk, h, T, d).transpose(0, 2, 1, 3, 4).reshape(
-            Bc, h, kk * T, d
-        )
-    cross_probs = None
-    if isinstance(cross_k, QuantKV):
-        # int8 serving mode: per-position scales fold into the products.
-        # XLA's fused einsum path measures 81% of the HBM roofline here; a
-        # hand-written Pallas kernel (kernels/cross_attention_int8.py) was
-        # 2.5-4x SLOWER (per-program overhead + VPU-side dequant that XLA
-        # instead folds into the MXU operand read) — kept as a tested
-        # negative result, not wired.
-        logits = qk_logits(qc, cross_k)
-        probs = jax.nn.softmax(logits, axis=-1)
-        if return_cross_probs:
-            cross_probs = probs.astype(jnp.float32)
-        o = pv_out(probs, cross_v, x.dtype)
-    elif return_cross_probs:
-        # word-timing path (pipeline/word_timing.py): expose the attention
-        # distribution over audio positions (the reference's WhisperTokenData
-        # t0/t1 intent, main.rs:317-331, realized via openai's DTW method).
-        logits = jnp.einsum(
-            "bhtd,bhdc->bhtc", qc, cross_k, preferred_element_type=jnp.float32
-        )
-        probs = jax.nn.softmax(logits, axis=-1)
-        cross_probs = probs
-        o = jnp.einsum(
-            "bhtc,bhdc->bhtd", probs.astype(cross_v.dtype), cross_v,
-            preferred_element_type=jnp.float32,
-        ).astype(qc.dtype)
-    else:
-        Ta = cross_k.shape[-1]
-        full = jnp.ones((qc.shape[-2], Ta), dtype=bool)
-        o = _kvmajor_sdpa(qc, cross_k, cross_v, full, 1.0)
-    if Bc != B:
-        o = o.reshape(Bc, h, kk, T, d).transpose(0, 2, 1, 3, 4).reshape(B, h, T, d)
-    x = x + _plinear(merge_heads(o), blk, "cross_out_w", "cross_out_b")
-
-    # ---- MLP ----
-    y = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
-    y = gelu(_plinear(y, blk, "mlp0_w", "mlp0_b"), cfg.gelu_impl)
-    x = x + _plinear(y, blk, "mlp1_w", "mlp1_b")
+    x, cross_probs = _cross_mlp(x, blk, cross_k, cross_v, cfg,
+                                return_cross_probs)
     if return_cross_probs:
         return x, ck_all, cv_all, cross_probs
     if defer_append:
@@ -539,6 +697,82 @@ def decode_step(
     if te_scale is not None:
         logits = logits * te_scale[None, None, :]
     return logits, KVCache(k=new_k, v=new_v)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k"))
+def decode_step_chunk(
+    params: dict,
+    tokens: jnp.ndarray,     # (B, 1) int32
+    n_past0: jnp.ndarray,    # (B,) prefix length at chunk start (frozen)
+    tail_len: jnp.ndarray,   # (B,) columns already appended this chunk
+    pool: KVCache,           # READ-ONLY prefix pool (arrays or QuantKV)
+    tail: KVCache,           # (B, L, H, D, chunk_steps) tail buffers
+    prefix_src: jnp.ndarray, # (B,) composed fork source (global row idx)
+    cross_k: jnp.ndarray,
+    cross_v: jnp.ndarray,
+    cfg: WhisperConfig,
+    k: int,                  # beam width (group size; prefix_src stays in-group)
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One beam-serving decode step with the pool untouched (_chunk_block):
+    appends go to ``tail``; the prefix is read through ``prefix_src``.
+    Returns (logits (B, 1, n_vocab) f32, tail'). The caller owns the
+    chunk-boundary materialization (pool permute by the composed
+    prefix_src + tail flush — parallel/beam_engine.py)."""
+    from ..parallel.sharding import constrain_cache, constrain_cross
+
+    pool = KVCache(constrain_cache(pool.k), constrain_cache(pool.v))
+    tail = KVCache(constrain_cache(tail.k), constrain_cache(tail.v))
+    cross_k = constrain_cross(cross_k)
+    cross_v = constrain_cross(cross_v)
+
+    dec = params["decoder"]
+    B = tokens.shape[0]
+    te_scale = dec.get("te_scale")
+    x = dec["te"][tokens].astype(dec["pe"].dtype)
+    if te_scale is not None:
+        x = x * te_scale[tokens][..., None].astype(x.dtype)
+    x = x + dec["pe"][(n_past0 + tail_len)[:, None]]
+
+    oh = ((prefix_src - (jnp.arange(B) // k) * k).reshape(B // k, k)[
+        :, :, None] == jnp.arange(k)[None, None, :])           # (S, k, k)
+
+    def body(carry, xs):
+        x, tk, tv, layer = carry
+        blk, xk, xv = xs
+        x, tk, tv = _chunk_block(
+            x, blk, pool.k, pool.v, tk, tv, layer, xk, xv,
+            n_past0, tail_len, oh, cfg)
+        return (x, tk, tv, layer + 1), None
+
+    (x, tk, tv, _), _ = jax.lax.scan(
+        body,
+        (x, tail.k, tail.v, jnp.int32(0)),
+        (dec["blocks"], cross_k, cross_v),
+        unroll=_SCAN_UNROLL,
+    )
+    x = layer_norm(x, dec["ln_w"], dec["ln_b"])
+    logits = jnp.einsum(
+        "bts,vs->btv", x, dec["te"].astype(x.dtype),
+        preferred_element_type=jnp.float32)
+    if te_scale is not None:
+        logits = logits * te_scale[None, None, :]
+    return logits, KVCache(k=tk, v=tv)
+
+
+def init_tail(cfg: WhisperConfig, batch: int, chunk_steps: int,
+              quantize: bool, dtype=jnp.bfloat16) -> KVCache:
+    """Per-chunk tail buffers for the chunked-COW beam path."""
+    from .quant import QuantKV
+
+    L, H, D = cfg.n_text_layer, cfg.n_text_head, cfg.d_head_text
+    if quantize:
+        def one():
+            return QuantKV(
+                jnp.zeros((batch, L, H, D, chunk_steps), jnp.int8),
+                jnp.zeros((batch, L, H, chunk_steps), jnp.float32))
+        return KVCache(one(), one())
+    shape = (batch, L, H, D, chunk_steps)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

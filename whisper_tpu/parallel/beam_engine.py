@@ -33,7 +33,8 @@ from ..decoding.device_beam import beam_update, cow_assign
 from ..decoding.device_loop import LoopState, _apply_rules_device
 from ..decoding.result import DecodingResult, compression_ratio
 from ..decoding.task import DecodingOptions, DecodingTask
-from ..model.decoder import KVCache, decode_step, init_cache
+from ..model.decoder import (KVCache, decode_step, decode_step_chunk,
+                             init_cache, init_tail)
 from .engine import SlotEngine, _encode_prefill, _under_mesh
 
 NEG = jnp.float32(-1e30)
@@ -202,7 +203,25 @@ def _decode_chunk_beam(
     Sk = S * k
     base = (jnp.arange(S, dtype=jnp.int32) * k)[:, None]
 
-    def body(st: BeamEngineState, _):
+    # CHUNKED COW (see model/decoder._chunk_block): the pool is READ-ONLY
+    # for the whole chunk — fork copies compose a per-row pointer and move
+    # only the small per-chunk tail; ONE materialization at the boundary.
+    # Every per-step alternative measured 27+ ms/step of full-pool
+    # materialization at 165 rows (fused per-layer permute 58.6 vs no-cow
+    # floor 30.1; take / lane_dot / layer_dot / bounded scatter / aliased
+    # DMA kernel all worse — scripts/bisect_beam_chunk.py history).
+    from ..model.quant import QuantKV
+
+    pool_k, pool_v = state.cache_k, state.cache_v
+    quantize = isinstance(pool_k, QuantKV)
+    n_past0 = state.n_past                              # (S,) frozen in-chunk
+    n_past0_rows = jnp.repeat(n_past0, k)
+    tail0 = init_tail(cfg, Sk, steps, quantize,
+                      dtype=None if quantize else pool_k.dtype)
+    state = state._replace(cache_k=None, cache_v=None)  # pool not carried
+
+    def body(carry):
+        st, tail_k, tail_v, prefix_src, tl_g = carry
         rule_state = LoopState(
             cache_k=None, cache_v=None, tokens_out=None,
             last_tok=st.last_tok, prev_tok=st.prev_tok, last_ts=st.last_ts,
@@ -255,35 +274,22 @@ def _decode_chunk_beam(
         new_last_ts = jnp.where(
             actk, jnp.where(nt_phys >= beg, nt_phys, par_last_ts), st.last_ts)
 
-        # COW fork copies ride decode_step's per-layer cache visit
-        # (permute_rows) instead of a loop-level reorder. Measured (v5e,
-        # large-v3, 24 groups x k5 int8, first-32-steps-after-admission,
-        # one process interleaved, ms/step; scripts/bisect_beam_chunk.py):
-        #   pool_ctx 104: no-cow floor 22.8 | fused 37.3 | cond+jnp.take
-        #     49.5 | cond+lane_dot [old prod] 51.5 | pinned-layout
-        #     boundary + lane_dot 51.3 | cond around decode_step 621
-        #   pool_ctx 128: floor 23.1 | cond+cow DMA kernel 42.4 |
-        #     uncond kernel 42.1 | fused 46.6 | cond+lane_dot 58.5
-        # Unlike the lockstep while_loop (which carries the cache
-        # batch-MINOR, decoding/device_beam.py), THIS scan carries it in
-        # default layout — lane_dot's transposed views materialize into 4
-        # full-cache relayout copies per forked step, and continuous
-        # batching keeps some group always in its fork-heavy youth, so the
-        # identity cond (83% skip rate in lockstep) almost never skips.
-        # Pinning the jit-boundary layout did not flip the internal carry,
-        # and the aliased Pallas kernel still pays carry copies around the
-        # custom call. The fused per-layer gather rides the attention read
-        # the step already does; only the slice writeback is new traffic.
-        n_past_rows = jnp.repeat(st.n_past, k)
-        lg, new_cache = decode_step(
-            params, nt_phys[:, None], n_past_rows,
-            KVCache(st.cache_k, st.cache_v), cross_k, cross_v, cfg,
-            permute_rows=copy_src,
+        # Chunked COW: forks compose the prefix pointer and fork-copy only
+        # the small tail buffers; the pool is untouched until the boundary.
+        take_rows = lambda a: jnp.take(a, copy_src, axis=0)
+        prefix_src = jnp.take(prefix_src, copy_src)
+        tail_k = jax.tree.map(take_rows, tail_k)
+        tail_v = jax.tree.map(take_rows, tail_v)
+        tl_rows = jnp.repeat(tl_g, k)
+        lg, new_tail = decode_step_chunk(
+            params, nt_phys[:, None], n_past0_rows, tl_rows,
+            KVCache(pool_k, pool_v), KVCache(tail_k, tail_v), prefix_src,
+            cross_k, cross_v, cfg, k,
         )
         new_step = st.step + jnp.where(act, 1, 0)
         still = act & (new_step < st.max_new_row) & ~(fin_c >= k)
         new = BeamEngineState(
-            cache_k=new_cache.k, cache_v=new_cache.v,
+            cache_k=None, cache_v=None,
             logits=lg[:, 0].astype(jnp.float32),
             phys=new_phys,
             last_tok=new_last_tok, prev_tok=new_prev_tok,
@@ -296,19 +302,51 @@ def _decode_chunk_beam(
             no_speech=st.no_speech,
             max_new_row=st.max_new_row,
         )
-        return new, None
+        return (new, new_tail.k, new_tail.v, prefix_src,
+                tl_g + jnp.where(act, 1, 0))
 
     # all-finished early exit (see engine._decode_chunk): tail chunks of a
     # generation otherwise step fully-inactive groups.
     def wbody(carry):
-        st, i = carry
-        new, _ = body(st, None)
-        return new, i + 1
+        c, i = carry
+        return body(c), i + 1
 
-    state, _ = jax.lax.while_loop(
-        lambda c: (c[1] < steps) & jnp.any(c[0].active),
-        wbody, (state, jnp.int32(0)))
-    return state
+    rows = jnp.arange(Sk, dtype=jnp.int32)
+    carry0 = (state, tail0.k, tail0.v, rows, jnp.zeros((S,), jnp.int32))
+    (state, tail_k, tail_v, prefix_src, tl_g), _ = jax.lax.while_loop(
+        lambda c: (c[1] < steps) & jnp.any(c[0][0].active),
+        wbody, (carry0, jnp.int32(0)))
+
+    # ---- chunk-boundary materialization: ONE pool pass per chunk ----
+    # (a) permute rows by the composed fork source; (b) flush the tail
+    # columns at each row's chunk-start offset. Rows with nothing to flush
+    # redirect to the trash group's last row (duplicate trash-row indices
+    # collide on garbage only; cow_assign keeps real (row, col) unique).
+    take_f = lambda a: jnp.take(a, prefix_src, axis=0)
+    pool_k = jax.tree.map(take_f, pool_k)
+    pool_v = jax.tree.map(take_f, pool_v)
+    tl_rows = jnp.repeat(tl_g, k)
+    t_idx = jnp.arange(steps, dtype=jnp.int32)
+    valid = t_idx[None, :] < tl_rows[:, None]                 # (Sk, CT)
+    r2 = jnp.where(valid, rows[:, None], Sk - 1)
+    cols = jnp.where(valid, n_past0_rows[:, None] + t_idx[None, :],
+                     t_idx[None, :])
+
+    def flush_data(buf, tbuf):    # (B,L,H,D,Cp) <- (B,L,H,D,CT)
+        return buf.at[r2, :, :, :, cols].set(jnp.moveaxis(tbuf, -1, 1))
+
+    def flush_scale(buf, tbuf):   # (B,L,H,Cp) <- (B,L,H,CT)
+        return buf.at[r2, :, :, cols].set(jnp.moveaxis(tbuf, -1, 1))
+
+    if quantize:
+        pool_k = QuantKV(flush_data(pool_k.data, tail_k.data),
+                         flush_scale(pool_k.scale, tail_k.scale))
+        pool_v = QuantKV(flush_data(pool_v.data, tail_v.data),
+                         flush_scale(pool_v.scale, tail_v.scale))
+    else:
+        pool_k = flush_data(pool_k, tail_k)
+        pool_v = flush_data(pool_v, tail_v)
+    return state._replace(cache_k=pool_k, cache_v=pool_v)
 
 
 @jax.jit
