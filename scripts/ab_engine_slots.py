@@ -1,0 +1,86 @@
+"""A/B the greedy SlotEngine device floor across n_slots (and chunk_steps)
+in ONE process with alternating blocks (CLAUDE.md timing rules: engine-style
+workloads vary 1.5-2x BETWEEN processes; alternate configs within one
+process and aggregate >=90 s per block).
+
+Usage: python scripts/ab_engine_slots.py [config ...]
+  config = "s48c16" (slots 48, chunk 16) with an optional scheduler suffix
+  "s64c16-eager" / "-predictive" / "-pipelined" (default pipelined).
+  Default: s48c16 s64c16 s48c16 s64c16
+
+Each block: build the engine fresh (pools freed between blocks so two
+64-slot cross pools never coexist in HBM), warm up one wave, run timed
+waves for BLOCK_S seconds, print per-block RTF, then free. Repeats come
+from listing a config twice.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BLOCK_S = int(os.environ.get("AB_BLOCK_S", "90"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisper_tpu.config import PRESETS
+    from whisper_tpu.decoding.task import DecodingOptions
+    from whisper_tpu.model.load import random_model
+    from whisper_tpu.model.quant import quantize_decoder_weights
+    from whisper_tpu.parallel.engine import SlotEngine
+
+    configs = sys.argv[1:] or ["s48c16", "s64c16", "s48c16", "s64c16"]
+    model = random_model(PRESETS[os.environ.get("AB_MODEL", "large-v3")],
+                         seed=0, dtype=jnp.bfloat16)
+    model.params = jax.jit(quantize_decoder_weights)(model.params)
+
+    # prestaged audio (device-resident; floor mode), enough for 2*64 streams
+    rng = np.random.default_rng(0)
+    secs = [24.0, 27.0, 30.0]
+    raw = [np.clip(rng.standard_normal(int(16000 * secs[i % 3])) * 0.1 * 32768,
+                   -32768, 32767).astype(np.int16) for i in range(128)]
+
+    results = {}
+    for tag in configs:
+        base, _, sched = tag.partition("-")
+        sched = sched or "pipelined"
+        s, c = base[1:].split("c")
+        n_slots, chunk = int(s), int(c)
+        n_streams = 2 * n_slots
+        audios = [jnp.asarray(a) for a in raw[:n_streams]]
+        jax.device_get([a[:1] for a in audios])
+        total_audio = sum(int(a.shape[0]) for a in audios) / 16000.0
+        engine = SlotEngine(
+            model, n_slots=n_slots, chunk_steps=chunk,
+            options=DecodingOptions(without_timestamps=False),
+            max_new_tokens=64, quantize=True, schedule=sched)
+        engine.transcribe_many(audios[: n_slots + 16])  # warmup/compile
+        waves, done = 0, 0.0
+        t0 = time.perf_counter()
+        while True:
+            engine.transcribe_many(audios)
+            waves += 1
+            done += total_audio
+            if time.perf_counter() - t0 >= BLOCK_S:
+                break
+        wall = time.perf_counter() - t0
+        rtf = done / wall
+        stats = {k: round(v, 2) if isinstance(v, float) else v
+                 for k, v in engine.stats.items()}
+        print(f"[{tag}] rtf={rtf:.1f} waves={waves} wall={wall:.1f}s "
+              f"stats={stats}", flush=True)
+        results.setdefault(tag, []).append(rtf)
+        del engine, audios  # free pools before the next block
+    print("== summary ==")
+    for tag, vals in results.items():
+        print(f"{tag}: {[round(v, 1) for v in vals]} "
+              f"mean={sum(vals) / len(vals):.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -422,7 +422,7 @@ class BeamSlotEngine(SlotEngine):
                  options: Optional[DecodingOptions] = None,
                  chunk_steps: int = 8, max_new_tokens: Optional[int] = None,
                  use_flash: Optional[bool] = None, quantize: bool = False,
-                 mesh=None, admit_buckets=None):
+                 mesh=None, admit_buckets=None, schedule: str = "predictive"):
         options = options or DecodingOptions(beam_size=5)
         if not options.beam_size or options.beam_size < 2:
             raise ValueError("BeamSlotEngine needs options.beam_size >= 2")
@@ -440,7 +440,7 @@ class BeamSlotEngine(SlotEngine):
                          chunk_steps=chunk_steps,
                          max_new_tokens=max_new_tokens, use_flash=use_flash,
                          quantize=quantize, mesh=mesh,
-                         admit_buckets=admit_buckets)
+                         admit_buckets=admit_buckets, schedule=schedule)
         self.options = options
         task = DecodingTask(self.cfg, self.vocab, options)
         self.ranker = task.ranker

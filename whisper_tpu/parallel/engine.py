@@ -275,10 +275,20 @@ class SlotEngine:
         quantize: bool = False,
         mesh=None,
         admit_buckets: Optional[Sequence[int]] = None,
+        schedule: str = "predictive",
     ):
         if options is not None and (options.beam_size or (options.best_of or 1) != 1
                                     or options.temperature != 0):
             raise ValueError("SlotEngine is greedy-only; use decode_full for beams")
+        if schedule not in ("pipelined", "eager", "predictive"):
+            raise ValueError(
+                "schedule must be 'pipelined' (harvest one round late, "
+                "device always fed), 'eager' (pull the previous snapshot "
+                "before every admission), or 'predictive' (eager only on "
+                "rounds where a slot's token budget says it can have "
+                "finished — the zero-idle-chunk refill without paying the "
+                "eager pull's device drain on no-finish rounds)")
+        self.schedule = schedule
         self.model = model
         self.cfg = model.config
         self.vocab = model.vocab
@@ -594,10 +604,51 @@ class SlotEngine:
         results: List[Optional[DecodingResult]] = [None] * len(queue)
         slot_req = [-1] * self.n_slots  # request index per slot
         queue.reverse()  # pop() from the front
-        self.stats = {"admit_s": 0.0, "chunk_s": 0.0, "pull_s": 0.0, "rounds": 0}
+        self.stats = {"admit_s": 0.0, "chunk_s": 0.0, "pull_s": 0.0,
+                      "rounds": 0, "eager_rounds": 0}
         snap = None  # (req_map, device snapshot) of the previous round
+        # Budget-based minimum rounds before an admitted stream can free its
+        # slot (schedule="predictive"): step advances once per chunk-step
+        # while active, so a slot cannot budget-finish before
+        # ceil(max_new / chunk_steps) chunks. EOT can finish a row EARLIER;
+        # those are still caught by the normal end-of-round pull (one round
+        # late, exactly the pipelined behavior).
+        min_rounds = max(1, -(-self.max_new // self.chunk_steps))
+        rounds_left = [0] * self.n_slots
+
+        def pull_and_free(snap):
+            """Harvest a snapshot: one blocking device_get (this is where
+            the scheduler waits for the device), then free finished slots."""
+            req_map, arrs = snap
+            t0 = _time.perf_counter()
+            pulled = jax.device_get(arrs)
+            active = pulled[0]
+            self.stats["pull_s"] += _time.perf_counter() - t0
+            for s in range(self.n_slots):
+                if (req_map[s] >= 0 and not active[s]
+                        and slot_req[s] == req_map[s]):
+                    results[req_map[s]] = self._stream_result(s, pulled)
+                    slot_req[s] = -1
 
         while queue or any(r >= 0 for r in slot_req) or snap is not None:
+            # Schedule choice (measured on the tunneled v5e, s64 int8
+            # prestaged, one process interleaved — scripts/ab_engine_slots):
+            # "pipelined" harvests one round LATE (the pull happens after
+            # the next chunk is dispatched, so the device is always fed,
+            # but a finished slot decodes one extra garbage chunk before
+            # its refill). "eager" pulls the previous snapshot FIRST every
+            # round — zero idle chunks, but on rounds where nothing could
+            # have finished the early pull drains the device queue for
+            # nothing. "predictive" pulls early ONLY when some occupied
+            # slot's token budget allows it to have finished.
+            if snap is not None and queue and (
+                    self.schedule == "eager"
+                    or (self.schedule == "predictive"
+                        and any(slot_req[s] >= 0 and rounds_left[s] <= 0
+                                for s in range(self.n_slots)))):
+                pull_and_free(snap)
+                snap = None
+                self.stats["eager_rounds"] += 1
             # fill slots freed as of the last harvested snapshot (batched
             # admission: joiners share encode/prefill)
             join_slots, join_audios = [], []
@@ -611,6 +662,8 @@ class SlotEngine:
                 t0 = _time.perf_counter()
                 self._admit_many(join_slots, join_audios)
                 self.stats["admit_s"] += _time.perf_counter() - t0
+                for s in join_slots:
+                    rounds_left[s] = min_rounds
             # dispatch one decode chunk for all slots (async) and take
             # fresh-buffer snapshots of the harvest arrays (the chunk
             # donates the state, so next round's chunk invalidates the
@@ -622,22 +675,15 @@ class SlotEngine:
                 new_snap = (list(slot_req),
                             self._stream_chunk_snapshot(self.options))
                 self.stats["chunk_s"] += _time.perf_counter() - t0
+                for s in range(self.n_slots):
+                    rounds_left[s] -= 1
             else:
                 new_snap = None
             # harvest the PREVIOUS round's snapshot — its device work
             # finished before this round's chunk started, so the pull
             # does not wait on the in-flight chunk.
             if snap is not None:
-                req_map, arrs = snap
-                t0 = _time.perf_counter()
-                pulled = jax.device_get(arrs)
-                active = pulled[0]
-                self.stats["pull_s"] += _time.perf_counter() - t0
-                for s in range(self.n_slots):
-                    if (req_map[s] >= 0 and not active[s]
-                            and slot_req[s] == req_map[s]):
-                        results[req_map[s]] = self._stream_result(s, pulled)
-                        slot_req[s] = -1
+                pull_and_free(snap)
             snap = new_snap
             self.stats["rounds"] += 1
         return results  # type: ignore[return-value]
