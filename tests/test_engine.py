@@ -381,3 +381,24 @@ def test_engine_custom_admit_buckets(model):
     assert eng._ADMIT_BUCKETS == (4, 1)
     got = eng.transcribe_many(audios)
     assert [r.tokens for r in got] == [r.tokens for r in ref]
+
+
+def test_engine_schedules_identical(model):
+    """The three harvest schedules (pipelined / eager / predictive) are pure
+    host-side refill policies: results must be token-identical, and only the
+    eager-capable schedules may take early pulls."""
+    audios = _audios(6, seed=13)
+    opts = DecodingOptions(sample_len=24)
+    outs = {}
+    for sched in ("pipelined", "eager", "predictive"):
+        eng = SlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+                         schedule=sched)
+        outs[sched] = eng.transcribe_many(audios)
+        if sched == "pipelined":
+            assert eng.stats["eager_rounds"] == 0
+    base = [(r.tokens, round(r.avg_logprob, 4)) for r in outs["pipelined"]]
+    for sched in ("eager", "predictive"):
+        assert [(r.tokens, round(r.avg_logprob, 4)) for r in outs[sched]] == base
+
+    with pytest.raises(ValueError):
+        SlotEngine(model, n_slots=2, options=opts, schedule="bogus")
