@@ -60,6 +60,25 @@ def _backend_or_die() -> None:
 def main() -> int:
     _enable_compile_cache()
     _backend_or_die()
+    try:
+        return _run()
+    except Exception as e:
+        # Oversized configs raise a typed HbmBudgetError pre-compile
+        # (config.check_serving_hbm) instead of hanging the worker; the
+        # bench contract is still ONE JSON line either way.
+        from whisper_tpu.errors import WhisperError
+
+        if not isinstance(e, WhisperError):
+            raise
+        print(json.dumps({
+            "metric": "rtf_config_refused", "value": 0.0,
+            "unit": "audio_sec/sec/chip", "vs_baseline": 0.0,
+            "detail": {"error": str(e)},
+        }))
+        return 1
+
+
+def _run() -> int:
     from whisper_tpu.utils.benchmark import run_benchmark, run_engine_benchmark
 
     if os.environ.get("BENCH_MODE") == "spec":

@@ -4,8 +4,10 @@ workloads vary 1.5-2x BETWEEN processes; alternate configs within one
 process and aggregate >=90 s per block).
 
 Usage: python scripts/ab_engine_slots.py [config ...]
-  config = "s48c16" (slots 48, chunk 16) with an optional scheduler suffix
-  "s64c16-eager" / "-predictive" / "-pipelined" (default pipelined).
+  config = "s48c16" (slots 48, chunk 16), optionally "b32" (admission
+  bucket cap), "e" (W8A8 admission encodes), and a scheduler suffix
+  "-eager" / "-predictive" / "-pipelined" / "-overlapped"
+  (default pipelined) — e.g. "s64c16b32e-overlapped".
   Default: s48c16 s64c16 s48c16 s64c16
 
 Each block: build the engine fresh (pools freed between blocks so two
@@ -47,10 +49,23 @@ def main():
 
     results = {}
     for tag in configs:
+        import re
+
         base, _, sched = tag.partition("-")
         sched = sched or "pipelined"
-        s, c = base[1:].split("c")
-        n_slots, chunk = int(s), int(c)
+        m = re.fullmatch(r"s(\d+)c(\d+)(?:b(\d+))?(e?)", base)
+        if not m:
+            raise SystemExit(f"bad config {tag!r}")
+        n_slots, chunk = int(m.group(1)), int(m.group(2))
+        buckets = None
+        if m.group(3):
+            cap = int(m.group(3))
+            buckets = tuple(b for b in (64, 32, 16, 8, 4, 2, 1) if b <= cap)
+        params = model.params
+        if m.group(4):  # W8A8 admission encodes
+            from whisper_tpu.model.quant import quantize_encoder_weights
+
+            model.params = jax.jit(quantize_encoder_weights)(params)
         n_streams = 2 * n_slots
         audios = [jnp.asarray(a) for a in raw[:n_streams]]
         jax.device_get([a[:1] for a in audios])
@@ -58,7 +73,9 @@ def main():
         engine = SlotEngine(
             model, n_slots=n_slots, chunk_steps=chunk,
             options=DecodingOptions(without_timestamps=False),
-            max_new_tokens=64, quantize=True, schedule=sched)
+            max_new_tokens=64, quantize=True, schedule=sched,
+            admit_buckets=buckets)
+        model.params = params  # undo the per-block W8A8 for later blocks
         engine.transcribe_many(audios[: n_slots + 16])  # warmup/compile
         waves, done = 0, 0.0
         t0 = time.perf_counter()

@@ -85,6 +85,23 @@ def test_beam_engine_int8_serving_mode(model):
         assert agree > 0.5, (g.tokens, r.tokens)
 
 
+def test_beam_engine_overlapped_schedule_identical(model):
+    """The 'overlapped' scheduler (staged slot-agnostic encode/prefill,
+    scatter-only installs — engine._transcribe_many_overlapped) is a pure
+    host-side policy: beam results must be token-identical to the default
+    schedule, including partial payload installs on straggler refills."""
+    opts = DecodingOptions(beam_size=3, sample_len=14)
+    audios = _audios(5, seed=21)
+    ref = BeamSlotEngine(model, n_slots=2, options=opts,
+                         chunk_steps=4).transcribe_many(audios)
+    eng = BeamSlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
+                         schedule="overlapped")
+    got = eng.transcribe_many(audios)
+    assert eng.stats["staged_buckets"] >= 2
+    assert [(r.tokens, round(r.avg_logprob, 4)) for r in got] == \
+        [(r.tokens, round(r.avg_logprob, 4)) for r in ref]
+
+
 def test_beam_engine_rejects_invalid_options(model):
     with pytest.raises(ValueError):
         BeamSlotEngine(model, options=DecodingOptions(beam_size=None))

@@ -390,14 +390,23 @@ def test_engine_schedules_identical(model):
     audios = _audios(6, seed=13)
     opts = DecodingOptions(sample_len=24)
     outs = {}
-    for sched in ("pipelined", "eager", "predictive"):
+    for sched in ("pipelined", "eager", "predictive", "overlapped"):
         eng = SlotEngine(model, n_slots=2, options=opts, chunk_steps=4,
                          schedule=sched)
         outs[sched] = eng.transcribe_many(audios)
         if sched == "pipelined":
             assert eng.stats["eager_rounds"] == 0
+        elif sched == "overlapped":
+            assert eng.stats["staged_buckets"] >= 3  # 6 streams, 2 slots
+        else:
+            # eager pulls before every admission round with work queued;
+            # predictive's budget check (ceil(24/4)=6 rounds min) fires for
+            # the refill waves. A regression collapsing either into
+            # pipelined behavior must fail here, not just the 'pipelined
+            # == 0' half.
+            assert eng.stats["eager_rounds"] > 0, sched
     base = [(r.tokens, round(r.avg_logprob, 4)) for r in outs["pipelined"]]
-    for sched in ("eager", "predictive"):
+    for sched in ("eager", "predictive", "overlapped"):
         assert [(r.tokens, round(r.avg_logprob, 4)) for r in outs[sched]] == base
 
     with pytest.raises(ValueError):

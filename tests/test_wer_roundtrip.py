@@ -1,12 +1,16 @@
-"""Closed-loop WER round-trip: train from scratch on synthetic tone-words,
-export GGML, reload through the production loader, transcribe held-out audio,
-score with the WER harness (VERDICT r3 item 6 — the training and eval
-subsystems proven against each other; no external assets needed).
+"""Closed-loop accuracy round-trip: train from scratch on synthetic
+tone-words, export GGML, reload through the production loader, transcribe
+held-out audio, score with the WER harness (VERDICT r3 item 6 — training and
+eval proven against each other; no external assets needed) — and validate
+word-level DTW timing SEMANTICALLY against the corpus's constructed word
+positions (VERDICT r4 item 8: the tone-word corpus has KNOWN boundaries, so
+pipeline/word_timing.py can be checked against ground truth, which no
+synthetic-weights test can do).
 
-The heavyweight version (more steps, subprocess `cli eval`) lives in
-scripts/wer_roundtrip.py — measured 18.2% WER at 700 steps. This test uses a
-smaller budget and a generous bound: the point is a nonzero-accuracy
-round-trip through the full path, not a benchmark.
+The heavyweight WER version (more steps, subprocess `cli eval`) lives in
+scripts/wer_roundtrip.py — measured 18.2% WER at 700 steps. These tests use
+a smaller budget and generous bounds: the point is nonzero accuracy through
+the full path, not a benchmark.
 """
 
 import numpy as np
@@ -18,18 +22,22 @@ import jax.numpy as jnp
 from whisper_tpu.config import WhisperConfig
 from whisper_tpu.io.ggml import write_ggml
 from whisper_tpu.io.vocab import make_vocab
-from whisper_tpu.io.wav import load_wav, write_wav
+from whisper_tpu.io.wav import write_wav
 from whisper_tpu.model.load import load_model, random_model
 from whisper_tpu.model.params import params_to_ggml
 from whisper_tpu.training.finetune import finetune
-from whisper_tpu.utils.synth import SR, make_pair, word_tokens
+from whisper_tpu.utils.synth import SR, WORD_SEC, make_pair, word_tokens
 from whisper_tpu.utils.wer import evaluate_dataset
 
 N_VOCAB = 51864
+GAP_SEC = 0.05  # silence between tone words (utils/synth.make_pair)
 
 
-@pytest.mark.slow
-def test_wer_roundtrip_synthetic(tmp_path):
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train the micro model on tone-words once; both the WER round-trip and
+    the word-timing validation consume the same GGML-reloaded model."""
+    tmp_path = tmp_path_factory.mktemp("wer_roundtrip")
     cfg = WhisperConfig(
         n_vocab=N_VOCAB, n_audio_ctx=64, n_audio_state=64, n_audio_head=2,
         n_audio_layer=2, n_text_ctx=96, n_text_state=64, n_text_head=2,
@@ -46,15 +54,25 @@ def test_wer_roundtrip_synthetic(tmp_path):
         ids = model.vocab.encode(" " + text)
         assert model.vocab.decode(ids).strip() == text
 
-    state = finetune(model, train_pairs, steps=350, batch_size=16,
+    # 700 steps (the scripts/wer_roundtrip.py budget that measured 18.2%
+    # WER): the 350-step model still substitutes the FIRST word of every
+    # utterance, which breaks the exact-transcript filter the word-timing
+    # test needs. The fixture is module-scoped, so both tests share one run.
+    state = finetune(model, train_pairs, steps=700, batch_size=16,
                      lr=1e-3, warmup=20, log_every=1000, seed=0)
 
-    # full production path: params -> GGML -> loader -> wav files -> WER
+    # full production path: params -> GGML -> loader
     tensors = params_to_ggml(jax.tree.map(np.asarray, state.params), cfg)
     ggml = str(tmp_path / "model.bin")
     write_ggml(ggml, cfg, np.asarray(model.filters), word_tokens(N_VOCAB),
                tensors)
     reloaded = load_model(ggml, dtype=jnp.float32)
+    return reloaded, held_out, tmp_path
+
+
+@pytest.mark.slow
+def test_wer_roundtrip_synthetic(trained):
+    reloaded, held_out, tmp_path = trained
 
     def dataset():
         for i, (audio, text) in enumerate(held_out):
@@ -68,3 +86,47 @@ def test_wer_roundtrip_synthetic(tmp_path):
     # with a generous bound keeps the test robust to optimizer noise.
     assert res["wer"] < 0.6, res
     assert res["words"] > 0 and res["utterances"] == len(held_out)
+
+
+@pytest.mark.slow
+def test_word_timing_semantic(trained):
+    """DTW word timing vs CONSTRUCTED ground truth: word i of a tone-word
+    utterance occupies [GAP + i*(WORD+GAP), ... + WORD] seconds by
+    construction (utils/synth.make_pair), so every predicted word midpoint
+    must land within the true word's neighborhood — a semantic check of
+    pipeline/word_timing.py that the alignment actually tracks audio, not
+    just a monotonicity smoke test (the reference's per-token t0/t1 intent,
+    main.rs:317-331, validated end to end)."""
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+    reloaded, _, _ = trained
+    rng = np.random.default_rng(99)
+    pitch = WORD_SEC + GAP_SEC  # word i starts at GAP + i*pitch
+
+    checked = multiword = 0
+    errs = []
+    for _ in range(16):
+        audio, text = make_pair(rng)  # train-distribution, fresh stream
+        truth = text.split()
+        out = transcribe(reloaded, audio,
+                         TranscribeOptions(language="en", temperature=0.0,
+                                           word_timestamps=True))
+        words = [w for s in out["segments"] for w in (s.get("words") or [])]
+        # only utterances the model transcribes exactly are comparable
+        if [w["word"].strip() for w in words] != truth:
+            continue
+        checked += 1
+        multiword += len(truth) >= 2
+        for i, w in enumerate(words):
+            true_mid = GAP_SEC + i * pitch + WORD_SEC / 2
+            pred_mid = (w["start"] + w["end"]) / 2
+            errs.append(abs(pred_mid - true_mid))
+
+    # the 700-step model (18.2% WER in the script run) transcribes most
+    # held-out utterances exactly, including multi-word ones
+    assert checked >= 3 and multiword >= 1, (checked, multiword)
+    errs = np.array(errs)
+    # meaningful = finer than the word pitch (0.35 s): a degenerate aligner
+    # (uniform spread / all-zero times) cannot pass these bounds.
+    assert float(np.median(errs)) < pitch / 2, errs
+    assert float(errs.max()) < 2 * pitch, errs

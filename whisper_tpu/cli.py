@@ -16,6 +16,8 @@ import json
 import sys
 import time
 
+from .errors import WhisperError
+
 
 def _add_transcribe_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("model", help="GGML checkpoint path")
@@ -749,7 +751,14 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except WhisperError as e:
+        # Typed configuration/load errors (bad checkpoint, oversized serving
+        # config per config.check_serving_hbm, ...) are user errors — print
+        # the message, not a traceback (the reference's main() error path).
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

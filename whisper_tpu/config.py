@@ -89,27 +89,57 @@ class WhisperConfig:
         ctx: Optional[int] = None,
         dtype_bytes: int = 2,
         kv_dtype_bytes: int = 2,
+        beam: int = 1,
+        enc_batch: Optional[int] = None,
+        engine: bool = False,
     ) -> Dict[str, int]:
         """Per-term HBM budget for a serving configuration — the full version
         of the reference's MEM_REQ_* tables (main.rs:94-189): weights + cross
-        memory + self-KV cache + peak encoder activations, in bytes. Use to
-        sanity-check a (model, batch, dtype) combination against chip HBM
-        before compiling (e.g. large-v3 bf16 cross at b48 alone is 11.8 GB —
-        int8 or a smaller batch is required on a 16 GB chip)."""
+        memory + self-KV cache + peak encoder activations + transients, in
+        bytes. ``batch`` counts STREAMS (beam groups): cross memory is
+        group-shared (the decoder folds the beam axis into the query time
+        axis, model/decoder.py), so cross rows = batch while KV rows =
+        batch * beam. ``enc_batch`` is the encode batch (the engine admission
+        bucket; defaults to batch — the lockstep path encodes all windows at
+        once). ``engine=True`` adds the admission transient: the pre-scatter
+        bucket's cross + KV rows coexist with the resident pools between
+        _encode_prefill and the donated _refill_many scatter. beam > 1 adds
+        one full KV-pool copy (the COW boundary materialization / fork
+        permute is out-of-place).
+
+        Use :func:`check_serving_hbm` to enforce this against the chip
+        budget before compiling (e.g. large-v3 bf16 cross at 48 groups alone
+        is 11.8 GB — int8 or a smaller batch is required on a 16 GB chip)."""
         c = min(ctx if ctx is not None else self.n_text_ctx, self.n_text_ctx)
         t, a = self.n_text_state, self.n_audio_state
-        cross = 2 * self.n_text_layer * batch * a * self.n_audio_ctx * kv_dtype_bytes
-        if kv_dtype_bytes == 1:  # int8 adds per-position f32 scales
-            cross += 2 * self.n_text_layer * batch * self.n_text_head * self.n_audio_ctx * 4
-        kv = 2 * self.n_text_layer * batch * t * c * kv_dtype_bytes
-        if kv_dtype_bytes == 1:
-            kv += 2 * self.n_text_layer * batch * self.n_text_head * c * 4
+        eb = min(enc_batch if enc_batch is not None else batch, batch)
+
+        def cross_rows(n: int) -> int:
+            b = 2 * self.n_text_layer * n * a * self.n_audio_ctx * kv_dtype_bytes
+            if kv_dtype_bytes == 1:  # int8 adds per-position f32 scales
+                b += (2 * self.n_text_layer * n * self.n_text_head
+                      * self.n_audio_ctx * 4)
+            return b
+
+        def kv_rows(n: int) -> int:
+            b = 2 * self.n_text_layer * n * t * c * kv_dtype_bytes
+            if kv_dtype_bytes == 1:
+                b += 2 * self.n_text_layer * n * self.n_text_head * c * 4
+            return b
+
+        cross = cross_rows(batch)
+        kv = kv_rows(batch * beam)
         # encoder peak: ~4 live (B, 1500, a) activations + one (B, 1500, 4a)
-        acts = batch * self.n_audio_ctx * a * (4 + 4) * dtype_bytes
+        acts = eb * self.n_audio_ctx * a * (4 + 4) * dtype_bytes
+        transient = 0
+        if engine:  # admission bucket rows alongside the resident pools
+            transient += cross_rows(eb) + kv_rows(eb * beam)
+        if beam > 1:  # COW materialization: out-of-place full-pool permute
+            transient += kv_rows(batch * beam)
         weights = self.hbm_bytes_estimate()
-        total = weights + cross + kv + acts
+        total = weights + cross + kv + acts + transient
         return {"weights": weights, "cross": cross, "kv_cache": kv,
-                "activations": acts, "total": total}
+                "activations": acts, "transient": transient, "total": total}
 
     def hbm_bytes_estimate(self) -> int:
         """Analytic weight-size accounting; the TPU analogue of the reference's
@@ -209,3 +239,70 @@ def lookup_alignment_heads(cfg: "WhisperConfig") -> Optional[Tuple[Tuple[int, in
                     return None  # v1/v2 indistinguishable from the header
             return ALIGNMENT_HEADS.get(name)
     return None
+
+
+# ---- serving HBM budget enforcement (the reference's MEM_REQ intent:
+# fail BEFORE allocating, main.rs:119-189) ----
+
+# Fraction of physical HBM the estimator may plan against. Calibrated on the
+# v5e (15.75 GB) against the measured fit/crash boundary (BASELINE.md):
+#   fits:    lockstep greedy b64 (12.9 GB est), lockstep beam b48 (13.0),
+#            engine s64 bucket16 (13.9), engine s48 bucket32 (14.3),
+#            beam engine 32 groups (12.8)
+#   crashes: lockstep beam b56 (14.7), beam engine 48 groups (16.1)
+# 0.92 * 15.75 = 14.49 GB sits between the largest measured fit (14.3) and
+# the smallest measured crash (14.7); the ~8% reserve covers XLA's runtime
+# reservation + fragmentation. Override the physical size with
+# WHISPER_TPU_HBM_BYTES (an int) when serving on a different chip.
+HBM_UTILIZATION = 0.92
+DEFAULT_HBM_BYTES = int(15.75 * 2**30)
+
+
+def _physical_hbm_bytes() -> int:
+    import os
+
+    env = os.environ.get("WHISPER_TPU_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return DEFAULT_HBM_BYTES
+
+
+def check_serving_hbm(
+    cfg: "WhisperConfig",
+    batch: int,
+    *,
+    beam: int = 1,
+    ctx: Optional[int] = None,
+    kv_dtype_bytes: int = 2,
+    enc_batch: Optional[int] = None,
+    engine: bool = False,
+    what: str = "serving config",
+    budget_bytes: Optional[int] = None,
+) -> Dict[str, int]:
+    """Refuse a serving configuration whose HBM estimate exceeds the chip
+    budget — raising a typed :class:`~whisper_tpu.errors.HbmBudgetError`
+    BEFORE any pool allocation or compile, instead of letting the worker
+    crash or hang mid-allocation (the measured failure mode of oversized
+    beam batches, BASELINE.md). Returns the per-term estimate on success.
+
+    Called by SlotEngine/BeamSlotEngine construction, ``cli serve/batch``,
+    and the benchmarks; see :meth:`WhisperConfig.serving_hbm_estimate` for
+    the cost model and the module constants above for the calibration."""
+    from .errors import HbmBudgetError
+
+    est = cfg.serving_hbm_estimate(
+        batch=batch, ctx=ctx, kv_dtype_bytes=kv_dtype_bytes, beam=beam,
+        enc_batch=enc_batch, engine=engine)
+    if budget_bytes is None:
+        budget_bytes = int(_physical_hbm_bytes() * HBM_UTILIZATION)
+    if est["total"] > budget_bytes:
+        raise HbmBudgetError(what, est, budget_bytes, batch=batch, beam=beam)
+    return est

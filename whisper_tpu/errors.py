@@ -85,6 +85,33 @@ class UnsupportedFtypeError(WhisperError):
         self.ftype = ftype
 
 
+class HbmBudgetError(WhisperError):
+    """Serving configuration's HBM estimate exceeds the chip budget.
+
+    Raised BEFORE pools are allocated or programs compiled — the TPU
+    analogue of the reference's MEM_REQ_* pre-allocation sizing tables
+    (main.rs:119-189): an oversized (batch, beam, dtype) combination must
+    fail with a clear error instead of crashing or hanging the worker
+    mid-allocation (config.check_serving_hbm; calibration in config.py)."""
+
+    def __init__(self, what: str, estimate: dict, budget_bytes: int,
+                 batch: int = 0, beam: int = 1):
+        gb = 2**30
+        terms = ", ".join(f"{k} {v / gb:.2f}" for k, v in estimate.items()
+                          if k != "total")
+        super().__init__(
+            f"{what} needs ~{estimate['total'] / gb:.2f} GB HBM "
+            f"(batch={batch}, beam={beam}; {terms} GB) but only "
+            f"{budget_bytes / gb:.2f} GB is budgeted — reduce batch/beam, "
+            f"quantize the KV pools (int8), or raise WHISPER_TPU_HBM_BYTES "
+            f"if the chip is larger")
+        self.what = what
+        self.estimate = estimate
+        self.budget_bytes = budget_bytes
+        self.batch = batch
+        self.beam = beam
+
+
 class AudioError(WhisperError):
     """WAV/PCM ingestion failure."""
 

@@ -521,9 +521,8 @@ class BeamSlotEngine(SlotEngine):
             max_new_row=jnp.full((S,), self.max_new, jnp.int32),
         )
 
-    def _install_bucket(self, slot_list, wins, bucket: int,
-                        tokens=None, lengths=None, sot_idx=None,
-                        max_news=None):
+    def _encode_bucket(self, wins, bucket: int, tokens=None, lengths=None,
+                       sot_idx=None, max_news=None) -> dict:
         k = self.beam_size
         if tokens is None:
             tokens = jnp.broadcast_to(
@@ -554,15 +553,23 @@ class BeamSlotEngine(SlotEngine):
 
             self._cross_pool_k = self._shard_pool(pool_like(ck))
             self._cross_pool_v = self._shard_pool(pool_like(cv))
-        pad = [self.n_slots] * (bucket - len(slot_list))
-        groups = np.array(list(slot_list) + pad, np.int32)
+        return {"bucket": bucket, "ck": ck, "cv": cv, "cache": cache,
+                "logits": first_logits, "lengths": lengths,
+                "max_news": max_news, "nosp": nosp}
+
+    def _install_rows(self, staged: dict, slot_list, rows) -> None:
+        k = self.beam_size
+        bucket = staged["bucket"]
+        groups = np.full((bucket,), self.n_slots, np.int32)
+        groups[np.asarray(rows, np.int32)] = np.asarray(slot_list, np.int32)
         row_ids = (groups[:, None] * k + np.arange(k)[None]).reshape(-1)
         eot = device_special_ids(self.cfg.n_vocab)[0]
         self._state, self._cross_pool_k, self._cross_pool_v = _beam_refill(
             self._state, self._cross_pool_k, self._cross_pool_v,
             jnp.asarray(groups), jnp.asarray(row_ids.astype(np.int32)),
-            ck, cv, cache.k, cache.v, first_logits,
-            lengths, max_news, nosp, jnp.int32(eot))
+            staged["ck"], staged["cv"], staged["cache"].k, staged["cache"].v,
+            staged["logits"], staged["lengths"], staged["max_news"],
+            staged["nosp"], jnp.int32(eot))
 
     # -- scheduler: transcribe_many is INHERITED — SlotEngine's loop drives
     #    the beam chunk/snapshot/finalize through the _stream_chunk_snapshot

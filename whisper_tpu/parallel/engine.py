@@ -280,14 +280,18 @@ class SlotEngine:
         if options is not None and (options.beam_size or (options.best_of or 1) != 1
                                     or options.temperature != 0):
             raise ValueError("SlotEngine is greedy-only; use decode_full for beams")
-        if schedule not in ("pipelined", "eager", "predictive"):
+        if schedule not in ("pipelined", "eager", "predictive", "overlapped"):
             raise ValueError(
                 "schedule must be 'pipelined' (harvest one round late, "
                 "device always fed), 'eager' (pull the previous snapshot "
-                "before every admission), or 'predictive' (eager only on "
+                "before every admission), 'predictive' (eager only on "
                 "rounds where a slot's token budget says it can have "
                 "finished — the zero-idle-chunk refill without paying the "
-                "eager pull's device drain on no-finish rounds)")
+                "eager pull's device drain on no-finish rounds), or "
+                "'overlapped' (stage the next admission bucket's "
+                "encode/prefill BEHIND the in-flight decode chunk and "
+                "install by scatter as slots free — admission host work "
+                "and encode device time leave the critical path)")
         self.schedule = schedule
         self.model = model
         self.cfg = model.config
@@ -358,10 +362,32 @@ class SlotEngine:
         if admit_buckets is not None:
             self._ADMIT_BUCKETS = tuple(
                 sorted({int(b) for b in admit_buckets}, reverse=True))
+        # Refuse configurations whose pools cannot fit the chip BEFORE any
+        # allocation or compile (the reference's MEM_REQ intent,
+        # main.rs:119-189): an oversized slot/beam count otherwise crashes
+        # or hangs the worker mid-allocation (measured, BASELINE.md).
+        self._check_hbm_budget()
         self._n_frames = 2 * self.cfg.n_audio_ctx
         self._cross_pool_k = None  # lazily sized (L, S, H, D, Ta)
         self._cross_pool_v = None
         self._state: Optional[EngineState] = None
+
+    def _check_hbm_budget(self, pool_ctx: Optional[int] = None) -> None:
+        """config.check_serving_hbm over THIS engine's geometry (slot pool
+        + trash row, beam width, admission bucket transient). tp shards the
+        pools over the mesh, so the per-chip estimate divides by tp."""
+        from ..config import check_serving_hbm
+
+        tp = self.mesh.shape.get("tp", 1) if self.mesh is not None else 1
+        beam = getattr(self, "beam_size", None) or 1
+        check_serving_hbm(
+            self.cfg, -(-(self.n_slots + 1) // tp),
+            beam=beam,
+            ctx=pool_ctx if pool_ctx is not None else self.pool_ctx,
+            kv_dtype_bytes=1 if self.quantize else 2,
+            enc_batch=-(-self._ADMIT_BUCKETS[0] // tp), engine=True,
+            what=(f"{type(self).__name__}(n_slots={self.n_slots}, "
+                  f"beam={beam}, quantize={self.quantize})"))
 
     # -- stream admission (bucketed: joiners encode/prefill together) --
 
@@ -489,7 +515,16 @@ class SlotEngine:
 
     def _admit_many(self, slots: Sequence[int], audios: Sequence[np.ndarray]):
         """Admit several streams with shared encode/prefill calls (one bucket
-        at a time, largest first), then install each into its slot."""
+        at a time, largest first), then install each into its slot.
+
+        Phase sub-timers land in ``self.stats`` when present: ``stage_s``
+        (host window staging: stacking + mel dispatch), ``install_s``
+        (encode/prefill + refill dispatch) and ``admit_sync_s`` (the
+        inter-bucket OOM-bounding waits — device encode time the host
+        blocks on)."""
+        import time as _time
+
+        stats = getattr(self, "stats", None)
         i = 0
         while i < len(slots):
             remaining = len(slots) - i
@@ -503,14 +538,23 @@ class SlotEngine:
                 (b for b in reversed(self._ADMIT_BUCKETS) if b >= remaining),
                 self._ADMIT_BUCKETS[0])
             n = min(bucket, remaining)
+            t0 = _time.perf_counter()
             wins = self._window_batch(audios[i : i + n], bucket)
+            t1 = _time.perf_counter()
             self._install_bucket(list(slots[i : i + n]), wins, bucket)
+            t2 = _time.perf_counter()
+            if stats is not None:
+                stats["stage_s"] = stats.get("stage_s", 0.0) + (t1 - t0)
+                stats["install_s"] = stats.get("install_s", 0.0) + (t2 - t1)
             i += n
             if i < len(slots):
                 # Bound in-flight admissions to ONE bucket: each holds ~2 GB
                 # of encoder cross rows on large-v3, and letting several
                 # queue asynchronously OOMs next to the resident pools.
                 jax.device_get(self._state.n_past[:1])
+                if stats is not None:
+                    stats["admit_sync_s"] = (stats.get("admit_sync_s", 0.0)
+                                             + (_time.perf_counter() - t2))
 
     def _install_bucket(self, slot_list, wins, bucket: int,
                         tokens=None, lengths=None, sot_idx=None,
@@ -523,6 +567,18 @@ class SlotEngine:
         exactly one compiled program. Without per-row arguments every row
         prefills the engine's shared initial tokens (<=30 s path); the
         long-form path passes per-row wrapped prompts."""
+        staged = self._encode_bucket(wins, bucket, tokens, lengths, sot_idx,
+                                     max_news)
+        self._install_rows(staged, list(slot_list), list(range(len(slot_list))))
+
+    def _encode_bucket(self, wins, bucket: int, tokens=None, lengths=None,
+                       sot_idx=None, max_news=None) -> dict:
+        """Encode + prefill one admission bucket WITHOUT binding it to slots:
+        the slot-agnostic half of admission (the payload carries encoder
+        cross rows, prefilled KV rows, first logits and per-row budgets).
+        The "overlapped" schedule dispatches this while a decode chunk is
+        in flight and installs rows later as slots free; the classic path
+        installs the whole payload immediately (_install_bucket)."""
         if tokens is None:
             tokens = jnp.broadcast_to(
                 self._padded_init, (bucket, self._padded_init.shape[1]))
@@ -532,6 +588,8 @@ class SlotEngine:
             self.params, wins, tokens, lengths, sot_idx,
             self.cfg, self.use_flash, self.quantize, self.pool_ctx,
             self._nosp_token())
+        if max_news is None:
+            max_news = jnp.full((bucket,), self.max_new, jnp.int32)
         if self._state is None:
             self._init_state(getattr(ck, "data", ck).dtype)
         if self._cross_pool_k is None:
@@ -545,14 +603,25 @@ class SlotEngine:
 
             self._cross_pool_k = self._shard_pool(pool_like(ck))
             self._cross_pool_v = self._shard_pool(pool_like(cv))
-        pad = [self.n_slots] * (bucket - len(slot_list))
-        slot_vec = jnp.asarray(np.array(list(slot_list) + pad, np.int32))
-        if max_news is None:
-            max_news = jnp.full((bucket,), self.max_new, jnp.int32)
+        return {"bucket": bucket, "ck": ck, "cv": cv, "cache": cache,
+                "logits": first_logits, "lengths": lengths,
+                "max_news": max_news, "nosp": nosp}
+
+    def _install_rows(self, staged: dict, slot_list, rows) -> None:
+        """Scatter payload rows ``rows`` of a staged bucket into
+        ``slot_list`` (1:1). Unselected rows land in the trash slot, so a
+        payload can be consumed across SEVERAL calls (each the same
+        compiled fixed-size scatter) as slots free up — _refill_many does
+        not donate the payload rows, only the pools."""
+        bucket = staged["bucket"]
+        slot_arr = np.full((bucket,), self.n_slots, np.int32)
+        slot_arr[np.asarray(rows, np.int32)] = np.asarray(slot_list, np.int32)
         self._state, self._cross_pool_k, self._cross_pool_v = _refill_many(
             self._state, self._cross_pool_k, self._cross_pool_v,
-            slot_vec, ck, cv, cache.k, cache.v,
-            first_logits, lengths, max_news, nosp)
+            jnp.asarray(slot_arr), staged["ck"], staged["cv"],
+            staged["cache"].k, staged["cache"].v,
+            staged["logits"], staged["lengths"], staged["max_news"],
+            staged["nosp"])
 
     def _harvest(self, slot: int, tokens_out, length, sum_logprobs,
                  no_speech=None, strip=True) -> DecodingResult:
@@ -600,6 +669,8 @@ class SlotEngine:
         # ITS TranscribeOptions; this path decodes with the constructor's
         self.sup_mask, self.blank_mask, self.max_initial_index = \
             self._option_masks
+        if self.schedule == "overlapped":
+            return self._transcribe_many_overlapped(audios)
         queue = list(enumerate(audios))
         results: List[Optional[DecodingResult]] = [None] * len(queue)
         slot_req = [-1] * self.n_slots  # request index per slot
@@ -686,6 +757,166 @@ class SlotEngine:
                 pull_and_free(snap)
             snap = new_snap
             self.stats["rounds"] += 1
+        return results  # type: ignore[return-value]
+
+    @_under_mesh
+    def _transcribe_many_overlapped(
+            self, audios: Sequence[np.ndarray]) -> List[DecodingResult]:
+        """The "overlapped" scheduler: admission leaves the critical path.
+
+        The classic schedules serialize each wave boundary on the host —
+        pull, stage windows, dispatch encode, sync, repeat per bucket —
+        while the device idles between buckets (measured ≈ admit_s + pull_s
+        per wave, docs/ROADMAP.md r4 item 6). Here the queue-head bucket's
+        encode/prefill is dispatched DURING decode rounds (it needs no slot
+        assignment — _encode_bucket is slot-agnostic), so by the time slots
+        free the payload is already computed: installs are single scatter
+        dispatches, and a multi-bucket burst chains
+        install -> encode(next) -> install with the host's sync waits hiding
+        under the device's encode time. The decode chunk is also dispatched
+        BEFORE the pull each round, so the harvest transfer rides under the
+        in-flight chunk.
+
+        Memory invariant (the OOM bound the classic path enforces with its
+        inter-bucket device_get): at most ONE staged payload is live at a
+        time, and a new encode is dispatched only after the previous
+        install has EXECUTED (synced via a probe on the refilled state) —
+        never two buckets of encoder cross rows next to the resident pools.
+
+        Payloads install in row subsets as slots free (same compiled
+        scatter, unselected rows to the trash slot), so straggler refills
+        consume the staged bucket piecemeal — batched encodes even when
+        slots free one at a time. Token-identical to the other schedules
+        (tests/test_engine.py::test_engine_schedules_identical)."""
+        import time as _time
+
+        queue = list(enumerate(audios))
+        results: List[Optional[DecodingResult]] = [None] * len(queue)
+        slot_req = [-1] * self.n_slots
+        queue.reverse()  # pop() from the front
+        self.stats = {"admit_s": 0.0, "chunk_s": 0.0, "pull_s": 0.0,
+                      "rounds": 0, "eager_rounds": 0, "stage_s": 0.0,
+                      "install_s": 0.0, "staged_buckets": 0,
+                      "partial_installs": 0}
+        snap = None
+        staged = None          # payload dict + "pending": [(row, req_idx)]
+        install_probe = None   # n_past ref from the LAST install dispatch
+        # predictive early-pull bookkeeping (see transcribe_many): a slot
+        # cannot budget-finish before ceil(max_new / chunk_steps) chunks, so
+        # pulling BEFORE the chunk dispatch on those rounds merges the
+        # finish-detect round into the refill round (measured: without it
+        # the boundary burns one no-op chunk round per wave).
+        min_rounds = max(1, -(-self.max_new // self.chunk_steps))
+        rounds_left = [0] * self.n_slots
+
+        def stage_next():
+            """Dispatch windows + encode/prefill for the queue head (slot-
+            agnostic; rides behind whatever is in the device queue)."""
+            n = min(len(queue), self.n_slots, self._ADMIT_BUCKETS[0])
+            if n == 0:
+                return None
+            bucket = next(
+                (b for b in reversed(self._ADMIT_BUCKETS) if b >= n),
+                self._ADMIT_BUCKETS[0])
+            n = min(bucket, n)
+            items = [queue.pop() for _ in range(n)]
+            t0 = _time.perf_counter()
+            wins = self._window_batch([a for _, a in items], bucket)
+            st = self._encode_bucket(wins, bucket)
+            self.stats["stage_s"] += _time.perf_counter() - t0
+            self.stats["staged_buckets"] += 1
+            st["pending"] = [(row, idx) for row, (idx, _a) in enumerate(items)]
+            return st
+
+        def stage_synced():
+            """One-payload-in-flight bound: wait for the last install to
+            EXECUTE (frees the previous payload's device buffers) before
+            enqueueing another bucket's encode."""
+            nonlocal install_probe
+            if install_probe is not None:
+                t0 = _time.perf_counter()
+                jax.device_get(install_probe)
+                self.stats["admit_s"] += _time.perf_counter() - t0
+                install_probe = None
+            return stage_next()
+
+        def pull_and_free(snap):
+            req_map, arrs = snap
+            t0 = _time.perf_counter()
+            pulled = jax.device_get(arrs)
+            active = pulled[0]
+            self.stats["pull_s"] += _time.perf_counter() - t0
+            for s in range(self.n_slots):
+                if (req_map[s] >= 0 and not active[s]
+                        and slot_req[s] == req_map[s]):
+                    results[req_map[s]] = self._stream_result(s, pulled)
+                    slot_req[s] = -1
+
+        def consume_staged():
+            """Install staged payload rows into free slots; a whole-wave
+            burst chains install -> encode(next) -> install, each sync
+            hiding under the device's encode. A bucket staged with no free
+            slots left to fill is DEFERRED to the next round's top-up (its
+            probe then costs one RTT, not an encode wait)."""
+            nonlocal staged, install_probe
+            while staged is not None:
+                free = [s for s in range(self.n_slots) if slot_req[s] < 0]
+                if not free:
+                    break
+                take = staged["pending"][: len(free)]
+                t0 = _time.perf_counter()
+                self._install_rows(staged, free[: len(take)],
+                                   [row for row, _ in take])
+                self.stats["install_s"] += _time.perf_counter() - t0
+                # a fresh tiny buffer: the state itself is DONATED to
+                # the next chunk/refill, which would delete a direct ref
+                install_probe = jnp.copy(self._state.n_past[:1])
+                for s, (_row, idx) in zip(free, take):
+                    slot_req[s] = idx
+                    rounds_left[s] = min_rounds
+                staged["pending"] = staged["pending"][len(take):]
+                if staged["pending"]:
+                    self.stats["partial_installs"] += 1
+                    break  # slots exhausted; rest installs as they free
+                staged = None
+                if queue and len(free) > len(take):
+                    staged = stage_synced()  # burst: more slots to fill NOW
+
+        while (queue or staged is not None or snap is not None
+               or any(r >= 0 for r in slot_req)):
+            # 0. early pull when some occupied slot's budget says it can
+            #    have finished (the predictive policy): refills then land
+            #    BEFORE this round's chunk instead of one round later.
+            if snap is not None and (staged is not None or queue) and any(
+                    slot_req[s] >= 0 and rounds_left[s] <= 0
+                    for s in range(self.n_slots)):
+                pull_and_free(snap)
+                snap = None
+                self.stats["eager_rounds"] += 1
+                consume_staged()
+            # 1. decode chunk FIRST: the device stays fed through the pull
+            #    and any admission host work this round.
+            if any(r >= 0 for r in slot_req):
+                t0 = _time.perf_counter()
+                new_snap = (list(slot_req),
+                            self._stream_chunk_snapshot(self.options))
+                self.stats["chunk_s"] += _time.perf_counter() - t0
+                for s in range(self.n_slots):
+                    rounds_left[s] -= 1
+            else:
+                new_snap = None
+            # 2. top up staging (encode queues behind the chunk).
+            if staged is None and queue:
+                staged = stage_synced()
+            # 3. harvest the previous round's snapshot (computed before this
+            #    round's chunk started — the fetch rides under it).
+            if snap is not None:
+                pull_and_free(snap)
+            snap = new_snap
+            # 4. consume staged payloads into slots freed by the harvest.
+            consume_staged()
+            self.stats["rounds"] += 1
+        self.stats["admit_s"] += self.stats["stage_s"] + self.stats["install_s"]
         return results  # type: ignore[return-value]
 
     # -- long-form streams (whisper_full semantics through the engine) --
@@ -876,7 +1107,9 @@ class SlotEngine:
                 raise RuntimeError(
                     "engine pool already sized without prompt budget; use a "
                     "fresh SlotEngine for transcribe_streams")
-            self.pool_ctx = self._align_pool_ctx(needed)
+            needed = self._align_pool_ctx(needed)
+            self._check_hbm_budget(pool_ctx=needed)  # re-check grown pool
+            self.pool_ctx = needed
         # Align the rule masks and timestamp cap with the stream options.
         self.sup_mask, self.blank_mask = build_masks(
             self.vocab, suppress_tokens=topts.suppress_tokens)

@@ -247,12 +247,29 @@ def run_benchmark(
     from ..config import PRESETS
     from ..model.load import load_model, random_model
 
+    # Refuse oversized (batch, beam, dtype) combinations with a typed error
+    # BEFORE allocating weights or compiling (the measured b56 beam crash
+    # boundary lives just past the budget — config.check_serving_hbm
+    # calibration table).
+    from ..config import check_serving_hbm
+
+    def _check(cfg):
+        seg_ctx = (3 if cfg.is_multilingual else 1) + decode_tokens + 8
+        check_serving_hbm(
+            cfg, batch, beam=beam_size or 1, ctx=seg_ctx,
+            kv_dtype_bytes=1 if kv_dtype == "int8" else 2,
+            what=(f"run_benchmark(batch={batch}, beam={beam_size}, "
+                  f"kv={kv_dtype})"))
+
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     if model_path:
         model = load_model(model_path, dtype=jdtype)
     else:
+        _check(PRESETS[model_name])
         model = random_model(PRESETS[model_name], seed=0, dtype=jdtype)
     cfg = model.config
+    if model_path:
+        _check(cfg)
 
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
