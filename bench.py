@@ -127,6 +127,12 @@ def _run() -> int:
             # engine encode batch; measured sweep knob).
             max_bucket=(int(os.environ["BENCH_BUCKET"])
                         if os.environ.get("BENCH_BUCKET") else None),
+            # BENCH_SCHEDULE=overlapped: staged-admission scheduler A/B.
+            schedule=os.environ.get("BENCH_SCHEDULE") or None,
+            # BENCH_DRAFT=<npz> (engine mode): speculative gamma-token
+            # verify chunks via SpecSlotEngine (greedy engines only).
+            draft=os.environ.get("BENCH_DRAFT") or None,
+            gamma=int(os.environ.get("BENCH_GAMMA", "4")),
         )
         print(json.dumps(result))
         return 0

@@ -53,7 +53,7 @@ def main():
 
         base, _, sched = tag.partition("-")
         sched = sched or "pipelined"
-        m = re.fullmatch(r"s(\d+)c(\d+)(?:b(\d+))?(e?)", base)
+        m = re.fullmatch(r"s(\d+)c(\d+)(?:b(\d+))?(e?)(d?)(?:g(\d+))?", base)
         if not m:
             raise SystemExit(f"bad config {tag!r}")
         n_slots, chunk = int(m.group(1)), int(m.group(2))
@@ -70,11 +70,19 @@ def main():
         audios = [jnp.asarray(a) for a in raw[:n_streams]]
         jax.device_get([a[:1] for a in audios])
         total_audio = sum(int(a.shape[0]) for a in audios) / 16000.0
-        engine = SlotEngine(
-            model, n_slots=n_slots, chunk_steps=chunk,
-            options=DecodingOptions(without_timestamps=False),
-            max_new_tokens=64, quantize=True, schedule=sched,
-            admit_buckets=buckets)
+        kw = dict(n_slots=n_slots, chunk_steps=chunk,
+                  options=DecodingOptions(without_timestamps=False),
+                  max_new_tokens=64, quantize=True, schedule=sched,
+                  admit_buckets=buckets)
+        if m.group(5):  # 'd': speculative engine with the AB_DRAFT npz
+            from whisper_tpu.parallel.spec_engine import SpecSlotEngine
+
+            engine = SpecSlotEngine(
+                model, os.environ.get("AB_DRAFT", "draft_large-v3_2l.npz"),
+                gamma=int(m.group(6) or os.environ.get("AB_GAMMA", "4")),
+                **kw)
+        else:
+            engine = SlotEngine(model, **kw)
         model.params = params  # undo the per-block W8A8 for later blocks
         engine.transcribe_many(audios[: n_slots + 16])  # warmup/compile
         waves, done = 0, 0.0
@@ -89,8 +97,10 @@ def main():
         rtf = done / wall
         stats = {k: round(v, 2) if isinstance(v, float) else v
                  for k, v in engine.stats.items()}
+        spec = (f" spec={engine.spec_stats()}"
+                if hasattr(engine, "spec_stats") else "")
         print(f"[{tag}] rtf={rtf:.1f} waves={waves} wall={wall:.1f}s "
-              f"stats={stats}", flush=True)
+              f"stats={stats}{spec}", flush=True)
         results.setdefault(tag, []).append(rtf)
         del engine, audios  # free pools before the next block
     print("== summary ==")

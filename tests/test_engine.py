@@ -369,6 +369,35 @@ def test_engine_streams_reject_audio_ctx(model):
             TranscribeOptions(temperature=0.0, audio_ctx=32))
 
 
+def test_engine_static_audio_ctx_matches_offline(tmp_path):
+    """Engine-wide audio_ctx (the reference's static exp_n_audio_ctx,
+    main.rs:1803-1807) through transcribe_streams: segments must match the
+    offline pipeline at the same numeric audio_ctx, and the cross pools
+    must actually be sized to it (the decode-read saving is real)."""
+    from fixtures import micro_config, write_synthetic_ggml
+    from whisper_tpu.model.load import load_model
+    from whisper_tpu.pipeline.transcribe import TranscribeOptions, transcribe
+
+    path = tmp_path / "ggml-micro-synth.bin"
+    write_synthetic_ggml(path, micro_config(), seed=9)
+    lmodel = load_model(str(path), use_native=False)
+
+    ctx = 32  # < micro_config's n_audio_ctx
+    audio = synthetic_audio(16000 * 4, seed=2)
+    topts = TranscribeOptions(temperature=0.0, language="en", audio_ctx=ctx)
+    ref = transcribe(lmodel, audio, topts)
+    eng = SlotEngine(lmodel, n_slots=2, chunk_steps=4, audio_ctx=ctx)
+    got = eng.transcribe_streams([audio], topts)[0]
+    assert [s["text"] for s in got["segments"]] == \
+        [s["text"] for s in ref["segments"]]
+    assert jax.tree.leaves(eng._cross_pool_k)[0].shape[-1] == ctx
+
+    # mismatched per-call override must be refused, not silently diverge
+    with pytest.raises(ValueError, match="audio_ctx"):
+        eng.transcribe_streams(
+            [audio], TranscribeOptions(temperature=0.0, audio_ctx=ctx * 2))
+
+
 def test_engine_custom_admit_buckets(model):
     """admit_buckets override produces identical results through a different
     admission bucketing (each bucket is one compiled encode/prefill shape)."""

@@ -304,12 +304,14 @@ def cmd_batch(args) -> int:
                 options=DecodingOptions(language=args.language,
                                         beam_size=args.beam),
                 quantize=args.quantize, mesh=mesh,
+                audio_ctx=args.audio_ctx,
             )
         else:
             engine = SlotEngine(
                 model, n_slots=args.slots,
                 options=DecodingOptions(language=args.language),
                 quantize=args.quantize, mesh=mesh,
+                audio_ctx=args.audio_ctx,
             )
         t0 = time.perf_counter()
         results = engine.transcribe_streams(
@@ -329,6 +331,7 @@ def cmd_batch(args) -> int:
                                         beam_size=args.beam,
                                         without_timestamps=True),
                 quantize=args.quantize, mesh=mesh,
+                audio_ctx=args.audio_ctx,
             )
         else:
             engine = SlotEngine(
@@ -336,6 +339,7 @@ def cmd_batch(args) -> int:
                 options=DecodingOptions(language=args.language,
                                         without_timestamps=True),
                 quantize=args.quantize, mesh=mesh,
+                audio_ctx=args.audio_ctx,
             )
         t0 = time.perf_counter()
         results = engine.transcribe_many(audios)
@@ -384,13 +388,14 @@ def cmd_serve(args) -> int:
                 options=DecodingOptions(language=args.language,
                                         task=args.task,
                                         beam_size=args.beam),
-                quantize=args.quantize, mesh=mesh)
+                quantize=args.quantize, mesh=mesh,
+                audio_ctx=args.audio_ctx)
         from .parallel.engine import SlotEngine
 
         return SlotEngine(
             model, n_slots=args.slots,
             options=DecodingOptions(language=args.language, task=args.task),
-            quantize=args.quantize, mesh=mesh)
+            quantize=args.quantize, mesh=mesh, audio_ctx=args.audio_ctx)
 
     topts = TranscribeOptions(language=args.language,
                               task=args.task,
@@ -664,6 +669,10 @@ def main(argv=None) -> int:
                         "the slot's resident cross-attention rows)")
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel over this many chips")
+    p.add_argument("--audio-ctx", type=int, default=None,
+                   help="static encoder-context override for known-short "
+                        "streams (exp_n_audio_ctx; shrinks the cross pools "
+                        "and decode's cross reads engine-wide)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("detect-language",
@@ -702,6 +711,10 @@ def main(argv=None) -> int:
     p.add_argument("--word-timestamps", action="store_true")
     p.add_argument("--max-queue", type=int, default=None,
                    help="503 new requests past this many in flight")
+    p.add_argument("--audio-ctx", type=int, default=None,
+                   help="static encoder-context override for known-short "
+                        "streams (exp_n_audio_ctx; shrinks the cross pools "
+                        "and decode's cross reads engine-wide)")
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel serving over this many chips "
                         "(heads/MLP/vocab sharded; slots stay local)")

@@ -286,6 +286,7 @@ def check_serving_hbm(
     engine: bool = False,
     what: str = "serving config",
     budget_bytes: Optional[int] = None,
+    extra_bytes: int = 0,
 ) -> Dict[str, int]:
     """Refuse a serving configuration whose HBM estimate exceeds the chip
     budget — raising a typed :class:`~whisper_tpu.errors.HbmBudgetError`
@@ -301,6 +302,8 @@ def check_serving_hbm(
     est = cfg.serving_hbm_estimate(
         batch=batch, ctx=ctx, kv_dtype_bytes=kv_dtype_bytes, beam=beam,
         enc_batch=enc_batch, engine=engine)
+    if extra_bytes:  # caller-specific additions (e.g. the spec draft pools)
+        est = dict(est, extra=extra_bytes, total=est["total"] + extra_bytes)
     if budget_bytes is None:
         budget_bytes = int(_physical_hbm_bytes() * HBM_UTILIZATION)
     if est["total"] > budget_bytes:

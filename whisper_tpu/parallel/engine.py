@@ -276,10 +276,15 @@ class SlotEngine:
         mesh=None,
         admit_buckets: Optional[Sequence[int]] = None,
         schedule: str = "predictive",
+        audio_ctx: Optional[int] = None,
     ):
         if options is not None and (options.beam_size or (options.best_of or 1) != 1
                                     or options.temperature != 0):
             raise ValueError("SlotEngine is greedy-only; use decode_full for beams")
+        if audio_ctx is not None and not (
+                0 < audio_ctx <= model.config.n_audio_ctx):
+            raise ValueError(
+                f"audio_ctx must be in (0, {model.config.n_audio_ctx}]")
         if schedule not in ("pipelined", "eager", "predictive", "overlapped"):
             raise ValueError(
                 "schedule must be 'pipelined' (harvest one round late, "
@@ -362,12 +367,24 @@ class SlotEngine:
         if admit_buckets is not None:
             self._ADMIT_BUCKETS = tuple(
                 sorted({int(b) for b in admit_buckets}, reverse=True))
+        # Engine-wide audio-context override (the reference's
+        # exp_n_audio_ctx, main.rs:362, 1803-1807 — a STATIC per-run knob
+        # there too): every window encodes only the first audio_ctx
+        # positions, the cross pools size to it (they are lazily shaped
+        # from the first encode), and decode's cross reads — ~85% of the
+        # decode floor — shrink proportionally. Per-WINDOW 'auto' bucketing
+        # stays offline-only by measured arithmetic: serving mixed widths
+        # needs either per-row masking (saves no HBM reads) or a second
+        # chunk program per width class, whose duplicated ~10 ms/step
+        # row-independent scan cost exceeds the tail windows' cross
+        # savings at engine batch (docs/ROADMAP.md r5).
+        self.audio_ctx = audio_ctx
         # Refuse configurations whose pools cannot fit the chip BEFORE any
         # allocation or compile (the reference's MEM_REQ intent,
         # main.rs:119-189): an oversized slot/beam count otherwise crashes
         # or hangs the worker mid-allocation (measured, BASELINE.md).
         self._check_hbm_budget()
-        self._n_frames = 2 * self.cfg.n_audio_ctx
+        self._n_frames = 2 * (audio_ctx or self.cfg.n_audio_ctx)
         self._cross_pool_k = None  # lazily sized (L, S, H, D, Ta)
         self._cross_pool_v = None
         self._state: Optional[EngineState] = None
@@ -1128,15 +1145,20 @@ class SlotEngine:
         self._check_common_stream_options(topts)
 
     def _check_common_stream_options(self, topts) -> None:
-        # the engine's cross pools and mel windows are sized for the model's
-        # full 2*n_audio_ctx frames at construction; a per-call audio_ctx
-        # override cannot be honored — reject rather than silently diverge
-        # from pipeline.transcribe (use the offline path for audio_ctx runs)
-        if topts.audio_ctx is not None:
+        # The engine's cross pools and mel windows are sized ONCE at
+        # construction (the ``audio_ctx`` constructor knob — the
+        # reference's static exp_n_audio_ctx, main.rs:1803-1807). A
+        # per-call numeric override is honored only when it matches;
+        # per-window 'auto' stays offline-only (see __init__ note on the
+        # measured arithmetic).
+        if topts.audio_ctx is not None and topts.audio_ctx != self.audio_ctx:
             raise ValueError(
-                "audio_ctx is not supported by engine streams (the slot "
-                "pools are sized for the full audio context at engine "
-                "construction); use pipeline.transcribe")
+                f"engine streams decode at the engine's construction-time "
+                f"audio_ctx ({self.audio_ctx or 'full'}); per-call "
+                f"audio_ctx={topts.audio_ctx!r} cannot be honored — build "
+                f"the engine with audio_ctx={topts.audio_ctx!r} (short-"
+                f"stream deployments) or use pipeline.transcribe "
+                f"(audio_ctx='auto' per-window bucketing)")
 
     def _align_pool_ctx(self, needed: int) -> int:
         return needed
@@ -1213,7 +1235,13 @@ class SlotEngine:
             dev, self.model.filters,
             frame_count(padded_len, center=center),
             center=center, fold=not center)
-        content_frames = frame_count(offline_len, center=center) - self._n_frames
+        # real-audio frames = total minus the fixed 30 s zero pad (NOT the
+        # window length, which audio_ctx can shrink below the pad —
+        # transcribe.py's content_frames arithmetic)
+        from ..config import HOP_LENGTH
+
+        content_frames = (frame_count(offline_len, center=center)
+                          - N_SAMPLES_PER_CHUNK // HOP_LENGTH)
         # Clip range, same arithmetic as the offline loop (transcribe.py:
         # seek_start = offset_ms/10, duration clamps the end frame) so
         # engine streams honor offset_ms/duration_ms instead of silently

@@ -26,6 +26,9 @@ def run_engine_benchmark(
     beam_size: Optional[int] = None,
     enc_int8: bool = False,
     max_bucket: Optional[int] = None,
+    schedule: Optional[str] = None,
+    draft: Optional[str] = None,
+    gamma: int = 4,
 ) -> dict:
     """Continuous-batching serving throughput: a SlotEngine with ``n_slots``
     draining ``n_streams`` independent 30 s streams of staggered lengths
@@ -83,6 +86,7 @@ def run_engine_benchmark(
     buckets = None
     if max_bucket:
         buckets = tuple(b for b in (32, 16, 8, 4, 2, 1) if b <= max_bucket)
+    sched_kw = {"schedule": schedule} if schedule else {}
     if beam_size:
         from ..parallel.beam_engine import BeamSlotEngine
 
@@ -91,14 +95,25 @@ def run_engine_benchmark(
             options=DecodingOptions(without_timestamps=False,
                                     beam_size=beam_size),
             max_new_tokens=max_new_tokens, quantize=quantize,
-            admit_buckets=buckets,
+            admit_buckets=buckets, **sched_kw,
+        )
+    elif draft:
+        # speculative continuous batching: gamma-token verify chunks
+        # against a trained shared-encoder draft (BENCH_DRAFT=<npz>)
+        from ..parallel.spec_engine import SpecSlotEngine
+
+        engine = SpecSlotEngine(
+            model, draft, n_slots=n_slots, chunk_steps=chunk_steps,
+            options=DecodingOptions(without_timestamps=False),
+            max_new_tokens=max_new_tokens, quantize=quantize,
+            admit_buckets=buckets, gamma=gamma, **sched_kw,
         )
     else:
         engine = SlotEngine(
             model, n_slots=n_slots, chunk_steps=chunk_steps,
             options=DecodingOptions(without_timestamps=False),
             max_new_tokens=max_new_tokens, quantize=quantize,
-            admit_buckets=buckets,
+            admit_buckets=buckets, **sched_kw,
         )
     # Warmup: compile every admission-bucket shape + chunk + refill by
     # draining a full first wave plus a refill wave (compiles are minutes
@@ -121,29 +136,35 @@ def run_engine_benchmark(
             break
     wall = time.perf_counter() - t0
     rtf = audio_done / wall
+    detail = {
+        "model": model.config.model_type,
+        "n_slots": n_slots,
+        "n_streams": n_streams,
+        "chunk_steps": chunk_steps,
+        "quantize": quantize,
+        "prestage": prestage,
+        "beam_size": beam_size,
+        "schedule": schedule or "predictive",
+        "wall_s": round(wall, 2),
+        "waves": waves,
+        "n_results": sum(r is not None for r in results),
+        "stats": {k: round(v, 2) if isinstance(v, float) else v
+                  for k, v in engine.stats.items()},
+        "backend": jax.default_backend(),
+    }
+    if draft:
+        detail["gamma"] = gamma
+        detail["spec"] = engine.spec_stats()
     return {
         "metric": f"rtf_{model.config.model_type}_engine_s{n_slots}_q{n_streams}"
         + (f"_beam{beam_size}" if beam_size else "")
+        + (f"_spec_g{gamma}" if draft else "")
         + ("_int8" if quantize else "") + ("_eint8" if enc_int8 else "")
         + ("_prestaged" if prestage else ""),
         "value": round(rtf, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
-        "detail": {
-            "model": model.config.model_type,
-            "n_slots": n_slots,
-            "n_streams": n_streams,
-            "chunk_steps": chunk_steps,
-            "quantize": quantize,
-            "prestage": prestage,
-            "beam_size": beam_size,
-            "wall_s": round(wall, 2),
-            "waves": waves,
-            "n_results": sum(r is not None for r in results),
-            "stats": {k: round(v, 2) if isinstance(v, float) else v
-                      for k, v in engine.stats.items()},
-            "backend": jax.default_backend(),
-        },
+        "detail": detail,
     }
 
 
