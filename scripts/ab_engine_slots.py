@@ -37,9 +37,11 @@ def main():
     from whisper_tpu.parallel.engine import SlotEngine
 
     configs = sys.argv[1:] or ["s48c16", "s64c16", "s48c16", "s64c16"]
+    print("devices:", jax.devices(), flush=True)
     model = random_model(PRESETS[os.environ.get("AB_MODEL", "large-v3")],
                          seed=0, dtype=jnp.bfloat16)
     model.params = jax.jit(quantize_decoder_weights)(model.params)
+    print("model built", flush=True)
 
     # prestaged audio (device-resident; floor mode), enough for 2*64 streams
     rng = np.random.default_rng(0)
@@ -84,7 +86,9 @@ def main():
         else:
             engine = SlotEngine(model, **kw)
         model.params = params  # undo the per-block W8A8 for later blocks
+        print(f"[{tag}] engine built; warming up", flush=True)
         engine.transcribe_many(audios[: n_slots + 16])  # warmup/compile
+        print(f"[{tag}] warm", flush=True)
         waves, done = 0, 0.0
         t0 = time.perf_counter()
         while True:

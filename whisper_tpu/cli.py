@@ -255,6 +255,9 @@ def cmd_batch(args) -> int:
     """Continuous-batching transcription of many WAVs: the native threaded
     loader prefetches/decodes while the SlotEngine refills finished slots
     from the queue mid-decode."""
+    if args.draft and args.beam:
+        raise WhisperError("--draft (speculative) is greedy-only; "
+                           "drop --beam")
     import jax.numpy as jnp
 
     from .decoding.task import DecodingOptions
@@ -306,6 +309,15 @@ def cmd_batch(args) -> int:
                 quantize=args.quantize, mesh=mesh,
                 audio_ctx=args.audio_ctx,
             )
+        elif args.draft:
+            from .parallel.spec_engine import SpecSlotEngine
+
+            engine = SpecSlotEngine(
+                model, args.draft, n_slots=args.slots,
+                options=DecodingOptions(language=args.language),
+                quantize=args.quantize, gamma=args.gamma,
+                audio_ctx=args.audio_ctx,
+            )
         else:
             engine = SlotEngine(
                 model, n_slots=args.slots,
@@ -333,6 +345,16 @@ def cmd_batch(args) -> int:
                 quantize=args.quantize, mesh=mesh,
                 audio_ctx=args.audio_ctx,
             )
+        elif args.draft:
+            from .parallel.spec_engine import SpecSlotEngine
+
+            engine = SpecSlotEngine(
+                model, args.draft, n_slots=args.slots,
+                options=DecodingOptions(language=args.language,
+                                        without_timestamps=True),
+                quantize=args.quantize, gamma=args.gamma,
+                audio_ctx=args.audio_ctx,
+            )
         else:
             engine = SlotEngine(
                 model, n_slots=args.slots,
@@ -356,6 +378,9 @@ def cmd_serve(args) -> int:
     JSON; GET /healthz, /stats. Requests from concurrent clients share the
     chip through the continuous-batching engine (whisper_full long-form per
     request; --beam N serves beam groups)."""
+    if args.draft and args.beam:
+        raise WhisperError("--draft (speculative) is greedy-only; "
+                           "drop --beam")
     import jax.numpy as jnp
 
     from .decoding.task import DecodingOptions
@@ -389,6 +414,15 @@ def cmd_serve(args) -> int:
                                         task=args.task,
                                         beam_size=args.beam),
                 quantize=args.quantize, mesh=mesh,
+                audio_ctx=args.audio_ctx)
+        if args.draft:
+            from .parallel.spec_engine import SpecSlotEngine
+
+            return SpecSlotEngine(
+                model, args.draft, n_slots=args.slots,
+                options=DecodingOptions(language=args.language,
+                                        task=args.task),
+                quantize=args.quantize, gamma=args.gamma,
                 audio_ctx=args.audio_ctx)
         from .parallel.engine import SlotEngine
 
@@ -673,6 +707,12 @@ def main(argv=None) -> int:
                    help="static encoder-context override for known-short "
                         "streams (exp_n_audio_ctx; shrinks the cross pools "
                         "and decode's cross reads engine-wide)")
+    p.add_argument("--draft", default=None, metavar="DRAFT.npz",
+                   help="speculative continuous batching: distilled "
+                        "shared-encoder draft (training.distill.save_draft; "
+                        "greedy engines only, exact output)")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="speculative verify width (with --draft)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("detect-language",
@@ -715,6 +755,11 @@ def main(argv=None) -> int:
                    help="static encoder-context override for known-short "
                         "streams (exp_n_audio_ctx; shrinks the cross pools "
                         "and decode's cross reads engine-wide)")
+    p.add_argument("--draft", default=None, metavar="DRAFT.npz",
+                   help="speculative continuous batching: distilled "
+                        "shared-encoder draft (greedy serving only)")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="speculative verify width (with --draft)")
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel serving over this many chips "
                         "(heads/MLP/vocab sharded; slots stay local)")

@@ -310,7 +310,8 @@ class SpecSlotEngine(SlotEngine):
                  max_new_tokens: Optional[int] = None,
                  use_flash: Optional[bool] = None, quantize: bool = False,
                  mesh=None, admit_buckets=None,
-                 schedule: str = "predictive", gamma: int = 4):
+                 schedule: str = "predictive", gamma: int = 4,
+                 audio_ctx: Optional[int] = None):
         if gamma < 2:
             raise ValueError("gamma >= 2 (gamma-1 draft proposals per round)")
         if mesh is not None:
@@ -333,7 +334,8 @@ class SpecSlotEngine(SlotEngine):
                          chunk_steps=chunk_steps,
                          max_new_tokens=max_new_tokens, use_flash=use_flash,
                          quantize=quantize, mesh=None,
-                         admit_buckets=admit_buckets, schedule=schedule)
+                         admit_buckets=admit_buckets, schedule=schedule,
+                         audio_ctx=audio_ctx)
         # the draft decoder gets the same QKV fusion as the target
         from ..model.quant import fuse_decoder_qkv
 
