@@ -69,6 +69,34 @@ def main():
     n_frames = 2 * cfg.n_audio_ctx
     eot = vocab.token_eot
 
+    # Pseudo-label with the SERVING-MODE target: the engines decode the
+    # int8-quantized decoder (quantize=True is the serving default), and one
+    # early argmax flip vs bf16 shifts every later token — a bf16-labeled
+    # draft measured 0.55 accepted/round of 4 in the int8 engine despite
+    # held-out acceptance 1.000 on bf16 labels. DISTILL_QUANT=0 opts out.
+    label_params = model.params
+    if os.environ.get("DISTILL_QUANT", "1") == "1":
+        from whisper_tpu.model.quant import quantize_decoder_weights
+
+        label_params = jax.jit(quantize_decoder_weights)(model.params)
+    # DISTILL_ENGINE=1 (default): label with the serving ENGINE itself —
+    # int8 decoder + int8 KV/cross pools + the engine's emission math, so
+    # the labels are bit-exactly what SpecSlotEngine's verify compares the
+    # draft against. The lockstep bf16-cache labeler stays for A/Bs.
+    use_engine_labels = os.environ.get("DISTILL_ENGINE", "1") == "1"
+    _label_engine = None
+    if use_engine_labels:
+        from whisper_tpu.decoding.task import DecodingOptions
+        from whisper_tpu.parallel.engine import SlotEngine
+
+        _orig = model.params
+        model.params = label_params
+        _label_engine = SlotEngine(
+            model, n_slots=BATCH, chunk_steps=16,
+            options=DecodingOptions(without_timestamps=False),
+            max_new_tokens=SAMPLE_LEN, quantize=True)
+        model.params = _orig
+
     # ---- pseudo-labels: the target's own greedy transcripts ----
     @jax.jit
     def label_batch(params, audio_b):
@@ -88,8 +116,22 @@ def main():
     # bench uses rng seed 0 scale 0.1; train on seeds >= 1000 (held out from
     # the bench input), eval acceptance on seeds >= 5000
     def noise(seed):
+        """Engine-domain noise: the serving-engine bench mixes 24/27/30 s
+        streams shipped as int16 PCM (ab_engine_slots.py), so short windows
+        carry a SILENT zero tail after padding — and the random-weight
+        target's transcript DEPENDS on that tail (a 30 s-only draft measured
+        0.55 accepted/round of 4 in the engine vs 1.000 teacher-forced on
+        30 s windows). Distill on the same mixture, int16-quantized like the
+        engine's /32768 dequant path."""
         r = np.random.default_rng(seed)
-        return r.standard_normal((BATCH, 16000 * 30)).astype(np.float32) * 0.1
+        full = r.standard_normal((BATCH, 16000 * 30)).astype(np.float32) * 0.1
+        i16 = np.clip(full * 32768, -32768, 32767).astype(np.int16)
+        out = i16.astype(np.float32) / 32768.0
+        secs = [24.0, 27.0, 30.0]
+        for b in range(BATCH):
+            n = int(16000 * secs[(seed + b) % 3])
+            out[b, n:] = 0.0
+        return out
 
     T = len(init) + SAMPLE_LEN + 1
     T = -(-T // 32) * 32
@@ -111,13 +153,38 @@ def main():
     def hidden_of(params, wins):
         return encode(params, wins, cfg, use_flash=use_flash).hidden
 
+    @jax.jit
+    def wins_of(audio_b):
+        mel = jax.vmap(lambda a: log_mel_spectrogram(
+            a, model.filters, frame_count(16000 * 30)))(audio_b)
+        return mel[:, :, :n_frames]
+
+    def rows_from_lists(tok_lists):
+        rows = np.full((BATCH, T), eot, np.int32)
+        mask = np.zeros((BATCH, T), np.int32)
+        for b, toks in enumerate(tok_lists):
+            seq = list(init) + [int(t) for t in toks[: SAMPLE_LEN]] + [eot]
+            rows[b, : len(seq)] = seq
+            mask[b, : len(seq)] = 1
+        return rows, mask
+
+    def batch_of(seed):
+        audio = noise(seed)
+        if _label_engine is not None:
+            # noise() is an exact int16/32768 round-trip, so *32768 recovers
+            # the PCM the engine ships raw to the device
+            pcm = [np.asarray(np.round(a * 32768.0), np.int16) for a in audio]
+            res = _label_engine.transcribe_many(pcm)
+            rows, mask = rows_from_lists([r.tokens for r in res])
+            wins = wins_of(jnp.asarray(audio))
+        else:
+            wins, toks, lengths = label_batch(label_params, jnp.asarray(audio))
+            rows, mask = make_rows(toks, lengths)
+        return (hidden_of(model.params, wins), jnp.asarray(rows),
+                jnp.asarray(mask))
+
     t0 = time.perf_counter()
-    data = []
-    for w in range(n_windows // BATCH):
-        wins, toks, lengths = label_batch(model.params, jnp.asarray(noise(1000 + w)))
-        rows, mask = make_rows(toks, lengths)
-        data.append((hidden_of(model.params, wins), jnp.asarray(rows),
-                     jnp.asarray(mask)))
+    data = [batch_of(1000 + w) for w in range(n_windows // BATCH)]
     # token variety diagnostic: how input-dependent is the random target?
     all_rows = np.concatenate([np.asarray(r) for _, r, _ in data])
     uniq = len({tuple(r) for r in all_rows})
@@ -126,12 +193,11 @@ def main():
           flush=True)
     print(f"label row 0 head: {all_rows[0][:16].tolist()}", flush=True)
 
-    held = []
-    for w in range(4):
-        wins, toks, lengths = label_batch(model.params, jnp.asarray(noise(5000 + w)))
-        rows, mask = make_rows(toks, lengths)
-        held.append((hidden_of(model.params, wins), jnp.asarray(rows),
-                     jnp.asarray(mask)))
+    held = [batch_of(5000 + w) for w in range(4)]
+    if _label_engine is not None:
+        # free the labeler's pools + int8 params before training allocates
+        _label_engine = None
+        del label_params
 
     # ---- student ----
     import optax

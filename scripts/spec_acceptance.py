@@ -218,6 +218,58 @@ def main():
         }
         print(json.dumps(results[gamma]), flush=True)
 
+    # -- 4. ENGINE composition on the same trained target: SpecSlotEngine
+    #       vs greedy SlotEngine (the r4-verdict item-2 on-chip number; the
+    #       random-weight large-v3 target cannot provide it — its argmax
+    #       flips between the T=1 greedy and T=gamma verify forwards, so
+    #       engine acceptance collapses to ~0 there, scripts/
+    #       diag_spec_engine.py). Trained logits have real margins. --
+    from whisper_tpu.decoding.task import DecodingOptions
+    from whisper_tpu.parallel.engine import SlotEngine
+    from whisper_tpu.parallel.spec_engine import SpecSlotEngine
+
+    n_streams = int(os.environ.get("SPEC_ENGINE_STREAMS", "64"))
+    eng_streams = [make_pair(rng_ho, n_words=(2, 12))[0]
+                   for _ in range(n_streams)]
+    eng_audio_s = sum(len(a) for a in eng_streams) / SR
+    slots = int(os.environ.get("SPEC_ENGINE_SLOTS", "16"))
+    eng_reps = int(os.environ.get("SPEC_ENGINE_REPS", str(max(3, reps // 4))))
+    eng_kw = dict(n_slots=slots, chunk_steps=8, max_new_tokens=sample_len,
+                  options=DecodingOptions(without_timestamps=True),
+                  quantize=False, schedule="overlapped")
+    geng = SlotEngine(model, **eng_kw)
+    geng.transcribe_many(eng_streams[: slots + 8])  # warm/compile
+    engine_results = {}
+    for gamma in gammas:
+        seng = SpecSlotEngine(model, (dparams, dcfg), gamma=gamma, **eng_kw)
+        seng.transcribe_many(eng_streams[: slots + 8])  # warm/compile
+        base = seng.spec_stats()
+        walls = {"greedy": 0.0, "spec": 0.0}
+        rg = rs = None
+        for _ in range(eng_reps):
+            t = time.perf_counter()
+            rg = geng.transcribe_many(eng_streams)
+            walls["greedy"] += time.perf_counter() - t
+            t = time.perf_counter()
+            rs = seng.transcribe_many(eng_streams)
+            walls["spec"] += time.perf_counter() - t
+        st = seng.spec_stats()
+        rounds = st["rounds"] - base["rounds"]
+        acc = st["accepted"] - base["accepted"]
+        agree = sum(a.tokens == b.tokens for a, b in zip(rg, rs))
+        engine_results[gamma] = {
+            "engine_gamma": gamma,
+            "accepted_per_round": round(acc / max(rounds, 1), 3),
+            "wall_ratio_vs_greedy_engine": round(
+                walls["greedy"] / walls["spec"], 3),
+            "rtf_greedy": round(eng_audio_s * eng_reps / walls["greedy"], 1),
+            "rtf_spec": round(eng_audio_s * eng_reps / walls["spec"], 1),
+            "transcript_identity": f"{agree}/{n_streams}",
+            "reps": eng_reps,
+        }
+        print(json.dumps(engine_results[gamma]), flush=True)
+        del seng
+
     emitted = int(np.asarray(g_lens).sum())
     print(json.dumps({
         "summary": "spec_acceptance", "target_layers": n_layers,
@@ -226,6 +278,7 @@ def main():
         "train_steps": train_steps, "distill_steps": distill_steps,
         "total_s": round(time.time() - t_start, 0),
         "per_gamma": results,
+        "engine": engine_results,
     }), flush=True)
 
 
