@@ -102,12 +102,17 @@ def _run() -> int:
         # Beam groups multiply decode rows by k. Measured r4 (fused cow,
         # prestaged): 24 groups 84x, 32 groups 147x, 40 groups 130x
         # (admission balloons; 48 = 240 rows OOMs) -> 32 is the default.
-        default_slots = "32" if os.environ.get("BENCH_BEAM") else "48"
+        # Greedy engine defaults re-measured r5 (one-process interleaved,
+        # prestaged, overlapped schedule): s64 >= s48 (r4: 483 vs 458) and
+        # chunk 32 beat 16 (468.0 vs 442.0) — fewer trailing finish-detect
+        # rounds at the 64-token budget. Beam keeps its r4-measured config.
+        default_slots = "32" if os.environ.get("BENCH_BEAM") else "64"
+        default_chunk = "16" if os.environ.get("BENCH_BEAM") else "32"
         result = run_engine_benchmark(
             model_name=os.environ.get("BENCH_MODEL", "large-v3"),
             n_slots=int(os.environ.get("BENCH_BATCH", default_slots)),
             n_streams=int(os.environ["BENCH_STREAMS"]) if os.environ.get("BENCH_STREAMS") else None,
-            chunk_steps=int(os.environ.get("BENCH_CHUNK", "16")),
+            chunk_steps=int(os.environ.get("BENCH_CHUNK", default_chunk)),
             quantize=os.environ.get("BENCH_KV", "int8") == "int8",
             seconds=int(os.environ.get("BENCH_SECONDS", "120")),
             # BENCH_PRESTAGED=1: audio device-resident before the timed run

@@ -123,7 +123,8 @@ def main():
 
     # -- 2. pseudo-label distillation: the target labels fresh audio --
     rng_pl = np.random.default_rng(1)
-    pl_audio = [make_pair(rng_pl, n_words=(2, 12))[0] for _ in range(128)]
+    n_pl = int(os.environ.get("SPEC_PL_WINDOWS", "128"))
+    pl_audio = [make_pair(rng_pl, n_words=(2, 12))[0] for _ in range(n_pl)]
     wins_list = []
     for i in range(0, len(pl_audio), batch):
         group = pl_audio[i : i + batch]
@@ -144,7 +145,8 @@ def main():
           f"(e.g. {pseudo[0][1]!r})", flush=True)
 
     t0 = time.time()
-    res = distill(model, pseudo, n_text_layer=2, steps=distill_steps,
+    draft_layers = int(os.environ.get("SPEC_DRAFT_LAYERS", "2"))
+    res = distill(model, pseudo, n_text_layer=draft_layers, steps=distill_steps,
                   batch_size=16, lr=1e-3, seed=0, log_every=200)
     dparams, dcfg = res.params, res.config
     print(f"distilled 2L draft in {time.time()-t0:.0f}s "
@@ -273,7 +275,7 @@ def main():
     emitted = int(np.asarray(g_lens).sum())
     print(json.dumps({
         "summary": "spec_acceptance", "target_layers": n_layers,
-        "draft_layers": 2, "batch": batch, "sample_len": sample_len,
+        "draft_layers": draft_layers, "batch": batch, "sample_len": sample_len,
         "tokens_emitted_greedy": emitted,
         "train_steps": train_steps, "distill_steps": distill_steps,
         "total_s": round(time.time() - t_start, 0),

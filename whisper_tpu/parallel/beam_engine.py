@@ -422,7 +422,7 @@ class BeamSlotEngine(SlotEngine):
                  options: Optional[DecodingOptions] = None,
                  chunk_steps: int = 8, max_new_tokens: Optional[int] = None,
                  use_flash: Optional[bool] = None, quantize: bool = False,
-                 mesh=None, admit_buckets=None, schedule: str = "predictive"):
+                 mesh=None, admit_buckets=None, schedule: str = "overlapped"):
         options = options or DecodingOptions(beam_size=5)
         if not options.beam_size or options.beam_size < 2:
             raise ValueError("BeamSlotEngine needs options.beam_size >= 2")

@@ -275,9 +275,14 @@ class SlotEngine:
         quantize: bool = False,
         mesh=None,
         admit_buckets: Optional[Sequence[int]] = None,
-        schedule: str = "predictive",
+        schedule: str = "overlapped",
         audio_ctx: Optional[int] = None,
     ):
+        # Default schedule measured r5 (one-process interleaved blocks,
+        # s64c16 prestaged, scripts/ab_engine_slots.py): overlapped 464.0
+        # vs predictive 453.6 mean — staging the next bucket's encode
+        # behind the in-flight chunk wins once the v2 fixes (predictive
+        # early pull, deferred post-burst staging) landed.
         if options is not None and (options.beam_size or (options.best_of or 1) != 1
                                     or options.temperature != 0):
             raise ValueError("SlotEngine is greedy-only; use decode_full for beams")

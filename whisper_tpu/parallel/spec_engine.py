@@ -310,7 +310,7 @@ class SpecSlotEngine(SlotEngine):
                  max_new_tokens: Optional[int] = None,
                  use_flash: Optional[bool] = None, quantize: bool = False,
                  mesh=None, admit_buckets=None,
-                 schedule: str = "predictive", gamma: int = 4,
+                 schedule: str = "overlapped", gamma: int = 4,
                  audio_ctx: Optional[int] = None):
         if gamma < 2:
             raise ValueError("gamma >= 2 (gamma-1 draft proposals per round)")

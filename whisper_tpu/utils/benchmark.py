@@ -144,7 +144,7 @@ def run_engine_benchmark(
         "quantize": quantize,
         "prestage": prestage,
         "beam_size": beam_size,
-        "schedule": schedule or "predictive",
+        "schedule": schedule or "overlapped",
         "wall_s": round(wall, 2),
         "waves": waves,
         "n_results": sum(r is not None for r in results),
