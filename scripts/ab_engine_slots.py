@@ -5,9 +5,11 @@ process and aggregate >=90 s per block).
 
 Usage: python scripts/ab_engine_slots.py [config ...]
   config = "s48c16" (slots 48, chunk 16), optionally "b32" (admission
-  bucket cap), "e" (W8A8 admission encodes), and a scheduler suffix
-  "-eager" / "-predictive" / "-pipelined" / "-overlapped"
-  (default pipelined) — e.g. "s64c16b32e-overlapped".
+  bucket cap), "e" (W8A8 admission encodes), "dg4" (speculative engine,
+  gamma 4, draft from AB_DRAFT), "a1280" (static engine audio_ctx; pair
+  with AB_SECS=24 so every stream fits the trimmed cross width), and a
+  scheduler suffix "-eager" / "-predictive" / "-pipelined" /
+  "-overlapped" (default pipelined) — e.g. "s64c16b32e-overlapped".
   Default: s48c16 s64c16 s48c16 s64c16
 
 Each block: build the engine fresh (pools freed between blocks so two
@@ -43,11 +45,14 @@ def main():
     model.params = jax.jit(quantize_decoder_weights)(model.params)
     print("model built", flush=True)
 
-    # prestaged audio (device-resident; floor mode), enough for 2*64 streams
+    # prestaged audio (device-resident; floor mode), enough for 2*64 streams.
+    # AB_SECS overrides the duration mix (e.g. "24" for an all-short
+    # workload — the engine audio_ctx measurement pairs it with "a<ctx>").
     rng = np.random.default_rng(0)
-    secs = [24.0, 27.0, 30.0]
-    raw = [np.clip(rng.standard_normal(int(16000 * secs[i % 3])) * 0.1 * 32768,
-                   -32768, 32767).astype(np.int16) for i in range(128)]
+    secs = [float(s) for s in os.environ.get("AB_SECS", "24,27,30").split(",")]
+    raw = [np.clip(
+        rng.standard_normal(int(16000 * secs[i % len(secs)])) * 0.1 * 32768,
+        -32768, 32767).astype(np.int16) for i in range(128)]
 
     results = {}
     for tag in configs:
@@ -55,10 +60,12 @@ def main():
 
         base, _, sched = tag.partition("-")
         sched = sched or "pipelined"
-        m = re.fullmatch(r"s(\d+)c(\d+)(?:b(\d+))?(e?)(d?)(?:g(\d+))?", base)
+        m = re.fullmatch(
+            r"s(\d+)c(\d+)(?:b(\d+))?(e?)(d?)(?:g(\d+))?(?:a(\d+))?", base)
         if not m:
             raise SystemExit(f"bad config {tag!r}")
         n_slots, chunk = int(m.group(1)), int(m.group(2))
+        audio_ctx = int(m.group(7)) if m.group(7) else None
         buckets = None
         if m.group(3):
             cap = int(m.group(3))
@@ -75,7 +82,7 @@ def main():
         kw = dict(n_slots=n_slots, chunk_steps=chunk,
                   options=DecodingOptions(without_timestamps=False),
                   max_new_tokens=64, quantize=True, schedule=sched,
-                  admit_buckets=buckets)
+                  admit_buckets=buckets, audio_ctx=audio_ctx)
         if m.group(5):  # 'd': speculative engine with the AB_DRAFT npz
             from whisper_tpu.parallel.spec_engine import SpecSlotEngine
 

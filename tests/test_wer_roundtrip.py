@@ -138,3 +138,19 @@ def test_word_timing_semantic(trained):
     assert 0.5 < slope < 1.7, (slope, list(zip(true_mids, pred_mids)))
     assert float(np.median(errs)) < pitch, errs
     assert float(errs.max()) < 2 * pitch, errs
+
+
+def test_make_pair_structured_repeat():
+    """repeat=k speaks each chosen word k times (the structured corpus the
+    speculative-acceptance harness uses — continuations become partially
+    prefix-predictable, unlike the i.i.d. default) and the audio grows
+    accordingly; transcripts stay exact word sequences."""
+    rng1 = np.random.default_rng(7)
+    rng2 = np.random.default_rng(7)
+    audio1, text1 = make_pair(rng1, n_words=(3, 3))
+    audio2, text2 = make_pair(rng2, n_words=(3, 3), repeat=2)
+    w1, w2 = text1.split(), text2.split()
+    # same chosen words, each doubled in order
+    assert w2 == [w for w in w1 for _ in range(2)]
+    # six spoken words vs three: audio is ~2x the voiced length
+    assert len(audio2) > 1.8 * len(audio1)

@@ -32,11 +32,21 @@ def word_audio(i: int, rng) -> np.ndarray:
     return (x * ramp * ramp[::-1]).astype(np.float32)
 
 
-def make_pair(rng, n_words=(1, 3), words: Sequence[str] = WORDS
-              ) -> Tuple[np.ndarray, str]:
-    """(audio, transcript) with 50 ms silence gaps between tone-words."""
+def make_pair(rng, n_words=(1, 3), words: Sequence[str] = WORDS,
+              repeat: int = 1) -> Tuple[np.ndarray, str]:
+    """(audio, transcript) with 50 ms silence gaps between tone-words.
+
+    ``repeat`` speaks each chosen word that many times in a row — a
+    STRUCTURED corpus whose continuations are partially predictable from
+    the emitted prefix (the redundancy real speech has and i.i.d. random
+    words provably lack: a draft cannot beat chance on the next random
+    word without precise cross-attention, so speculative acceptance on
+    the repeat=1 corpus is capped near 1/len(words) per proposal). The
+    speculative harness uses repeat=2; transcripts stay exact."""
     n = int(rng.integers(n_words[0], n_words[1] + 1))
     idx = rng.integers(0, len(words), n)
+    if repeat > 1:
+        idx = np.repeat(idx, repeat)
     audio = [np.zeros(int(SR * 0.05), np.float32)]
     for i in idx:
         audio.append(word_audio(int(i), rng))
